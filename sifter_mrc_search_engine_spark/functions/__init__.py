@@ -1,0 +1,18 @@
+from .cleaning import clean_text, clean_text_udf
+from .analyzer import (
+    analyze,
+    analyze_udf,
+    tokenize_expr,
+    TOKEN_PATTERN,
+    valid_parentheses,
+)
+
+__all__ = [
+    "clean_text",
+    "clean_text_udf",
+    "analyze",
+    "analyze_udf",
+    "tokenize_expr",
+    "TOKEN_PATTERN",
+    "valid_parentheses",
+]

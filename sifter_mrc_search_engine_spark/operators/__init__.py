@@ -1,0 +1,20 @@
+from .index_build import (
+    tokens,
+    term_frequencies,
+    doc_lengths,
+    doc_frequencies,
+    corpus_stats,
+    build_postings,
+)
+from .bm25 import bm25_brute_force, bm25_term_scores
+
+__all__ = [
+    "tokens",
+    "term_frequencies",
+    "doc_lengths",
+    "doc_frequencies",
+    "corpus_stats",
+    "build_postings",
+    "bm25_brute_force",
+    "bm25_term_scores",
+]

@@ -1,0 +1,151 @@
+"""BM25 scoring — brute-force DataFrame oracle.
+
+The reference requests ``"similarity": "bm25"`` with engine defaults
+(reference: modules/mrc_service/search_functions.py:91) and sorts answers
+globally by score desc with stable tie order, truncated to top_k
+(reference: modules/mrc_service/server.py:94-95). We pin Okapi/Lucene BM25:
+
+    idf(t)      = ln(1 + (N - df + 0.5) / (df + 0.5))
+    score(t, d) = idf(t) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl/avgdl))
+
+with k1=1.2, b=0.75 (constants.py). Tie-break is (score desc, doc_id asc),
+matching the reference's stable sort (server.py:94 — Python sorted is
+stable over ascending doc order).
+
+This scorer is the ORACLE for the block-max WAND engine
+(operators/wand.py): to make float64 score equality exact (not approximate)
+it sums per-term contributions in sorted-term order via a deterministic
+array fold rather than a shuffle-order-dependent SUM.
+
+Scale posture: the query side is a handful of terms — always broadcast; the
+per-term contribution join is tf ⋈ df ⋈ doclen; top-k plans as
+TakeOrderedAndProject (no global sort materialization).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..constants import BM25_B, BM25_K1, DEFAULT_TOP_K
+from ..functions.analyzer import analyze
+from .index_build import corpus_stats, doc_lengths, term_frequencies
+
+
+def idf_expr(df_col, n_docs_col):
+    """Lucene-style nonnegative BM25 idf."""
+    df_ = F.col(df_col) if isinstance(df_col, str) else df_col
+    n = F.col(n_docs_col) if isinstance(n_docs_col, str) else n_docs_col
+    return F.log(F.lit(1.0) + (n - df_ + F.lit(0.5)) / (df_ + F.lit(0.5)))
+
+
+def bm25_term_scores(
+    tf: DataFrame,
+    doclen: DataFrame,
+    stats: DataFrame,
+    query_terms: Sequence[str],
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Per-(doc, term) BM25 contributions for the given query terms.
+
+    ``(doc_id, term, contrib double)``. The term filter is an IN-list
+    (pushable to the postings scan); stats is a 1-row broadcast cross join.
+    """
+    qterms = sorted(set(query_terms))
+    dfreq = (
+        tf.filter(F.col("term").isin(qterms))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    hits = tf.filter(F.col("term").isin(qterms))
+    joined = (
+        hits.join(F.broadcast(dfreq), "term")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    tf_d = F.col("tf").cast("double")
+    norm = tf_d + F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("doc_len") / F.col("avgdl"))
+    contrib = idf_expr("df", "n_docs") * tf_d * F.lit(k1 + 1.0) / norm
+    return joined.select("doc_id", "term", contrib.alias("contrib"))
+
+
+def sum_in_term_order(contribs: DataFrame) -> DataFrame:
+    """Fold per-term contributions in sorted-term order -> ``(doc_id, score)``.
+
+    Deterministic float64 summation order (ascending term), so the WAND
+    scorer can match scores exactly by summing in the same order.
+    """
+    return contribs.groupBy("doc_id").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("term", "contrib"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["contrib"],
+        ).alias("score")
+    )
+
+
+def bm25_brute_force(
+    docs: DataFrame,
+    question: str,
+    top_k: int = DEFAULT_TOP_K,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """End-to-end oracle: analyze the question, score every matching doc,
+    return top-k ``(doc_id, score)`` with (score desc, doc_id asc) ties.
+
+    Plans as: scan -> tokenize -> tf agg -> joins -> TakeOrderedAndProject.
+    """
+    qterms = analyze(question)
+    if not qterms:
+        return docs.sparkSession.createDataFrame([], "doc_id long, score double")
+    tf = term_frequencies(docs, id_col, text_col)
+    dl = doc_lengths(docs, id_col, text_col)
+    stats = corpus_stats(dl)
+    contribs = bm25_term_scores(tf, dl, stats, qterms, k1, b)
+    scored = sum_in_term_order(contribs)
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(top_k)
+
+
+def bm25_oracle_sql(
+    question: str,
+    top_k: int = DEFAULT_TOP_K,
+    table: str = "documents",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    round_to: int = 4,
+) -> str:
+    """The SAME query as ANSI SQL for the DuckDB correctness harness."""
+    qterms = sorted(set(analyze(question)))
+    terms_sql = ", ".join(f"'{t}'" for t in qterms)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9가-힣]+')) AS term
+  FROM {table}
+),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS doc_len FROM toks GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*) AS df FROM tf WHERE term IN ({terms_sql}) GROUP BY 1),
+contrib AS (
+  SELECT tf.doc_id,
+         ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * tf.tf * ({k1} + 1)
+           / (tf.tf + {k1} * (1 - {b} + {b} * dl.doc_len / stats.avgdl)) AS c
+  FROM tf
+  JOIN dfreq ON tf.term = dfreq.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  WHERE tf.term IN ({terms_sql})
+)
+SELECT doc_id, round(sum(c), {round_to}) AS score
+FROM contrib
+GROUP BY doc_id
+ORDER BY sum(c) DESC, doc_id ASC
+LIMIT {top_k}
+"""

@@ -1,0 +1,63 @@
+import pytest
+
+from sifter_mrc_search_engine_spark.functions.analyzer import (
+    analyze,
+    rewrite_query,
+    tokenize_expr,
+    valid_parentheses,
+    eliminate_final_postposition,
+)
+
+
+def test_analyze_basic():
+    assert analyze("Spark FAST query") == ["spark", "fast", "query"]
+    assert analyze("한국어 텍스트 test123 x") == ["한국어", "텍스트", "test123", "x"]
+    assert analyze("!!! ...") == []
+    assert analyze(None) == []
+
+
+def test_rewrite_query_space_join():
+    # search_functions.py:76-80 — analyzed terms rejoined with spaces
+    assert rewrite_query("The Fast! Query?") == "the fast query"
+
+
+def test_tokenize_expr_matches_python(spark):
+    """JVM regexp_extract_all tokenization must equal the Python analyzer
+    (the rank-identity contract depends on index/query self-consistency)."""
+    samples = [
+        "the fast key order sort",
+        "Spark  FAST   query!!",
+        "한국어 텍스트 123abc",
+        "",
+        "...",
+    ]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(samples)], "i int, text string")
+    got = {r["i"]: r["toks"] for r in df.select("i", tokenize_expr("text").alias("toks")).collect()}
+    for i, s in enumerate(samples):
+        assert got[i] == analyze(s), s
+
+
+# Cases shaped like the reference's vaild_parentheses tests
+# (search_functions.py:24-44)
+@pytest.mark.parametrize(
+    "s,ok",
+    [
+        ("(a[b]{c})", True),
+        ("(a[b)]", False),
+        ("", True),
+        ("((", False),
+        ("x)", False),
+        ("{[()]}", True),
+    ],
+)
+def test_valid_parentheses(s, ok):
+    assert valid_parentheses(s) is ok
+
+
+def test_eliminate_final_postposition_with_tags():
+    # simulated MeCab tags: strip trailing josa '는' (JX)
+    assert eliminate_final_postposition("사과는", [("사과", "NNG"), ("는", "JX")]) == "사과"
+    # SSC closer at the tail of a balanced sentence → break before stripping
+    assert eliminate_final_postposition("(사과)", [("(", "SSO"), (")", "SSC")]) == "(사과)"
+    # no tags → unchanged
+    assert eliminate_final_postposition("사과는") == "사과는"
