@@ -1,0 +1,109 @@
+"""Headline benchmark (driver contract).
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "index_docs_per_sec": ...}
+
+Workloads:
+  * bm25_topk_*        — brute-force DataFrame BM25 over the sf documents
+  * index_build_docs   — uncompressed postings over sf documents
+  * index_build_pages  — compressed (varbyte+blockmax) index over a
+                         synthesized Common-Crawl-style corpus (the real
+                         engine workload; docs count scales with sf)
+  * wand_batch         — distributed batch of 24 WAND queries over the
+                         just-built index
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from sifter_mrc_search_engine_spark.session import get_spark
+from sifter_mrc_search_engine_spark.operators import bm25, index_build
+from sifter_mrc_search_engine_spark.plans.checkpoint import build_index_resumable
+from sifter_mrc_search_engine_spark.plans.query import IndexSearcher
+from sifter_mrc_search_engine_spark.sources.pages import VOCAB, synthesize_pages
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# pages-corpus size: sf0.1 -> 120k docs (~3.4M tokens); scales linearly
+_SF = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else 0.1
+PAGES_DOCS = int(os.environ.get("SPARK_GRAFT_PAGES_DOCS", str(int(1_200_000 * _SF))))
+
+BATCH_QUERIES = [
+    VOCAB[0],
+    f"{VOCAB[0]} {VOCAB[1]}",
+    f"{VOCAB[2]} {VOCAB[30]} {VOCAB[300]}",
+    f"{VOCAB[5]} {VOCAB[50]} {VOCAB[500]} {VOCAB[1500]}",
+] * 6
+
+
+def main() -> None:
+    spark = get_spark("sifter-bench", master=f"local[{CPUS}]", shuffle_partitions=2 * CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    timings: dict[str, float] = {}
+    t_all = time.monotonic()
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+    def timed(name, fn):
+        t0 = time.monotonic()
+        out = fn()
+        timings[name] = round(time.monotonic() - t0, 3)
+        return out
+
+    timed("bm25_topk_flagship", lambda: bm25.bm25_brute_force(docs, "the fast query", 10).collect())
+    timed("bm25_topk_multi", lambda: bm25.bm25_brute_force(docs, "spark join merge table", 10).collect())
+    timed("index_build_docs", lambda: index_build.build_postings(docs).count())
+
+    # engine workload: compressed index over synthesized pages. The corpus
+    # is materialized to parquet FIRST (synthesis is not the engine under
+    # test; a real corpus is a table on disk).
+    corpus_dir = tempfile.mkdtemp(prefix="sifter_bench_corpus_")
+    idx_dir = tempfile.mkdtemp(prefix="sifter_bench_idx_")
+    try:
+        synthesize_pages(spark, PAGES_DOCS, partitions=max(2 * CPUS, 8)).selectExpr(
+            "cast(split(url, '/')[4] as long) as doc_id", "text"
+        ).write.mode("overwrite").parquet(corpus_dir)
+        pages = spark.read.parquet(corpus_dir)
+        t0 = time.monotonic()
+        build_index_resumable(pages, idx_dir, buckets=64)
+        build_s = time.monotonic() - t0
+        timings["index_build_pages"] = round(build_s, 3)
+        docs_per_sec = PAGES_DOCS / build_s
+
+        searcher = IndexSearcher(spark, idx_dir, buckets=64)
+        timed("wand_batch", lambda: searcher.search_many(BATCH_QUERIES, 10).collect())
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        shutil.rmtree(corpus_dir, ignore_errors=True)
+
+    total = round(time.monotonic() - t_all, 3)
+    print(
+        json.dumps(
+            {
+                "metric": "bm25_engine_suite_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _SF,
+                "pages_docs": PAGES_DOCS,
+                "index_docs_per_sec": round(docs_per_sec, 1),
+                "cpus": CPUS,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,184 @@
+"""Compressed inverted-index build: tf+impact -> salted encode -> bucketed table.
+
+Pipeline (SURVEY.md §7 steps 5-6):
+
+  docs ──(one scan)──▶ (doc_id, term, tf, doc_len)   [shuffle 1: (term,doc_id)]
+       ──▶ + df / idf / exact BM25 impact per posting
+       ──▶ groupBy(term, segment).applyInPandas(encode)  [shuffle 2: term]
+       ──▶ (term, bucket, segment, df, n, max_impact, gaps, tfs, skips, blockmax)
+
+Skew defense: terms whose df exceeds SALT_THRESHOLD are split into
+SALT_FANOUT doc-id RANGE segments (ranges are disjoint and ordered, so the
+segments of a term concatenate back into one sorted posting list — no
+re-encode at merge). Everything else is segment 0. The hot-term set is a
+tiny driver-collected broadcast (Zipf head is small by definition).
+
+Scale notes (100 TB): the doc_len is carried from the tokenize scan
+(``size(tokens)`` per row) so no doc_id-keyed shuffle is ever needed; df
+for non-hot terms is computed inside the encoder group (group size == df);
+only the Zipf head needs the pre-computed df broadcast. Block-max impact
+bounds are exact at build time because avgdl/N are fixed by the corpus
+stats job that precedes encoding (two passes over the tf aggregate, one
+over the raw corpus).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..constants import BLOCK_SIZE, BM25_B, BM25_K1, SALT_FANOUT, SALT_THRESHOLD, TERM_BUCKETS
+from .index_build import term_bucket_expr
+from .postings_codec import encode_postings
+from ..functions.analyzer import tokenize_expr
+
+INDEX_SCHEMA = StructType(
+    [
+        StructField("term", StringType(), False),
+        StructField("bucket", IntegerType(), False),
+        StructField("segment", IntegerType(), False),
+        StructField("df", LongType(), False),
+        StructField("n", LongType(), False),
+        StructField("block_size", IntegerType(), False),
+        StructField("min_doc", LongType(), False),
+        StructField("max_doc", LongType(), False),
+        StructField("max_impact", DoubleType(), False),
+        StructField("gaps", BinaryType(), False),
+        StructField("tfs", BinaryType(), False),
+        StructField("skips", BinaryType(), False),
+        StructField("blockmax", BinaryType(), False),
+    ]
+)
+
+
+def tf_doclen(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """``(term, doc_id, tf, doc_len)`` in ONE scan + ONE shuffle.
+
+    doc_len rides along from the tokenize expression instead of a separate
+    doc_id-keyed join — at scale this removes the single biggest shuffle.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokenize_expr(text_col)).alias("term"),
+        F.size(tokenize_expr(text_col)).cast("long").alias("doc_len"),
+    )
+    return toks.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("doc_len").alias("doc_len")
+    )
+
+
+def build_compressed_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = TERM_BUCKETS,
+    salt_threshold: int = SALT_THRESHOLD,
+    salt_fanout: int = SALT_FANOUT,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    block_size: int = BLOCK_SIZE,
+) -> DataFrame:
+    """Return the compressed index DataFrame (INDEX_SCHEMA)."""
+    spark = docs.sparkSession
+    tf = tf_doclen(docs, id_col, text_col)
+
+    # corpus stats: N docs + avgdl (scan-only plan, tiny collect)
+    stats_row = (
+        docs.select(F.size(tokenize_expr(text_col)).cast("long").alias("dl"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
+        .collect()[0]
+    )
+    n_docs, avgdl = int(stats_row["n_docs"]), float(stats_row["avgdl"])
+
+    # Zipf head: df for hot terms only (driver-size set by construction)
+    hot = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"), F.max("doc_id").alias("max_doc"))
+        .filter(F.col("df") > salt_threshold)
+        .collect()
+    )
+    hot_df = {r["term"]: int(r["df"]) for r in hot}
+    max_doc_global = max((int(r["max_doc"]) for r in hot), default=0)
+    seg_range = max(1, (max_doc_global + 1 + salt_fanout - 1) // salt_fanout)
+    bc_hot = spark.sparkContext.broadcast(hot_df)
+
+    if hot_df:
+        hot_col = F.col("term").isin(list(hot_df))
+        seg = F.when(hot_col, (F.col("doc_id") / F.lit(seg_range)).cast("int")).otherwise(0)
+    else:
+        seg = F.lit(0)
+    tf_seg = tf.withColumn("segment", seg)
+
+    def encode_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        term, segment = key
+        pdf = pdf.sort_values("doc_id")
+        doc_ids = pdf["doc_id"].to_numpy(np.int64)
+        tfs = pdf["tf"].to_numpy(np.int64)
+        dls = pdf["doc_len"].to_numpy(np.float64)
+        df_total = bc_hot.value.get(term, len(doc_ids))
+        idf = np.log(1.0 + (n_docs - df_total + 0.5) / (df_total + 0.5))
+        tf_f = tfs.astype(np.float64)
+        impacts = idf * tf_f * (k1 + 1.0) / (tf_f + k1 * ((1.0 - b) + (b * dls) / avgdl))
+        enc = encode_postings(doc_ids, tfs, impacts, block_size)
+        return pd.DataFrame(
+            [
+                {
+                    "term": term,
+                    "bucket": 0,  # filled by expression below (needs JVM hash)
+                    "segment": int(segment),
+                    "df": int(df_total),
+                    "n": int(enc["n"]),
+                    "block_size": int(block_size),
+                    "min_doc": int(doc_ids[0]),
+                    "max_doc": int(doc_ids[-1]),
+                    "max_impact": float(enc["max_impact"]),
+                    "gaps": enc["gaps"],
+                    "tfs": enc["tfs"],
+                    "skips": enc["skips"],
+                    "blockmax": enc["blockmax"],
+                }
+            ]
+        )
+
+    encoded = tf_seg.groupBy("term", "segment").applyInPandas(encode_group, INDEX_SCHEMA)
+    # bucket assignment as a JVM expression (same hash at query time)
+    return encoded.withColumn("bucket", term_bucket_expr("term", buckets))
+
+
+def write_index(index_df: DataFrame, path: str) -> None:
+    """Persist partitioned by bucket — query-time term lookups prune to the
+    buckets of the query's terms (partition pruning on the filter)."""
+    index_df.write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+
+def read_index(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def write_doclens(docs: DataFrame, path: str, id_col="doc_id", text_col="text") -> dict:
+    """Sidecar norms table ``(doc_id, doc_len)`` + corpus stats.
+
+    At 10^12-doc scale this is range-partitioned by doc_id and memory-mapped
+    per executor (Lucene-norms style); here one parquet dir. Returns stats.
+    """
+    dl = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokenize_expr(text_col)).cast("long").alias("doc_len"),
+    )
+    dl.write.mode("overwrite").parquet(path)
+    spark = docs.sparkSession
+    row = spark.read.parquet(path).agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("doc_len").alias("avgdl")
+    ).collect()[0]
+    return {"n_docs": int(row["n_docs"]), "avgdl": float(row["avgdl"])}

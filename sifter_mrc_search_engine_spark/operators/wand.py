@@ -1,0 +1,224 @@
+"""Block-max WAND top-k over the compressed index.
+
+Query lifecycle (SURVEY.md §3.1 Spark mapping): analyze question ->
+partition-pruned index scan (bucket IN query buckets AND term IN terms) ->
+WAND kernel -> top-k (score desc, doc_id asc), exactly reproducing the
+brute-force oracle's scores (same float64 expression shapes, same
+ascending-term summation order — operators/bm25.py pins both).
+
+The kernel is document-at-a-time WAND with block-max refinement:
+  * term cursors ordered by current doc_id
+  * pivot = first cursor where the prefix sum of GLOBAL max impacts
+    reaches the top-k threshold θ; docs below the pivot doc cannot beat θ
+  * at the pivot, the tighter per-BLOCK max sum is checked; if it still
+    can't beat θ the kernel jumps past the smallest current block boundary
+    (skip pointers give direct block access, skipped blocks are never
+    decoded) without scoring
+  * pruning uses strict < so score ties are never dropped (tie-break is
+    doc_id asc, matching the reference's stable sort, server.py:94)
+
+Salted segments (disjoint doc-id ranges per term) are separate cursors of
+the same term; a doc appears in exactly one segment so scoring is unchanged.
+
+Distribution: one query's postings are a handful of rows — the kernel runs
+driver-side per query (the reference serves queries from one process too,
+server.py:198-236). Query BATCHES distribute via plans/query.py: queries ⋈
+index rows grouped per query_id, kernel inside applyInPandas.
+"""
+
+from __future__ import annotations
+
+import heapq
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+from ..constants import BLOCK_SIZE, BM25_B, BM25_K1, DEFAULT_TOP_K
+from .postings_codec import decode_blockmax, decode_skips, varbyte_decode
+
+
+class _Cursor:
+    """Lazy block-decoding cursor over one encoded posting segment."""
+
+    __slots__ = (
+        "term", "idf", "max_impact", "gaps", "tfs", "skips", "blockmax",
+        "n", "block", "n_blocks", "block_size", "ids", "tf", "i", "exhausted",
+    )
+
+    def __init__(self, row, idf: float):
+        self.term = row["term"]
+        self.idf = idf
+        self.max_impact = float(row["max_impact"])
+        self.gaps = bytes(row["gaps"])
+        self.tfs = bytes(row["tfs"])
+        self.skips = decode_skips(bytes(row["skips"]))
+        self.blockmax = decode_blockmax(bytes(row["blockmax"]))
+        self.n = int(row["n"])
+        try:
+            self.block_size = int(row["block_size"])
+        except (KeyError, IndexError, ValueError):
+            self.block_size = BLOCK_SIZE
+        self.n_blocks = self.skips.shape[0]
+        self.exhausted = False
+        self._load_block(0)
+
+    def _load_block(self, b: int) -> None:
+        if b >= self.n_blocks:
+            self.exhausted = True
+            return
+        lo = b * self.block_size
+        cnt = min(self.block_size, self.n - lo)
+        g = varbyte_decode(self.gaps, offset=int(self.skips[b, 1]), count=cnt).astype(np.int64)
+        t = varbyte_decode(self.tfs, offset=int(self.skips[b, 2]), count=cnt).astype(np.int64)
+        g[0] -= 1
+        self.ids = np.cumsum(g)
+        self.tf = t
+        self.block = b
+        self.i = 0
+
+    @property
+    def doc(self) -> int:
+        return int(self.ids[self.i])
+
+    @property
+    def cur_tf(self) -> int:
+        return int(self.tf[self.i])
+
+    def block_max_at(self, target: int) -> Tuple[float, int]:
+        """(block-max impact, block last doc) of the block containing the
+        first doc >= target — reads only skip/blockmax metadata."""
+        b = self.block
+        if self.skips[b, 0] < target:
+            b = int(np.searchsorted(self.skips[:, 0], target, side="left"))
+            if b >= self.n_blocks:
+                return 0.0, 2**62
+        return float(self.blockmax[b]), int(self.skips[b, 0])
+
+    def next_doc(self) -> None:
+        self.i += 1
+        if self.i >= self.ids.size:
+            self._load_block(self.block + 1)
+
+    def seek(self, target: int) -> None:
+        """Advance to first doc >= target; skipped blocks are not decoded."""
+        while not self.exhausted:
+            if self.skips[self.block, 0] < target:
+                b = int(np.searchsorted(self.skips[:, 0], target, side="left"))
+                if b >= self.n_blocks:
+                    self.exhausted = True
+                    return
+                self._load_block(b)
+            j = int(np.searchsorted(self.ids, target, side="left"))
+            if j < self.ids.size:
+                self.i = j
+                return
+            self._load_block(self.block + 1)
+
+
+def _score_doc(cursors: List[_Cursor], doc: int, dl: float, avgdl: float,
+               k1: float, b: float) -> float:
+    """Sum matching-term contributions in ASCENDING TERM order (float64
+    order pinned to the oracle's array_sort fold, bm25.py)."""
+    parts: List[Tuple[str, float]] = []
+    for c in cursors:
+        if not c.exhausted and c.doc == doc:
+            tf = float(c.cur_tf)
+            contrib = c.idf * tf * (k1 + 1.0) / (tf + k1 * ((1.0 - b) + (b * dl) / avgdl))
+            parts.append((c.term, contrib))
+    score = 0.0
+    for _, v in sorted(parts, key=lambda p: p[0]):
+        score += v
+    return score
+
+
+def wand_topk(
+    index_rows: Sequence[dict],
+    query_terms: Sequence[str],
+    doclen,
+    n_docs: int,
+    avgdl: float,
+    top_k: int = DEFAULT_TOP_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    use_blockmax: bool = True,
+) -> List[Tuple[int, float]]:
+    """Top-k (doc_id, score) for one query over encoded index rows.
+
+    ``index_rows``: the (term, segment) rows matching the query's terms
+    (dict-like with INDEX_SCHEMA fields). ``doclen``: doc_id -> doc length
+    (dict or dense numpy array indexed by doc_id).
+    """
+    qset = set(query_terms)
+    rows = [r for r in index_rows if r["term"] in qset]
+    if not rows:
+        return []
+
+    cursors = []
+    for r in rows:
+        df = int(r["df"])
+        idf = float(np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)))
+        cursors.append(_Cursor(r, idf))
+
+    heap: List[Tuple[float, int]] = []  # (score, -doc_id) min-heap, size k
+
+    def threshold() -> float:
+        return heap[0][0] if len(heap) >= top_k else -1.0
+
+    def offer(doc: int, score: float) -> None:
+        item = (score, -doc)
+        if len(heap) < top_k:
+            heapq.heappush(heap, item)
+        elif item > heap[0]:
+            heapq.heapreplace(heap, item)
+
+    live = [c for c in cursors if not c.exhausted]
+    while live:
+        live.sort(key=lambda c: c.doc)
+        theta = threshold()
+        acc = 0.0
+        pivot = -1
+        for i, c in enumerate(live):
+            acc += c.max_impact
+            if theta < 0.0 or acc >= theta:
+                pivot = i
+                break
+        if pivot < 0:
+            break  # sum of ALL upper bounds can't reach θ — done
+        pivot_doc = live[pivot].doc
+
+        if live[0].doc == pivot_doc:
+            # prefix = every cursor at or before the pivot doc, INCLUDING
+            # cursors tied at pivot_doc beyond the pivot index — their
+            # contribution is part of pivot_doc's true score, so the
+            # block-max bound must count them or the jump may skip a hit
+            end = pivot + 1
+            while end < len(live) and live[end].doc == pivot_doc:
+                end += 1
+            prefix = live[:end]
+            if use_blockmax and theta >= 0.0:
+                # tighter per-block bound, metadata only (no decode)
+                infos = [c.block_max_at(pivot_doc) for c in prefix]
+                bsum = sum(bm for bm, _ in infos)
+                if bsum < theta:
+                    boundary = min(last for _, last in infos)
+                    target = boundary + 1
+                    if end < len(live):
+                        target = min(target, live[end].doc)
+                    target = max(target, pivot_doc + 1)
+                    for c in prefix:
+                        c.seek(target)
+                    live = [c for c in live if not c.exhausted]
+                    continue
+            dl = float(doclen[pivot_doc])
+            offer(pivot_doc, _score_doc(live, pivot_doc, dl, avgdl, k1, b))
+            for c in live:
+                if not c.exhausted and c.doc == pivot_doc:
+                    c.next_doc()
+            live = [c for c in live if not c.exhausted]
+        else:
+            for c in live[:pivot]:
+                c.seek(pivot_doc)
+            live = [c for c in live if not c.exhausted]
+
+    out = sorted(heap, key=lambda it: (-it[0], -it[1]))
+    return [(-nd, s) for s, nd in out]

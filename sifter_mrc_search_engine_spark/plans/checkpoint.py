@@ -1,0 +1,165 @@
+"""Resumable index build: per-partition checkpoints with lineage + metrics.
+
+Semantics from the reference's check-then-skip pickle checkpoints
+(reference: modules/lm_post_training/extractor.py:171-177, :208-244 and
+train.py:100-129): existence of a completed artifact short-circuits
+recomputation. Here the artifact unit is a TERM BUCKET (the index's
+partition key); the manifest is an append-only JSONL where each line
+carries the north-rule lineage fields:
+
+    {bucket, input_fingerprint, terms, postings, docs_per_sec, wall_ms,
+     completed_utc_ms}
+
+Resume = read manifest -> anti-set of completed buckets -> ONE Spark job
+over the missing buckets only (dynamic partition overwrite keeps completed
+bucket directories untouched). A manifest line is appended only after the
+job that wrote its bucket has finished — a kill mid-job leaves no line, so
+the bucket reruns on resume (writes are idempotent per bucket).
+
+Scale notes: the per-bucket filter prunes the ENCODE + WRITE work; the
+tokenize/tf scan still reads the input (at 100 TB you'd additionally
+checkpoint the tf aggregate as its own table — hook left in
+``persist_tf_path``).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..constants import TERM_BUCKETS
+from ..operators.compressed_index import build_compressed_index, write_doclens
+
+
+def read_manifest(index_dir: str) -> list[dict]:
+    p = Path(index_dir) / "_manifest.jsonl"
+    if not p.exists():
+        return []
+    return [json.loads(line) for line in p.read_text().splitlines() if line.strip()]
+
+
+def _append_manifest(index_dir: str, rows: Sequence[dict]) -> None:
+    p = Path(index_dir) / "_manifest.jsonl"
+    p.parent.mkdir(parents=True, exist_ok=True)
+    with p.open("a") as f:
+        for r in rows:
+            f.write(json.dumps(r, sort_keys=True) + "\n")
+
+
+def input_fingerprint(docs: DataFrame, id_col: str = "doc_id") -> str:
+    """Cheap deterministic corpus identity: (count, sum, min, max) of ids."""
+    r = docs.agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum(id_col).alias("s"),
+        F.min(id_col).alias("mn"),
+        F.max(id_col).alias("mx"),
+    ).collect()[0]
+    return f"n{r['c']}_s{r['s']}_mn{r['mn']}_mx{r['mx']}"
+
+
+def build_index_resumable(
+    docs: DataFrame,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = TERM_BUCKETS,
+    max_buckets_this_run: int | None = None,
+    **index_kwargs,
+) -> dict:
+    """Build (or resume) the compressed index at ``index_dir``.
+
+    ``max_buckets_this_run`` is the fault-injection hook: process only that
+    many missing buckets then stop, simulating a mid-build kill
+    (FIXTURES.md §7). Returns a summary dict.
+    """
+    spark = docs.sparkSession
+    fp = input_fingerprint(docs, id_col)
+
+    manifest = read_manifest(index_dir)
+    stale = [m for m in manifest if m.get("input_fingerprint") not in (None, fp)]
+    if stale:
+        raise ValueError(
+            f"manifest at {index_dir} was built from different input "
+            f"({stale[0]['input_fingerprint']} != {fp}); refusing to mix"
+        )
+    done = {m["bucket"] for m in manifest if "bucket" in m}
+    have_doclens = any(m.get("kind") == "doclens" for m in manifest)
+
+    t0 = time.monotonic()
+    n_docs = docs.count()
+
+    if not have_doclens:
+        stats = write_doclens(docs, f"{index_dir}/doclens", id_col, text_col)
+        (Path(index_dir) / "stats.json").write_text(json.dumps(stats))
+        _append_manifest(
+            index_dir,
+            [
+                {
+                    "kind": "doclens",
+                    "input_fingerprint": fp,
+                    "n_docs": stats["n_docs"],
+                    "avgdl": stats["avgdl"],
+                    "wall_ms": int((time.monotonic() - t0) * 1000),
+                    "completed_utc_ms": int(time.time() * 1000),
+                }
+            ],
+        )
+
+    missing = [b for b in range(buckets) if b not in done]
+    if max_buckets_this_run is not None:
+        missing = missing[:max_buckets_this_run]
+    if not missing:
+        return {"resumed": True, "built_buckets": [], "skipped": len(done)}
+
+    t1 = time.monotonic()
+    idx = build_compressed_index(docs, id_col, text_col, buckets=buckets, **index_kwargs)
+    (
+        idx.filter(F.col("bucket").isin(missing))
+        .repartition("bucket")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(f"{index_dir}/postings")
+    )
+    wall_ms = int((time.monotonic() - t1) * 1000)
+
+    # per-bucket lineage metrics from the landed files (cheap metadata scan)
+    per_bucket = {
+        r["bucket"]: r
+        for r in spark.read.parquet(f"{index_dir}/postings")
+        .filter(F.col("bucket").isin(missing))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("terms"), F.sum("n").alias("postings"))
+        .collect()
+    }
+    share = max(len(missing), 1)
+    now = int(time.time() * 1000)
+    docs_per_sec = n_docs / max(wall_ms / 1000.0, 1e-9)
+    _append_manifest(
+        index_dir,
+        [
+            {
+                "bucket": b,
+                "input_fingerprint": fp,
+                "terms": int(per_bucket[b]["terms"]) if b in per_bucket else 0,
+                "postings": int(per_bucket[b]["postings"]) if b in per_bucket else 0,
+                "wall_ms": wall_ms // share,
+                "docs_per_sec": round(docs_per_sec / share, 3),
+                "completed_utc_ms": now,
+            }
+            for b in missing
+        ],
+    )
+    return {
+        "resumed": bool(done),
+        "built_buckets": missing,
+        "skipped": len(done),
+        "wall_ms": wall_ms,
+        "docs_per_sec": docs_per_sec,
+        "n_docs": n_docs,
+    }

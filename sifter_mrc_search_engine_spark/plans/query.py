@@ -1,0 +1,145 @@
+"""Query lifecycle over a persisted index (SURVEY.md §3.1 Spark mapping).
+
+analyze(question) -> bucket-pruned postings scan -> WAND kernel -> top-k.
+
+The postings scan filters on BOTH the partition column ``bucket`` (parquet
+partition pruning: only the query terms' bucket directories are listed) and
+``term`` (row-group pruning via parquet min/max stats). A query touches a
+handful of files regardless of index size — this is what makes the design
+hold at 10^12 docs.
+
+Doc lengths: loaded once per (process, index) into dense numpy arrays and
+cached — the Lucene-norms analogue. At true 10^12 scale the norms sidecar
+would be range-partitioned and memory-mapped per executor; the access
+pattern (random lookups by doc_id during scoring) is identical.
+
+Batch scoring (``search_many``) distributes queries across executors: each
+query's postings rows are joined to it and the WAND kernel runs inside
+``applyInPandas`` per query group.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from ..constants import DEFAULT_TOP_K, MAX_TOP_K, TERM_BUCKETS
+from ..functions.analyzer import analyze
+from ..operators.index_build import term_bucket_expr
+from ..operators.wand import wand_topk
+
+_DOCLEN_CACHE: dict[str, tuple] = {}
+
+
+def _load_norms(spark: SparkSession, index_dir: str):
+    """(doclen ndarray indexed by doc_id, n_docs, avgdl), cached."""
+    if index_dir in _DOCLEN_CACHE:
+        return _DOCLEN_CACHE[index_dir]
+    stats = json.loads((Path(index_dir) / "stats.json").read_text())
+    rows = spark.read.parquet(f"{index_dir}/doclens").collect()
+    max_id = max(r["doc_id"] for r in rows)
+    dl = np.zeros(max_id + 1, dtype=np.int64)
+    for r in rows:
+        dl[r["doc_id"]] = r["doc_len"]
+    out = (dl, int(stats["n_docs"]), float(stats["avgdl"]))
+    _DOCLEN_CACHE[index_dir] = out
+    return out
+
+
+class IndexSearcher:
+    """Serve BM25 top-k queries from a built index directory."""
+
+    def __init__(self, spark: SparkSession, index_dir: str, buckets: int = TERM_BUCKETS):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.buckets = buckets
+        self.postings = spark.read.parquet(f"{index_dir}/postings")
+        self.doclen, self.n_docs, self.avgdl = _load_norms(spark, index_dir)
+
+    def candidate_rows(self, terms: Sequence[str]) -> list:
+        """Partition-pruned postings fetch for a term set."""
+        if not terms:
+            return []
+        tdf = self.spark.createDataFrame([(t,) for t in set(terms)], "term string")
+        buckets = [
+            r["b"] for r in tdf.select(term_bucket_expr("term", self.buckets).alias("b")).distinct().collect()
+        ]
+        return (
+            self.postings.filter(F.col("bucket").isin(buckets))
+            .filter(F.col("term").isin(list(set(terms))))
+            .collect()
+        )
+
+    def search(self, question: str, top_k: int = DEFAULT_TOP_K) -> list[tuple[int, float]]:
+        """The reference's GET /inference contract (server.py:62-75):
+        top_k clamped to [1, MAX_TOP_K]; returns [(doc_id, score)] sorted
+        (score desc, doc_id asc)."""
+        top_k = max(1, min(int(top_k), MAX_TOP_K))
+        terms = analyze(question)
+        rows = self.candidate_rows(terms)
+        return wand_topk(rows, terms, self.doclen, self.n_docs, self.avgdl, top_k=top_k)
+
+    def search_many(self, questions: Sequence[str], top_k: int = DEFAULT_TOP_K) -> DataFrame:
+        """Distributed batch scoring: one WAND kernel per query group.
+
+        Returns DataFrame (query_id int, rank int, doc_id long, score
+        double). Postings rows for ALL queries' terms are fetched with one
+        pruned scan, joined to query ids, and grouped; norms ship as a
+        broadcast (range-partitioned at real scale).
+        """
+        top_k = max(1, min(int(top_k), MAX_TOP_K))
+        q_terms = {i: analyze(q) for i, q in enumerate(questions)}
+        pairs = [(i, t) for i, ts in q_terms.items() for t in ts]
+        if not pairs:
+            return self.spark.createDataFrame(
+                [], "query_id int, rank int, doc_id long, score double"
+            )
+        qdf = self.spark.createDataFrame(pairs, "query_id int, term string")
+        buckets = [
+            r["b"] for r in qdf.select(term_bucket_expr("term", self.buckets).alias("b")).distinct().collect()
+        ]
+        cand = self.postings.filter(F.col("bucket").isin(buckets)).join(
+            F.broadcast(qdf), "term"
+        )
+        bc = self.spark.sparkContext.broadcast(
+            (self.doclen, self.n_docs, self.avgdl, dict(q_terms))
+        )
+        k = top_k
+
+        out_schema = StructType(
+            [
+                StructField("query_id", IntegerType(), False),
+                StructField("rank", IntegerType(), False),
+                StructField("doc_id", LongType(), False),
+                StructField("score", DoubleType(), False),
+            ]
+        )
+
+        def score_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            qid = int(key[0])
+            doclen, n_docs, avgdl, terms_map = bc.value
+            rows = pdf.drop_duplicates(subset=["term", "segment"]).to_dict("records")
+            hits = wand_topk(rows, terms_map[qid], doclen, n_docs, avgdl, top_k=k)
+            return pd.DataFrame(
+                {
+                    "query_id": qid,
+                    "rank": range(1, len(hits) + 1),
+                    "doc_id": [d for d, _ in hits],
+                    "score": [s for _, s in hits],
+                }
+            )
+
+        return cand.groupBy("query_id").applyInPandas(score_group, out_schema)

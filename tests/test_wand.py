@@ -1,0 +1,97 @@
+"""Rank-identity: block-max WAND over the compressed index must reproduce
+the brute-force DataFrame oracle EXACTLY — same doc_ids, bit-equal float64
+scores (FIXTURES.md §4: tolerance 0, same summation order)."""
+
+import numpy as np
+import pytest
+
+from sifter_mrc_search_engine_spark.operators.bm25 import bm25_brute_force
+from sifter_mrc_search_engine_spark.operators.compressed_index import (
+    build_compressed_index,
+)
+from sifter_mrc_search_engine_spark.operators.index_build import (
+    corpus_stats,
+    doc_lengths,
+)
+from sifter_mrc_search_engine_spark.operators.wand import wand_topk
+from sifter_mrc_search_engine_spark.sources.pages import VOCAB, synthesize_pages
+
+# head / mid / tail Zipf ranks + absent terms + multi-term (FIXTURES.md §4)
+QUERIES = (
+    [VOCAB[0], VOCAB[1], f"{VOCAB[0]} {VOCAB[1]} {VOCAB[5]}"]
+    + [VOCAB[50], VOCAB[500], VOCAB[1999], "zzznotaterm"]
+    + [f"{VOCAB[0]} {VOCAB[200]}", f"{VOCAB[3]} {VOCAB[30]} {VOCAB[300]} {VOCAB[1500]}"]
+    + [f"{VOCAB[0]} zzznotaterm", f"{VOCAB[10]} {VOCAB[11]} {VOCAB[12]}"]
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    docs = (
+        synthesize_pages(spark, 2000, partitions=8)
+        .selectExpr("cast(split(url, '/')[4] as long) as doc_id", "text")
+        .cache()
+    )
+    docs.count()
+    # low salt threshold + tiny blocks force segmentation AND multi-block
+    index = build_compressed_index(docs, salt_threshold=300, salt_fanout=4, block_size=32).collect()
+    dl_rows = doc_lengths(docs).collect()
+    doclen = np.zeros(2000, dtype=np.int64)
+    for r in dl_rows:
+        doclen[r["doc_id"]] = r["doc_len"]
+    stats = corpus_stats(doc_lengths(docs)).collect()[0]
+    return docs, index, doclen, int(stats["n_docs"]), float(stats["avgdl"])
+
+
+def test_salting_fired(corpus):
+    _, index, _, _, _ = corpus
+    segs = {}
+    for r in index:
+        segs.setdefault(r["term"], set()).add(r["segment"])
+    multi = {t: s for t, s in segs.items() if len(s) > 1}
+    assert multi, "expected at least one salted (multi-segment) hot term"
+    # segments of a term must cover disjoint, ordered doc ranges
+    for t in multi:
+        rows = sorted((r for r in index if r["term"] == t), key=lambda r: r["segment"])
+        for a, b in zip(rows, rows[1:]):
+            assert a["max_doc"] < b["min_doc"]
+
+
+@pytest.mark.parametrize("qi", range(len(QUERIES)))
+def test_wand_rank_identity(corpus, qi):
+    docs, index, doclen, n_docs, avgdl = corpus
+    q = QUERIES[qi]
+    expected = [
+        (r["doc_id"], r["score"]) for r in bm25_brute_force(docs, q, top_k=10).collect()
+    ]
+    from sifter_mrc_search_engine_spark.functions.analyzer import analyze
+
+    got = wand_topk(index, analyze(q), doclen, n_docs, avgdl, top_k=10)
+    assert [d for d, _ in got] == [d for d, _ in expected], q
+    for (gd, gs), (ed, es) in zip(got, expected):
+        # summation order is pinned (ascending term), so the only residual
+        # divergence is the transcendental: JVM Math.log vs libm np.log in
+        # idf can differ by 1 ulp. Allow exactly that, nothing more.
+        assert gs == pytest.approx(es, rel=1e-12, abs=1e-12), (q, gd, gs, es)
+
+
+@pytest.mark.parametrize("k", [1, 5, 10])
+def test_wand_topk_sizes(corpus, k):
+    docs, index, doclen, n_docs, avgdl = corpus
+    from sifter_mrc_search_engine_spark.functions.analyzer import analyze
+
+    q = f"{VOCAB[0]} {VOCAB[7]}"
+    expected = [
+        (r["doc_id"], r["score"]) for r in bm25_brute_force(docs, q, top_k=k).collect()
+    ]
+    got = wand_topk(index, analyze(q), doclen, n_docs, avgdl, top_k=k)
+    assert got == expected
+
+
+def test_blockmax_pruning_equals_exhaustive(corpus):
+    _, index, doclen, n_docs, avgdl = corpus
+    for q in QUERIES[:6]:
+        terms = q.split()
+        a = wand_topk(index, terms, doclen, n_docs, avgdl, use_blockmax=True)
+        b = wand_topk(index, terms, doclen, n_docs, avgdl, use_blockmax=False)
+        assert a == b, q
