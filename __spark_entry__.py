@@ -17,7 +17,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sifter_mrc_search_engine_spark.constants import BM25_B, BM25_K1
+from sifter_mrc_search_engine_spark.functions import text_stats as _ts
 from sifter_mrc_search_engine_spark.operators import bm25, index_build
+from sifter_mrc_search_engine_spark.operators import dedup as _dd
+from sifter_mrc_search_engine_spark.operators import relational as _rel
+from sifter_mrc_search_engine_spark.operators import similarity as _sim
 
 FLAGSHIP_QUESTION = "the fast query"
 TOKEN_RE = "[a-z0-9가-힣]+"
@@ -82,22 +86,93 @@ def _q_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_wand_compressed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full engine path: compressed index (varbyte+blockmax) -> WAND top-k.
+
+    Oracle = the same BM25 SQL as the brute-force scorer — proves the
+    compressed path is rank- and score-identical end to end.
+    """
+    import numpy as np
+
+    from sifter_mrc_search_engine_spark.functions.analyzer import analyze
+    from sifter_mrc_search_engine_spark.operators.compressed_index import (
+        build_compressed_index,
+    )
+    from sifter_mrc_search_engine_spark.operators.index_build import (
+        corpus_stats,
+        doc_lengths,
+    )
+    from sifter_mrc_search_engine_spark.operators.wand import wand_topk
+
+    docs = _docs(spark, sf_dir)
+    index = build_compressed_index(docs).collect()
+    dl_rows = doc_lengths(docs).collect()
+    dl = {r["doc_id"]: r["doc_len"] for r in dl_rows}
+    st = corpus_stats(doc_lengths(docs)).collect()[0]
+    hits = wand_topk(
+        index, analyze(FLAGSHIP_QUESTION), dl, int(st["n_docs"]), float(st["avgdl"]), top_k=10
+    )
+    return spark.createDataFrame(
+        [(d, round(s, 4)) for d, s in hits], "doc_id long, score double"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "bm25_topk_flagship": _q_bm25(FLAGSHIP_QUESTION),
         "bm25_topk_multi": _q_bm25("spark join merge table"),
         "bm25_topk_single": _q_bm25("window", 5),
+        "bm25_topk_wand_compressed": _q_wand_compressed,
         "index_term_frequencies": _q_term_frequencies,
         "index_doc_frequencies": _q_doc_frequencies,
         "index_doc_lengths": _q_doc_lengths,
         "index_corpus_stats": _q_corpus_stats,
         "index_postings_lists": _q_postings,
+        # training-data pipeline: dedup family
+        "dedup_exact": lambda s, d: _dd.dedup_exact(_docs(s, d)),
+        "dedup_shingles": lambda s, d: _dd.shingles(_docs(s, d)),
+        "dedup_minhash_signatures": lambda s, d: _dd.minhash_signatures(_docs(s, d)),
+        "dedup_lsh_candidate_pairs": lambda s, d: _dd.lsh_candidate_pairs(_docs(s, d)),
+        "dedup_ngram_jaccard": lambda s, d: _dd.ngram_jaccard_pairs(_docs(s, d), threshold=0.2),
+        "dedup_simhash": lambda s, d: _dd.simhash(_docs(s, d)),
+        # text analysis
+        "text_token_counts": lambda s, d: _ts.token_counts(_docs(s, d)),
+        "text_quality_scores": lambda s, d: _ts.quality_scores(_docs(s, d)),
+        "text_lang_id": lambda s, d: _ts.lang_id(_docs(s, d)),
+        "text_winnowing_fingerprint": lambda s, d: _ts.winnowing_fingerprint(_docs(s, d)),
+        # similarity search
+        "sim_cosine_topk": lambda s, d: _sim.cosine_topk(
+            s.read.parquet(f"{d}/embeddings.parquet"), 0, k=10
+        ),
+        "sim_ann_lsh_topk": lambda s, d: _sim.ann_topk(
+            s.read.parquet(f"{d}/embeddings.parquet"), 0, k=10, n_planes=4
+        ),
     }
+    q.update(_rel.QUERIES)
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    o = {
         "bm25_topk_flagship": bm25.bm25_oracle_sql(FLAGSHIP_QUESTION, 10),
+        "bm25_topk_wand_compressed": bm25.bm25_oracle_sql(FLAGSHIP_QUESTION, 10),
+        "dedup_exact": _dd.sql_dedup_exact(),
+        "dedup_shingles": _dd.sql_shingles(),
+        "dedup_minhash_signatures": _dd.sql_minhash_signatures(),
+        "dedup_lsh_candidate_pairs": _dd.sql_lsh_candidate_pairs(),
+        "dedup_ngram_jaccard": _dd.sql_ngram_jaccard_pairs(threshold=0.2),
+        "dedup_simhash": _dd.sql_simhash(),
+        "text_token_counts": _ts.sql_token_counts(),
+        "text_quality_scores": _ts.sql_quality_scores(),
+        "text_lang_id": _ts.sql_lang_id(),
+        "text_winnowing_fingerprint": _ts.sql_winnowing_fingerprint(),
+        "sim_cosine_topk": _sim.sql_cosine_topk(0, k=10),
+        # sim_ann_lsh_topk: LSH probing is not SQL-expressible (numpy
+        # hyperplanes) -> rows-only check; exactness of its scores is
+        # pytest-verified against the brute-force scorer
+    }
+    o.update(_rel.ORACLES)
+    o.update({
         "bm25_topk_multi": bm25.bm25_oracle_sql("spark join merge table", 10),
         "bm25_topk_single": bm25.bm25_oracle_sql("window", 5),
         "index_term_frequencies": (
@@ -121,4 +196,5 @@ def oracle_sql() -> dict[str, str]:
             f"(SELECT term, doc_id FROM ({_DUCK_TOKS}) GROUP BY 1, 2) "
             "GROUP BY term"
         ),
-    }
+    })
+    return o

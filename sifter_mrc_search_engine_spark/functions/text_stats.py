@@ -1,0 +1,182 @@
+"""Text-analysis operators: language-ID, quality scoring, token counting,
+document fingerprinting — the per-document statistics a training-data
+pipeline computes at corpus scale.
+
+All pure Catalyst expressions (codegen, no Python), each with a DuckDB-SQL
+twin. The quality heuristics mirror the reference's gates: minimum
+paragraph length (parser_manager.py:43), cleaning-pipeline character
+classes (preprocessor.py:204-207).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.analyzer import tokenize_expr
+
+#: tiny deterministic stopword lists for the lang-id heuristic
+LANG_STOPWORDS = {
+    "en": ["the", "of", "and", "to", "in", "is", "a"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein"],
+    "es": ["el", "la", "de", "que", "y", "los", "es"],
+    "fr": ["le", "la", "les", "et", "des", "est", "une"],
+}
+_LANGS = sorted(LANG_STOPWORDS)  # deterministic tie order
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """``(doc_id, n_tokens, n_ws_tokens)`` — analyzer tokens + raw
+    whitespace splits (the BPE-ish pre-count)."""
+    return docs.select(
+        "doc_id",
+        F.size(tokenize_expr(text_col)).cast("long").alias("n_tokens"),
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long").alias("n_ws_tokens"),
+    )
+
+
+def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc quality features:
+    ``(doc_id, n_chars, n_tokens, mean_token_len, alnum_ratio,
+    stopword_ratio, is_quality)``.
+
+    is_quality mirrors the reference's MIN length gate (>=10 chars,
+    parser_manager.py:43) plus alnum/stopword sanity bounds.
+    """
+    t = F.col(text_col)
+    toks = tokenize_expr(text_col)
+    n_chars = F.length(t)
+    n_toks = F.size(toks)
+    alnum = F.length(F.regexp_replace(t, "[^a-zA-Z0-9가-힣]", ""))
+    sw = LANG_STOPWORDS["en"]
+    sw_hits = F.size(F.filter(toks, lambda x: x.isin(sw)))
+    mean_tok = F.when(n_toks > 0, F.round(alnum / n_toks, 6)).otherwise(F.lit(0.0))
+    alnum_ratio = F.when(n_chars > 0, F.round(alnum / n_chars, 6)).otherwise(F.lit(0.0))
+    sw_ratio = F.when(n_toks > 0, F.round(sw_hits / n_toks, 6)).otherwise(F.lit(0.0))
+    # gate on the UNROUNDED ratio (the SQL twin does too — rounding first
+    # would flip docs sitting within 5e-7 of the 0.5 boundary)
+    raw_ratio = F.when(n_chars > 0, alnum / n_chars).otherwise(F.lit(0.0))
+    is_q = (n_chars >= 10) & (raw_ratio > 0.5) & (n_toks >= 3)
+    return docs.select(
+        "doc_id",
+        n_chars.cast("long").alias("n_chars"),
+        n_toks.cast("long").alias("n_tokens"),
+        mean_tok.alias("mean_token_len"),
+        alnum_ratio.alias("alnum_ratio"),
+        sw_ratio.alias("stopword_ratio"),
+        is_q.alias("is_quality"),
+    )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """``(doc_id, pred_lang, hits)`` — stopword-hit argmax heuristic with
+    deterministic alphabetical tie-break."""
+    toks = tokenize_expr(text_col)
+    hit_cols = []
+    for lang in _LANGS:
+        sw = LANG_STOPWORDS[lang]
+        hit_cols.append(
+            F.size(F.filter(toks, lambda x: x.isin(sw))).alias(f"hits_{lang}")
+        )
+    with_hits = docs.select("doc_id", *hit_cols)
+    best = F.greatest(*[F.col(f"hits_{l}") for l in _LANGS])
+    pred = None
+    # first lang (alphabetical) reaching the max wins
+    for lang in reversed(_LANGS):
+        cond = F.col(f"hits_{lang}") == best
+        pred = F.when(cond, F.lit(lang)).otherwise(pred) if pred is not None else F.lit(lang)
+    return with_hits.select(
+        "doc_id", pred.alias("pred_lang"), best.cast("long").alias("hits")
+    )
+
+
+def winnowing_fingerprint(
+    docs: DataFrame, k: int = 3, window: int = 4, text_col: str = "text"
+) -> DataFrame:
+    """Winnowing document fingerprint: ``(doc_id, fingerprint array<long>)``.
+
+    k-shingle rolling hashes grouped into fixed windows of ``window``
+    consecutive shingles; the min hash of each window is selected; the
+    fingerprint is the sorted distinct selection. Deterministic via md5.
+    """
+    toks = tokenize_expr(text_col)
+    sh = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    sh = F.when(F.size(toks) >= k, sh).otherwise(F.array().cast("array<string>"))
+    pos = docs.select("doc_id", F.posexplode(sh).alias("pos", "shingle"))
+    h = F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("long")
+    win = (F.col("pos") / window).cast("int")
+    mins = (
+        pos.select("doc_id", win.alias("w"), h.alias("h"))
+        .groupBy("doc_id", "w")
+        .agg(F.min("h").alias("mh"))
+    )
+    return mins.groupBy("doc_id").agg(
+        F.array_sort(F.collect_set("mh")).alias("fingerprint")
+    )
+
+
+# --- SQL twins --------------------------------------------------------------
+
+_TOKS = "regexp_extract_all(lower(text), '[a-z0-9가-힣]+')"
+
+
+def sql_token_counts(table: str = "documents") -> str:
+    return f"""
+SELECT doc_id, len({_TOKS}) AS n_tokens,
+       len(regexp_split_to_array(trim(text), '\\s+')) AS n_ws_tokens
+FROM {table}
+"""
+
+
+def sql_quality_scores(table: str = "documents") -> str:
+    sw = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+    return f"""
+WITH base AS (
+  SELECT doc_id, length(text) AS n_chars, {_TOKS} AS toks,
+         length(regexp_replace(text, '[^a-zA-Z0-9가-힣]', '', 'g')) AS alnum
+  FROM {table}
+)
+SELECT doc_id, n_chars, len(toks) AS n_tokens,
+  CASE WHEN len(toks) > 0 THEN round(alnum / len(toks), 6) ELSE 0.0 END AS mean_token_len,
+  CASE WHEN n_chars > 0 THEN round(alnum / n_chars, 6) ELSE 0.0 END AS alnum_ratio,
+  CASE WHEN len(toks) > 0
+       THEN round(len(list_filter(toks, t -> list_contains([{sw}], t))) / len(toks), 6)
+       ELSE 0.0 END AS stopword_ratio,
+  (n_chars >= 10 AND (CASE WHEN n_chars > 0 THEN alnum / n_chars ELSE 0 END) > 0.5
+   AND len(toks) >= 3) AS is_quality
+FROM base
+"""
+
+
+def sql_lang_id(table: str = "documents") -> str:
+    hit_exprs = ", ".join(
+        "len(list_filter(toks, t -> list_contains(["
+        + ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+        + f"], t))) AS hits_{lang}"
+        for lang in _LANGS
+    )
+    best = "greatest(" + ", ".join(f"hits_{l}" for l in _LANGS) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN hits_{l} = {best} THEN '{l}'" for l in _LANGS
+    ) + " END"
+    return f"""
+WITH h AS (SELECT doc_id, {hit_exprs}
+           FROM (SELECT doc_id, {_TOKS} AS toks FROM {table}))
+SELECT doc_id, {case} AS pred_lang, {best} AS hits FROM h
+"""
+
+
+def sql_winnowing_fingerprint(table: str = "documents", k: int = 3, window: int = 4) -> str:
+    return f"""
+WITH sh AS (
+  SELECT doc_id, i - 1 AS pos,
+         CAST(('0x' || substr(md5(array_to_string(toks[i : i + {k - 1}], ' ')), 1, 15)) AS BIGINT) AS h
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM {table}),
+       LATERAL unnest(range(1, greatest(len(toks) - {k - 1}, 0) + 1)) AS t(i)
+),
+mins AS (SELECT doc_id, pos // {window} AS w, min(h) AS mh FROM sh GROUP BY 1, 2)
+SELECT doc_id, list_sort(list(DISTINCT mh)) AS fingerprint FROM mins GROUP BY doc_id
+"""

@@ -1,0 +1,288 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+The reference deduplicates NSP sentence pairs with an in-memory used-key set
+(reference: modules/lm_post_training/preprocessor.py:59-118); these are the
+corpus-scale equivalents a 100 TB pipeline needs. Every operator is pure
+Catalyst (md5 / array exprs — WholeStageCodegen, no Python), deterministic,
+and has an exact DuckDB-SQL twin for the correctness harness.
+
+Scale notes: exact dedup is one hash-shuffle; MinHash/LSH turns near-dup
+detection into an equi-join on band keys (no O(n^2) pair scan); the
+all-pairs Jaccard operator is for candidate VERIFICATION and small corpora —
+at scale it runs only on LSH candidate pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.analyzer import tokenize_expr
+
+DEFAULT_SHINGLE_K = 3
+DEFAULT_MINHASH_PERMS = 8
+DEFAULT_BANDS = 4  # bands * rows_per_band == perms
+
+
+# --- exact dedup -----------------------------------------------------------
+
+
+def exact_duplicate_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """``(fingerprint, dup_count, keep_doc_id, doc_ids)`` for texts seen >1x.
+
+    fingerprint = md5(text); keeper = min doc_id (stable choice).
+    """
+    return (
+        docs.select(F.col("doc_id"), F.md5(F.col(text_col)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("dup_count"),
+            F.min("doc_id").alias("keep_doc_id"),
+            F.array_sort(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def dedup_exact(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Documents surviving exact dedup: one (min-doc_id) keeper per text."""
+    keep = (
+        docs.select("doc_id", F.md5(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    return keep.select("doc_id")
+
+
+# --- shingles / MinHash / LSH ---------------------------------------------
+
+
+def shingles(docs: DataFrame, k: int = DEFAULT_SHINGLE_K, text_col: str = "text") -> DataFrame:
+    """Distinct k-token shingles per document: ``(doc_id, shingle)``.
+
+    Built with array expressions over the tokenizer output (sequence +
+    slice + concat_ws) — stays in codegen, no explode-then-window.
+    """
+    toks = tokenize_expr(text_col)
+    sh = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    # guard: Spark's sequence(1, n) DESCENDS when n < 1 — short docs must
+    # yield no shingles, not a bogus [1, 0] index walk
+    sh = F.when(F.size(toks) >= k, sh).otherwise(F.array().cast("array<string>"))
+    return docs.select("doc_id", F.explode(sh).alias("shingle")).distinct()
+
+
+def _perm_hash(perm: int, col: str = "shingle"):
+    return F.md5(F.concat_ws("|", F.lit(str(perm)), F.col(col)))
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    perms: int = DEFAULT_MINHASH_PERMS,
+    k: int = DEFAULT_SHINGLE_K,
+    text_col: str = "text",
+) -> DataFrame:
+    """``(doc_id, mh0..mh{perms-1})`` — min over md5(perm || shingle).
+
+    Deterministic 'permutations' via seeded md5; the min is taken over the
+    hex string (lexicographic), identical in any SQL engine.
+    """
+    sh = shingles(docs, k, text_col)
+    aggs = [F.min(_perm_hash(p)).alias(f"mh{p}") for p in range(perms)]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    perms: int = DEFAULT_MINHASH_PERMS,
+    bands: int = DEFAULT_BANDS,
+    k: int = DEFAULT_SHINGLE_K,
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-duplicate candidate pairs ``(doc_a, doc_b)`` via banded MinHash.
+
+    Docs sharing ALL rows of at least one band collide in a bucket; the
+    pair join is an equi-join on (band, bucket_key) — the scale path.
+    """
+    rows = perms // bands
+    sig = minhash_signatures(docs, perms, k, text_col)
+    band_cols = []
+    for b in range(bands):
+        key = F.md5(F.concat_ws("|", *[F.col(f"mh{b * rows + r}") for r in range(rows)]))
+        band_cols.append(F.struct(F.lit(b).alias("band"), key.alias("bkey")))
+    buckets = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+    a = buckets.alias("a")
+    b_ = buckets.alias("b")
+    return (
+        a.join(b_, ["band", "bkey"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    k: int = DEFAULT_SHINGLE_K,
+    text_col: str = "text",
+) -> DataFrame:
+    """All pairs with shingle-set Jaccard >= threshold:
+    ``(doc_a, doc_b, jaccard)``.
+
+    Self-join on shared shingles (docs sharing none never meet). At corpus
+    scale run this only over ``lsh_candidate_pairs`` output.
+    """
+    sh = shingles(docs, k, text_col)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        shared.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sza"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "szb"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("shared") / (F.col("sza") + F.col("szb") - F.col("shared")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# --- SimHash ---------------------------------------------------------------
+
+
+def simhash(docs: DataFrame, bits: int = 16, text_col: str = "text") -> DataFrame:
+    """``(doc_id, simhash)`` — tf-weighted sign sum over md5 token bits.
+
+    For each token t with frequency tf, its 60-bit hash h(t) contributes
+    +tf to bit b if bit b of h(t) is 1 else -tf; simhash bit b = 1 iff the
+    sum > 0. ``bits`` kept modest so the SQL twin stays readable.
+    """
+    toks = docs.select("doc_id", F.explode(tokenize_expr(text_col)).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    h = F.conv(F.substring(F.md5(F.col("term")), 1, 15), 16, 10).cast("long")
+    tf = tf.withColumn("h", h)
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, F.col("tf")).otherwise(-F.col("tf"))
+        ).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    sums = tf.groupBy("doc_id").agg(*bit_sums)
+    sim = None
+    for b in range(bits):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else (sim + term)
+    return sums.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+# --- SQL twins (DuckDB oracle generators) ----------------------------------
+
+_TOKS = "regexp_extract_all(lower(text), '[a-z0-9가-힣]+')"
+
+
+def sql_exact_duplicate_groups(table: str = "documents") -> str:
+    return f"""
+SELECT fingerprint, count(*) AS dup_count, min(doc_id) AS keep_doc_id,
+       list_sort(list(doc_id)) AS doc_ids
+FROM (SELECT doc_id, md5(text) AS fingerprint FROM {table})
+GROUP BY fingerprint HAVING count(*) > 1
+"""
+
+
+def sql_dedup_exact(table: str = "documents") -> str:
+    return f"SELECT min(doc_id) AS doc_id FROM {table} GROUP BY md5(text)"
+
+
+def _sql_shingles(table: str, k: int) -> str:
+    return f"""
+SELECT DISTINCT doc_id, array_to_string(toks[i : i + {k - 1}], ' ') AS shingle
+FROM (SELECT doc_id, {_TOKS} AS toks FROM {table}),
+     LATERAL unnest(range(1, greatest(len(toks) - {k - 1}, 0) + 1)) AS t(i)
+"""
+
+
+def sql_shingles(table: str = "documents", k: int = DEFAULT_SHINGLE_K) -> str:
+    return _sql_shingles(table, k)
+
+
+def sql_minhash_signatures(
+    table: str = "documents", perms: int = DEFAULT_MINHASH_PERMS, k: int = DEFAULT_SHINGLE_K
+) -> str:
+    mins = ", ".join(
+        f"min(md5('{p}' || '|' || shingle)) AS mh{p}" for p in range(perms)
+    )
+    return f"SELECT doc_id, {mins} FROM ({_sql_shingles(table, k)}) GROUP BY doc_id"
+
+
+def sql_lsh_candidate_pairs(
+    table: str = "documents",
+    perms: int = DEFAULT_MINHASH_PERMS,
+    bands: int = DEFAULT_BANDS,
+    k: int = DEFAULT_SHINGLE_K,
+) -> str:
+    rows = perms // bands
+    band_keys = ", ".join(
+        "md5(" + " || '|' || ".join(f"mh{b * rows + r}" for r in range(rows)) + f") AS bkey{b}"
+        for b in range(bands)
+    )
+    unions = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, bkey{b} AS bkey FROM sigs" for b in range(bands)
+    )
+    return f"""
+WITH sigs AS (SELECT doc_id, {band_keys} FROM ({sql_minhash_signatures(table, perms, k)})),
+buckets AS ({unions})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM buckets a JOIN buckets b ON a.band = b.band AND a.bkey = b.bkey
+WHERE a.doc_id < b.doc_id
+"""
+
+
+def sql_ngram_jaccard_pairs(
+    table: str = "documents", threshold: float = 0.5, k: int = DEFAULT_SHINGLE_K
+) -> str:
+    return f"""
+WITH sh AS ({_sql_shingles(table, k)}),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(shared / (sa.sz + sb.sz - shared), 6) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(shared / (sa.sz + sb.sz - shared), 6) >= {threshold}
+"""
+
+
+def sql_simhash(table: str = "documents", bits: int = 16) -> str:
+    sums = ", ".join(
+        f"sum(CASE WHEN (h // {1 << b}) % 2 = 1 THEN tf ELSE -tf END) AS s{b}"
+        for b in range(bits)
+    )
+    sim = " + ".join(f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(bits))
+    return f"""
+WITH tf AS (
+  SELECT doc_id, term, count(*) AS tf,
+         CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT) AS h
+  FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM {table})
+  GROUP BY doc_id, term
+),
+sums AS (SELECT doc_id, {sums} FROM tf GROUP BY doc_id)
+SELECT doc_id, CAST({sim} AS BIGINT) AS simhash FROM sums
+"""

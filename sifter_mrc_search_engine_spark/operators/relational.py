@@ -1,0 +1,264 @@
+"""Relational operator surface — SURVEY.md §2 coverage over the driver's
+TPC-H-ish tables.
+
+Each function is the Spark-first expression of one reference operator
+family (citations inline) and has a DuckDB-SQL twin in ``ORACLES``. These
+are the join/agg/sort/limit/dedup/sampling/window primitives the reference
+implements imperatively in Python; here they are single declarative plans
+Catalyst optimizes (broadcast joins for dims, partial aggs, window
+row_number for per-group top-k, TakeOrderedAndProject for global top-k).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# J1: answer<->document back-join (server.py:90-102): global score sort ->
+# top-k -> enrich by key join against the small dim (broadcast)
+def topk_orders_with_customer(spark, sf_dir) -> DataFrame:
+    orders, cust = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer")
+    top = orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")).limit(10)
+    return (
+        top.join(F.broadcast(cust), top["o_custkey"] == cust["c_custkey"])
+        .select("o_orderkey", "o_totalprice", "c_name")
+    )
+
+
+# J2: example->features multimap (evaluator.py:31-33): group + collect
+def orders_per_customer(spark, sf_dir) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+        F.array_sort(F.collect_list("o_orderkey")).alias("order_keys"),
+    )
+
+
+# J3: NSP positive-pair construction (preprocessor.py:251-307): lead() over
+# (partition, order) — consecutive-sentence analogue on the events stream
+def next_event_pairs(spark, sf_dir) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .filter(F.col("next_type").isNotNull())
+    )
+
+
+# A4: best-answer argmax per example (evaluator.py:64-70): max_by
+def best_order_per_customer(spark, sf_dir) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", F.struct("o_totalprice", "o_orderkey")).alias("best_orderkey"),
+        F.round(F.max("o_totalprice"), 2).alias("best_price"),
+    )
+
+
+# T2: per-group top-k (server.py:207-223): window row_number <= k
+def top3_orders_per_customer(spark, sf_dir) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_custkey", "rank", "o_orderkey", "o_totalprice")
+    )
+
+
+# T5: paging {from, size} (search_functions.py:107-110): rows 11..20
+def orders_page_two(spark, sf_dir) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") > 10) & (F.col("rn") <= 20))
+        .select("rn", "o_orderkey", "o_totalprice")
+    )
+
+
+# A1/A2 + P4: scan counters & means with predicates (extractor.py:193-203,
+# preprocessor_test.py:71-80): TPC-H Q1-shaped pricing summary
+def lineitem_summary(spark, sf_dir) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("long").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# P2/P6: conditional selection on a sibling path / domain filter
+# (extractor.py:119-127, domain_select.py:17-19): multi-table pushdown join
+def revenue_by_nation(spark, sf_dir) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .filter(F.col("o_orderstatus") == "F")
+        .groupBy("n_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+
+
+# D1: used-key dedup (preprocessor.py:59-118): distinct + anti-join
+def customers_without_orders(spark, sf_dir) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust["c_custkey"] == orders["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+# R1/R2: seeded random draws (preprocessor.py:214-249, :274-285): made
+# deterministic via hash-mod "sampling" so the oracle can reproduce it
+def deterministic_sample(spark, sf_dir) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    h = F.conv(F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 15), 16, 10).cast("long")
+    return cust.filter(F.pmod(h, F.lit(10)) == 0).select("c_custkey", "c_name")
+
+
+# P1: path projection over dynamic JSON (extractor.py:106-151):
+# get_json_object on the events props column
+def event_props_extract(spark, sf_dir) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+
+
+# C16 + A3: domain-code extraction (server.py:100) + label distribution
+# count (preprocessor_test.py:113-122)
+def source_prefix_counts(spark, sf_dir) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.substring("source", 1, 4).alias("src_prefix"))
+        .groupBy("src_prefix")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# streaming-shaped: event-time tumbling window aggregation (the batch twin
+# of the Structured Streaming path in streaming/incremental.py)
+def events_daily_window(spark, sf_dir) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 day").alias("w"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total"))
+        .select(F.col("w.start").alias("day"), "event_type", "n", "total")
+    )
+
+
+QUERIES = {
+    "rel_topk_orders_customer": topk_orders_with_customer,
+    "rel_orders_per_customer": orders_per_customer,
+    "rel_next_event_pairs": next_event_pairs,
+    "rel_best_order_per_customer": best_order_per_customer,
+    "rel_top3_per_customer": top3_orders_per_customer,
+    "rel_orders_page_two": orders_page_two,
+    "rel_lineitem_summary": lineitem_summary,
+    "rel_revenue_by_nation": revenue_by_nation,
+    "rel_customers_without_orders": customers_without_orders,
+    "rel_deterministic_sample": deterministic_sample,
+    "rel_event_props_extract": event_props_extract,
+    "rel_source_prefix_counts": source_prefix_counts,
+    "rel_events_daily_window": events_daily_window,
+}
+
+ORACLES = {
+    "rel_topk_orders_customer": """
+SELECT o_orderkey, o_totalprice, c_name
+FROM (SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10) o
+JOIN customer ON o_custkey = c_custkey
+""",
+    "rel_orders_per_customer": """
+SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_spent,
+       list_sort(list(o_orderkey)) AS order_keys
+FROM orders GROUP BY o_custkey
+""",
+    "rel_next_event_pairs": """
+SELECT user_id, event_id, event_type,
+       lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+FROM events QUALIFY next_type IS NOT NULL
+""",
+    "rel_best_order_per_customer": """
+SELECT o_custkey, o_orderkey AS best_orderkey, round(o_totalprice, 2) AS best_price
+FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+      FROM orders)
+WHERE rn = 1
+""",
+    "rel_top3_per_customer": """
+SELECT o_custkey, rank, o_orderkey, o_totalprice FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+  FROM orders) WHERE rank <= 3
+""",
+    "rel_orders_page_two": """
+SELECT rn, o_orderkey, o_totalprice FROM (
+  SELECT row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn,
+         o_orderkey, o_totalprice FROM orders)
+WHERE rn > 10 AND rn <= 20
+""",
+    "rel_lineitem_summary": """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+    "rel_revenue_by_nation": """
+SELECT n_name, round(sum(o_totalprice), 2) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderstatus = 'F'
+GROUP BY n_name
+""",
+    "rel_customers_without_orders": """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+""",
+    "rel_deterministic_sample": """
+SELECT c_custkey, c_name FROM customer
+WHERE CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT) % 10 = 0
+""",
+    "rel_event_props_extract": """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events
+""",
+    "rel_source_prefix_counts": """
+SELECT substr(source, 1, 4) AS src_prefix, count(*) AS n FROM documents GROUP BY 1
+""",
+    "rel_events_daily_window": """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type, count(*) AS n,
+       round(sum(value), 4) AS total
+FROM events GROUP BY 1, 2
+""",
+}

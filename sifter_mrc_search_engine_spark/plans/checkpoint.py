@@ -33,7 +33,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..constants import TERM_BUCKETS
-from ..operators.compressed_index import build_compressed_index, write_doclens
+from ..operators.compressed_index import (
+    build_compressed_index,
+    release_build_cache,
+)
+from ..functions.analyzer import tokenize_expr
 
 
 def read_manifest(index_dir: str) -> list[dict]:
@@ -62,6 +66,29 @@ def input_fingerprint(docs: DataFrame, id_col: str = "doc_id") -> str:
     return f"n{r['c']}_s{r['s']}_mn{r['mn']}_mx{r['mx']}"
 
 
+def _write_doclens_with_stats(
+    docs: DataFrame, path: str, id_col: str, text_col: str
+) -> tuple[dict, str]:
+    """One input scan: write the norms sidecar, then derive corpus stats AND
+    the input fingerprint from the (tiny) sidecar instead of re-scanning."""
+    dl = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokenize_expr(text_col)).cast("long").alias("doc_len"),
+    )
+    dl.write.mode("overwrite").parquet(path)
+    spark = docs.sparkSession
+    r = spark.read.parquet(path).agg(
+        F.count(F.lit(1)).alias("c"),
+        F.avg("doc_len").alias("avgdl"),
+        F.sum("doc_id").alias("s"),
+        F.min("doc_id").alias("mn"),
+        F.max("doc_id").alias("mx"),
+    ).collect()[0]
+    stats = {"n_docs": int(r["c"]), "avgdl": float(r["avgdl"])}
+    fp = f"n{r['c']}_s{r['s']}_mn{r['mn']}_mx{r['mx']}"
+    return stats, fp
+
+
 def build_index_resumable(
     docs: DataFrame,
     index_dir: str,
@@ -78,23 +105,15 @@ def build_index_resumable(
     (FIXTURES.md §7). Returns a summary dict.
     """
     spark = docs.sparkSession
-    fp = input_fingerprint(docs, id_col)
-
     manifest = read_manifest(index_dir)
-    stale = [m for m in manifest if m.get("input_fingerprint") not in (None, fp)]
-    if stale:
-        raise ValueError(
-            f"manifest at {index_dir} was built from different input "
-            f"({stale[0]['input_fingerprint']} != {fp}); refusing to mix"
-        )
     done = {m["bucket"] for m in manifest if "bucket" in m}
     have_doclens = any(m.get("kind") == "doclens" for m in manifest)
 
     t0 = time.monotonic()
-    n_docs = docs.count()
-
     if not have_doclens:
-        stats = write_doclens(docs, f"{index_dir}/doclens", id_col, text_col)
+        # one input scan writes the norms sidecar; stats + fingerprint come
+        # from the sidecar (tiny), not further input scans
+        stats, fp = _write_doclens_with_stats(docs, f"{index_dir}/doclens", id_col, text_col)
         (Path(index_dir) / "stats.json").write_text(json.dumps(stats))
         _append_manifest(
             index_dir,
@@ -109,6 +128,17 @@ def build_index_resumable(
                 }
             ],
         )
+    else:
+        stats = json.loads((Path(index_dir) / "stats.json").read_text())
+        fp = input_fingerprint(docs, id_col)
+
+    stale = [m for m in manifest if m.get("input_fingerprint") not in (None, fp)]
+    if stale:
+        raise ValueError(
+            f"manifest at {index_dir} was built from different input "
+            f"({stale[0]['input_fingerprint']} != {fp}); refusing to mix"
+        )
+    n_docs = int(stats["n_docs"])
 
     missing = [b for b in range(buckets) if b not in done]
     if max_buckets_this_run is not None:
@@ -117,7 +147,14 @@ def build_index_resumable(
         return {"resumed": True, "built_buckets": [], "skipped": len(done)}
 
     t1 = time.monotonic()
-    idx = build_compressed_index(docs, id_col, text_col, buckets=buckets, **index_kwargs)
+    idx = build_compressed_index(
+        docs,
+        id_col,
+        text_col,
+        buckets=buckets,
+        stats=(n_docs, float(stats["avgdl"])),
+        **index_kwargs,
+    )
     (
         idx.filter(F.col("bucket").isin(missing))
         .repartition("bucket")
@@ -126,6 +163,7 @@ def build_index_resumable(
         .partitionBy("bucket")
         .parquet(f"{index_dir}/postings")
     )
+    release_build_cache()
     wall_ms = int((time.monotonic() - t1) * 1000)
 
     # per-bucket lineage metrics from the landed files (cheap metadata scan)

@@ -1,0 +1,115 @@
+"""Dedup / text-stats / similarity operators vs independent DuckDB SQL."""
+
+import duckdb
+import pytest
+
+from sifter_mrc_search_engine_spark.functions import text_stats as TS
+from sifter_mrc_search_engine_spark.operators import dedup as D
+from sifter_mrc_search_engine_spark.operators import similarity as S
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    c = duckdb.connect()
+    c.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'")
+    c.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'")
+    return c
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _sql_rows(con, sql):
+    return sorted(tuple(r) for r in con.execute(sql).fetchall())
+
+
+def test_dedup_exact(docs, con):
+    assert _rows(D.dedup_exact(docs)) == _sql_rows(con, D.sql_dedup_exact())
+
+
+def test_shingles(docs, con):
+    assert _rows(D.shingles(docs)) == _sql_rows(con, D.sql_shingles())
+
+
+def test_minhash_signatures(docs, con):
+    assert _rows(D.minhash_signatures(docs)) == _sql_rows(con, D.sql_minhash_signatures())
+
+
+def test_lsh_candidate_pairs(docs, con):
+    assert _rows(D.lsh_candidate_pairs(docs)) == _sql_rows(con, D.sql_lsh_candidate_pairs())
+
+
+def test_ngram_jaccard_pairs(docs, con):
+    got = _rows(D.ngram_jaccard_pairs(docs, threshold=0.2))
+    exp = _sql_rows(con, D.sql_ngram_jaccard_pairs(threshold=0.2))
+    assert got == exp
+
+
+def test_simhash(docs, con):
+    assert _rows(D.simhash(docs)) == _sql_rows(con, D.sql_simhash())
+
+
+def test_simhash_near_dup_property(spark):
+    """Identical docs share a simhash; near-identical docs are close in
+    Hamming distance; unrelated docs are farther (statistically)."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta"),
+        (3, "alpha beta gamma delta epsilon zeta eta iota"),
+        (4, "one two three four five six seven eight"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = {r["doc_id"]: r["simhash"] for r in D.simhash(df).collect()}
+    assert sh[1] == sh[2]
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(sh[1], sh[3]) < ham(sh[1], sh[4])
+
+
+def test_token_counts(docs, con):
+    assert _rows(TS.token_counts(docs)) == _sql_rows(con, TS.sql_token_counts())
+
+
+def test_quality_scores(docs, con):
+    assert _rows(TS.quality_scores(docs)) == _sql_rows(con, TS.sql_quality_scores())
+
+
+def test_lang_id(docs, con):
+    assert _rows(TS.lang_id(docs)) == _sql_rows(con, TS.sql_lang_id())
+
+
+def test_winnowing_fingerprint(docs, con):
+    got = {r["doc_id"]: list(r["fingerprint"]) for r in TS.winnowing_fingerprint(docs).collect()}
+    exp = {d: list(f) for d, f in con.execute(TS.sql_winnowing_fingerprint()).fetchall()}
+    assert got == exp
+
+
+def test_cosine_topk(emb, con):
+    got = [(r["vec_id"], r["cos"]) for r in S.cosine_topk(emb, 0, k=10).collect()]
+    exp = con.execute(S.sql_cosine_topk(0, k=10)).fetchall()
+    assert got == [(v, c) for v, c in exp]
+
+
+def test_ann_recall_vs_brute_force(emb):
+    # 4 planes -> 16 buckets, Hamming-1 probing covers ~5/16 of the space;
+    # near-uniform random embeddings make tight recall bounds meaningless,
+    # so assert moderate recall at this probe width plus score fidelity
+    exact = [r["vec_id"] for r in S.cosine_topk(emb, 0, k=10).collect()]
+    approx_rows = S.ann_topk(emb, 0, k=10, n_planes=4).collect()
+    approx = [r["vec_id"] for r in approx_rows]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.3, (recall, exact, approx)
+    # every ANN hit's score must match the exact scorer's score for that id
+    exact_all = {r["vec_id"]: r["cos"] for r in S.cosine_topk(emb, 0, k=499).collect()}
+    for r in approx_rows:
+        assert exact_all[r["vec_id"]] == r["cos"]

