@@ -132,6 +132,29 @@ def build_compressed_index(
     else:
         n_docs, avgdl = int(stats[0]), float(stats[1])
 
+    return encode_tf(
+        tf, n_docs, avgdl,
+        buckets=buckets, salt_threshold=salt_threshold, salt_fanout=salt_fanout,
+        k1=k1, b=b, block_size=block_size,
+    )
+
+
+def encode_tf(
+    tf: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    buckets: int = TERM_BUCKETS,
+    salt_threshold: int = SALT_THRESHOLD,
+    salt_fanout: int = SALT_FANOUT,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    block_size: int = BLOCK_SIZE,
+) -> DataFrame:
+    """Encode a ``(term, doc_id, tf, doc_len)`` aggregate into the
+    compressed index (INDEX_SCHEMA). Shared by the batch builder and the
+    streaming compactor."""
+    spark = tf.sparkSession
+
     # Zipf head: df for hot terms only (driver-size set by construction)
     hot = (
         tf.groupBy("term")

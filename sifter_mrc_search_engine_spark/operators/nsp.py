@@ -1,0 +1,147 @@
+"""NSP pair construction + MLM masking — the reference's randomized
+operators (J3/R1/R2/R3), re-expressed deterministically for Spark.
+
+The reference builds next-sentence-prediction pairs with Python RNG and an
+in-memory used-key set (reference: modules/lm_post_training/
+preprocessor.py:214-307) and masks tokens per-row with ``random.shuffle``
+(preprocessor.py:309-366). Distributed determinism replaces stateful RNG:
+
+  * positives: ``lead(sentence) over (partition by article order by pos)``
+  * the label coin (prob p, preprocessor.py:23, :274-285) and the negative
+    draw use seeded hashes of the pair key — reproducible under any
+    partitioning (no ``rand()``, whose value depends on partition layout)
+  * negatives pair each left sentence with a pseudo-random sentence from a
+    DIFFERENT article (hash-rank join), mirroring the retry-until-foreign
+    loop (preprocessor.py:228-241); the no-duplicate guarantee holds by
+    construction (one negative per left key — the ``no_dupplicate``
+    strategy, preprocessor.py:26-27)
+  * MLM masking: vectorized numpy with a per-row seeded generator; ratios
+    and 80/10/10 splits per preprocessor.py:352-363
+
+The statistical contract mirrors the reference's own tests
+(tests/lm_post_training/preprocessor_test.py:71-158): mask ratio mean in
+(0.08, 0.15), label balance, prob=1 -> all positive.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, IntegerType
+
+MASK_TOKEN = -1  # stand-in id for [MASK]; real vocab ids are >= 10
+MAX_MASKS = 40  # preprocessor.py:352
+MASK_RATIO = 0.15
+
+
+def _hash_u01(col, seed: int):
+    """Deterministic uniform [0,1) from a column value + seed (xxhash64)."""
+    h = F.xxhash64(col, F.lit(seed))
+    return (F.pmod(h, F.lit(1_000_000_007)).cast("double")) / F.lit(1_000_000_007.0)
+
+
+def sentence_rows(articles: DataFrame) -> DataFrame:
+    """(article_id, pos, sentence) from (article_id, sentences array)."""
+    return articles.select(
+        "article_id", F.posexplode("sentences").alias("pos", "sentence")
+    )
+
+
+def nsp_pairs(articles: DataFrame, prob: float = 0.5, seed: int = 42) -> DataFrame:
+    """``(first, second, label)`` — label 1 = true next sentence.
+
+    Positives from ``lead`` (J3); the per-pair coin decides whether the
+    positive is kept or swapped for a foreign negative (R1/R2).
+    """
+    rows = sentence_rows(articles)
+    w = Window.partitionBy("article_id").orderBy("pos")
+    pairs = rows.select(
+        "article_id",
+        "pos",
+        F.col("sentence").alias("first"),
+        F.lead("sentence").over(w).alias("next_sent"),
+    ).filter(F.col("next_sent").isNotNull())
+
+    coin = _hash_u01(F.concat_ws("|", "article_id", "pos"), seed)
+    pairs = pairs.withColumn("label", (coin < F.lit(prob)).cast("int"))
+
+    # negative pool: every sentence keyed by a seeded hash rank
+    pool = rows.select(
+        F.col("article_id").alias("neg_article"),
+        F.col("sentence").alias("neg_sent"),
+        F.row_number()
+        .over(Window.orderBy(F.xxhash64("sentence", F.lit(seed + 1)), "article_id", "pos"))
+        .alias("rank"),
+    )
+    n_pool = pool.count()
+    # pick a pseudo-random pool rank per pair; retry-until-foreign becomes
+    # "advance rank until the article differs" — 2 candidates suffice to
+    # dodge a same-article collision almost surely; a final filter guards
+    cand_rank = (
+        F.pmod(F.xxhash64(F.concat_ws("|", "article_id", "pos"), F.lit(seed + 2)), F.lit(n_pool))
+        + 1
+    )
+    pairs = pairs.withColumn("cand_rank", cand_rank)
+    joined = pairs.join(F.broadcast(pool), pairs["cand_rank"] == pool["rank"], "left")
+    # same-article collision -> fall back to the next rank (wrap)
+    collide = F.col("neg_article") == F.col("article_id")
+    pairs2 = joined.withColumn(
+        "cand_rank2", F.when(collide, F.pmod(F.col("cand_rank"), F.lit(n_pool)) + 1)
+    )
+    pool2 = pool.select(
+        F.col("neg_article").alias("neg_article2"),
+        F.col("neg_sent").alias("neg_sent2"),
+        F.col("rank").alias("rank2"),
+    )
+    joined2 = pairs2.join(
+        F.broadcast(pool2), pairs2["cand_rank2"] == pool2["rank2"], "left"
+    )
+    neg = F.when(collide, F.col("neg_sent2")).otherwise(F.col("neg_sent"))
+    neg_art = F.when(collide, F.col("neg_article2")).otherwise(F.col("neg_article"))
+    out = joined2.select(
+        "article_id",
+        "pos",
+        "first",
+        F.when(F.col("label") == 1, F.col("next_sent")).otherwise(neg).alias("second"),
+        "label",
+        neg_art.alias("_neg_article"),
+    )
+    # drop the (rare) pair whose fallback is STILL same-article
+    out = out.filter(
+        (F.col("label") == 1) | (F.col("_neg_article") != F.col("article_id"))
+    )
+    return out.select("first", "second", "label")
+
+
+@pandas_udf(ArrayType(IntegerType()))
+def mlm_mask_udf(token_ids: pd.Series, row_seed: pd.Series) -> pd.Series:
+    """R3: mask min(40, max(1, round(len*0.15))) positions per row;
+    80% -> MASK_TOKEN, 10% -> random id in [10, 30000), 10% unchanged
+    (preprocessor.py:342-366). Per-row seeded numpy generator."""
+
+    def one(ids, seed):
+        ids = np.asarray(ids, dtype=np.int64)
+        rng = np.random.default_rng(int(seed))
+        n = ids.size
+        n_mask = int(min(MAX_MASKS, max(1, round(n * MASK_RATIO))))
+        picks = rng.permutation(n)[:n_mask]
+        out = ids.copy()
+        r = rng.random(n_mask)
+        for p, u in zip(picks, r):
+            if u < 0.8:
+                out[p] = MASK_TOKEN
+            elif u < 0.9:
+                out[p] = rng.integers(10, 30000)
+            # else unchanged (10%)
+        return out.astype(np.int32).tolist()
+
+    return pd.Series([one(i, s) for i, s in zip(token_ids, row_seed)])
+
+
+def mask_tokens(df: DataFrame, ids_col: str = "token_ids", seed: int = 42) -> DataFrame:
+    """Apply MLM masking with a deterministic per-row seed."""
+    row_seed = F.pmod(F.xxhash64(F.col(ids_col).cast("string"), F.lit(seed)), F.lit(2**31)).cast("long")
+    return df.withColumn("masked_ids", mlm_mask_udf(F.col(ids_col), row_seed))

@@ -1,0 +1,86 @@
+"""data_DOM nested-JSON extraction (FIXTURES.md §6): both reference shapes."""
+
+import json
+
+import pytest
+
+from sifter_mrc_search_engine_spark.sources.extraction import (
+    extract_dom_json_strings,
+)
+
+# shape 1: named_entity/#/content/#/sentence (reference test corpus,
+# tests/lm_post_training/preprocessor_test.py:27)
+NE_SCHEMA = (
+    "named_entity array<struct<content: array<struct<sentence: string>>>>"
+)
+
+
+def ne_doc(groups):
+    return json.dumps(
+        {"named_entity": [
+            {"content": [{"sentence": s} for s in g]} for g in groups
+        ]}
+    )
+
+
+# shape 2: document/*/paragraph/#/form with metadata/topic condition
+# (reference default, modules/main.py:63, :68-70)
+DOC_SCHEMA = (
+    "document array<struct<metadata: struct<topic: string>, "
+    "paragraph: array<struct<form: string>>>>"
+)
+
+
+def doc_doc(articles):
+    return json.dumps(
+        {"document": [
+            {"metadata": {"topic": t}, "paragraph": [{"form": s} for s in ss]}
+            for t, ss in articles
+        ]}
+    )
+
+
+def test_named_entity_shape_flattens_per_file(spark):
+    files = [
+        ne_doc([["a1", "a2"], ["a3"]]),
+        ne_doc([["b1"], ["b2", "b3", "b4"]]),
+    ]
+    out = {
+        r["article_id"]: r["sentences"]
+        for r in extract_dom_json_strings(
+            spark, files, ["named_entity", "#", "content", "#", "sentence"], NE_SCHEMA
+        ).collect()
+    }
+    assert sorted(map(tuple, out.values())) == [
+        ("a1", "a2", "a3"),
+        ("b1", "b2", "b3", "b4"),
+    ]
+
+
+def test_document_star_shape_one_row_per_article(spark):
+    files = [
+        doc_doc([("스포츠", ["s1", "s2"]), ("정치", ["p1"])]),
+        doc_doc([("스포츠", ["s3"])]),
+    ]
+    out = extract_dom_json_strings(
+        spark, files, ["document", "*", "paragraph", "#", "form"], DOC_SCHEMA
+    ).collect()
+    assert sorted(tuple(r["sentences"]) for r in out) == [
+        ("p1",), ("s1", "s2"), ("s3",)
+    ]
+
+
+def test_condition_filter_keeps_matching_topic_only(spark):
+    # reference: keep only articles whose metadata/topic == '스포츠'
+    # (extractor.py:119-127, main.py:122-126)
+    files = [
+        doc_doc([("스포츠", ["s1", "s2"]), ("정치", ["p1"]), ("스포츠", ["s3"])]),
+    ]
+    out = extract_dom_json_strings(
+        spark,
+        files,
+        ["document", "*", "paragraph", "#", "form"],
+        DOC_SCHEMA,
+        condition={"path": ["metadata", "topic"], "value": "스포츠"},
+    ).collect()
+    assert sorted(tuple(r["sentences"]) for r in out) == [("s1", "s2"), ("s3",)]

@@ -47,12 +47,12 @@ sys.path.insert(0, {repo!r})
 from sifter_mrc_search_engine_spark.session import get_spark
 from sifter_mrc_search_engine_spark.plans.checkpoint import build_index_resumable
 
-cpus, corpus, shuffle = int(sys.argv[1]), sys.argv[2], int(sys.argv[3])
+cpus, corpus, shuffle, trials = int(sys.argv[1]), sys.argv[2], int(sys.argv[3]), int(sys.argv[4])
 spark = get_spark("scale", master=f"local[{{cpus}}]", shuffle_partitions=shuffle)
 spark.sparkContext.setLogLevel("ERROR")
 pages = spark.read.parquet(corpus)
 times = []
-for trial in range(5):  # min-of-5: JIT warm-up drifts the first 2-3 trials
+for trial in range(trials):  # min-of-N: JIT warm-up drifts the first trials
     idx = tempfile.mkdtemp(prefix=f"scale_idx_{{cpus}}_")
     t0 = time.monotonic()
     r = build_index_resumable(pages, idx, buckets=64)
@@ -101,9 +101,11 @@ def main() -> None:
 
     job = BUILD_JOB.format(repo=str(REPO))
     results = {}
+    trials_by_level = {2: 3, 8: 4, 32: 5}
     for cpus in LEVELS:
         p = subprocess.run(
-            [sys.executable, "-c", job, str(cpus), corpus, str(SHUFFLE)],
+            [sys.executable, "-c", job, str(cpus), corpus, str(SHUFFLE),
+             str(trials_by_level.get(cpus, 4))],
             capture_output=True, text=True, check=True,
         )
         line = [ln for ln in p.stdout.splitlines() if ln.startswith("RESULT ")][-1]
@@ -138,12 +140,12 @@ def main() -> None:
     out.write_text(
         "# BENCH / BASELINE — measured\n\n"
         f"Index build over the same on-disk corpus of {N_DOCS:,} synthesized\n"
-        "Common-Crawl-style pages; fresh JVM per level; 5 builds per level,\n"
-        "min reported (JIT + Python-daemon warm-up drifts the first trials);\n"
+        "Common-Crawl-style pages; fresh JVM per level; repeated builds per\n"
+        "level, min reported (JIT/Python-daemon warm-up drifts early trials);\n"
         f"identical plan (shuffle partitions = {SHUFFLE}) at every level —\n"
         "only the executor-slot count varies (the N vs 4N executor proxy per\n"
         "driver instruction).\n\n"
-        "| level | build s (min of 5) | docs/sec | all trials (s) |\n"
+        "| level | build s (min) | docs/sec | all trials (s) |\n"
         "|---|---|---|---|\n"
         f"{rows}\n\n"
         f"**Scaling efficiency local[2]→local[8] (clean 4× within the host's 16\n"
