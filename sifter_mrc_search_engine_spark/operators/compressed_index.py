@@ -212,8 +212,15 @@ def encode_tf(
 
 def write_index(index_df: DataFrame, path: str) -> None:
     """Persist partitioned by bucket — query-time term lookups prune to the
-    buckets of the query's terms (partition pruning on the filter)."""
-    index_df.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    buckets of the query's terms (partition pruning on the filter); rows
+    term-sorted within files so parquet row-group stats prune further."""
+    (
+        index_df.repartition("bucket")
+        .sortWithinPartitions("term", "segment")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
 
 
 def read_index(spark, path: str) -> DataFrame:

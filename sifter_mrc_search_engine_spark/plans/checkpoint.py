@@ -158,6 +158,9 @@ def build_index_resumable(
     (
         idx.filter(F.col("bucket").isin(missing))
         .repartition("bucket")
+        # term-sorted row groups -> parquet min/max stats give tight
+        # row-group pruning for the query-time term IN-filter
+        .sortWithinPartitions("term", "segment")
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("bucket")

@@ -1,0 +1,73 @@
+"""Physical-plan assertions: the properties that make the design hold at
+100 TB must be visible in `.explain` — partition pruning, filter pushdown,
+column pruning, broadcast joins, TakeOrderedAndProject."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sifter_mrc_search_engine_spark.operators.bm25 import bm25_brute_force
+from sifter_mrc_search_engine_spark.operators.index_build import doc_lengths
+from sifter_mrc_search_engine_spark.plans.checkpoint import build_index_resumable
+from sifter_mrc_search_engine_spark.sources.pages import synthesize_pages
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.fixture(scope="module")
+def corpus_on_disk(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("plan_corpus"))
+    synthesize_pages(spark, 300, partitions=2).selectExpr(
+        "cast(split(url, '/')[4] as long) as doc_id", "text"
+    ).write.mode("overwrite").parquet(d)
+    return d
+
+
+def test_postings_scan_prunes_partitions_and_pushes_term_filter(
+    spark, corpus_on_disk, tmp_path_factory
+):
+    idx = str(tmp_path_factory.mktemp("plan_idx"))
+    docs = spark.read.parquet(corpus_on_disk)
+    build_index_resumable(docs, idx, buckets=16)
+    post = spark.read.parquet(f"{idx}/postings")
+    q = post.filter(F.col("bucket").isin([3, 7])).filter(
+        F.col("term").isin(["bababa", "dabiba"])
+    )
+    plan = _plan(q)
+    assert "PartitionFilters: [bucket" in plan and "IN (3,7)" in plan
+    assert "PushedFilters: [In(term" in plan
+
+
+def test_scan_column_pruning(spark, corpus_on_disk):
+    docs = spark.read.parquet(corpus_on_disk)
+    dl = doc_lengths(docs)
+    plan = _plan(dl)
+    # the scan must read ONLY doc_id + text, and doclen is scan-only
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+    assert "Exchange" not in plan  # no shuffle at all
+
+
+def test_bm25_plan_broadcasts_and_takes_ordered(spark, corpus_on_disk):
+    docs = spark.read.parquet(corpus_on_disk)
+    q = bm25_brute_force(docs, "bababa dabiba", top_k=10)
+    plan = _plan(q)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_term_filter_pushdown_in_tf(spark, corpus_on_disk):
+    # the term IN-filter of a query must reach below the aggregation: the
+    # scan only materializes rows that can produce matching terms is not
+    # possible pre-explode, but the filter must sit directly on the
+    # exploded tokens BEFORE the (term, doc_id) aggregation
+    from sifter_mrc_search_engine_spark.operators.index_build import term_frequencies
+
+    docs = spark.read.parquet(corpus_on_disk)
+    tf = term_frequencies(docs).filter(F.col("term").isin(["bababa"]))
+    plan = _plan(tf)
+    i_filter = plan.find("bababa")
+    i_agg = plan.find("HashAggregate")
+    assert i_filter != -1 and i_agg != -1
