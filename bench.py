@@ -70,11 +70,15 @@ def main() -> None:
     # test; a real corpus is a table on disk).
     corpus_dir = tempfile.mkdtemp(prefix="sifter_bench_corpus_")
     idx_dir = tempfile.mkdtemp(prefix="sifter_bench_idx_")
+    warm_dir = tempfile.mkdtemp(prefix="sifter_bench_warm_")
     try:
         synthesize_pages(spark, PAGES_DOCS, partitions=max(2 * CPUS, 8)).selectExpr(
             "cast(split(url, '/')[4] as long) as doc_id", "text"
         ).write.mode("overwrite").parquet(corpus_dir)
         pages = spark.read.parquet(corpus_dir)
+        # warm-up build (JIT + Python-daemon spawn) so the measured run is
+        # the steady state a long-lived cluster sees
+        build_index_resumable(pages.limit(PAGES_DOCS // 6), warm_dir, buckets=64)
         t0 = time.monotonic()
         build_index_resumable(pages, idx_dir, buckets=64)
         build_s = time.monotonic() - t0
@@ -83,9 +87,23 @@ def main() -> None:
 
         searcher = IndexSearcher(spark, idx_dir, buckets=64)
         timed("wand_batch", lambda: searcher.search_many(BATCH_QUERIES, 10).collect())
+
+        def percentiles(s):
+            lats = []
+            for q in BATCH_QUERIES:
+                t0 = time.monotonic()
+                s.search(q, top_k=10)
+                lats.append(time.monotonic() - t0)
+            lats.sort()
+            return lats[len(lats) // 2], lats[int(len(lats) * 0.95) - 1]
+
+        lat_p50, lat_p95 = percentiles(searcher)
+        served = IndexSearcher(spark, idx_dir, buckets=64, preload=True)
+        serve_p50, serve_p95 = percentiles(served)
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
         shutil.rmtree(corpus_dir, ignore_errors=True)
+        shutil.rmtree(warm_dir, ignore_errors=True)
 
     total = round(time.monotonic() - t_all, 3)
     print(
@@ -98,6 +116,10 @@ def main() -> None:
                 "sf": _SF,
                 "pages_docs": PAGES_DOCS,
                 "index_docs_per_sec": round(docs_per_sec, 1),
+                "query_p50_ms": round(lat_p50 * 1000, 1),
+                "query_p95_ms": round(lat_p95 * 1000, 1),
+                "serve_p50_ms": round(serve_p50 * 1000, 2),
+                "serve_p95_ms": round(serve_p95 * 1000, 2),
                 "cpus": CPUS,
             }
         )

@@ -34,7 +34,12 @@ from typing import Dict, List, Sequence, Tuple
 import numpy as np
 
 from ..constants import BLOCK_SIZE, BM25_B, BM25_K1, DEFAULT_TOP_K
-from .postings_codec import decode_blockmax, decode_skips, varbyte_decode
+from .postings_codec import (
+    decode_blockmax,
+    decode_postings,
+    decode_skips,
+    varbyte_decode,
+)
 
 
 class _Cursor:
@@ -131,6 +136,60 @@ def _score_doc(cursors: List[_Cursor], doc: int, dl: float, avgdl: float,
     return score
 
 
+#: auto-mode ceiling for the dense scorer: total decoded postings
+DENSE_POSTINGS_LIMIT = 20_000_000
+#: and for the dense accumulator width (max doc_id)
+DENSE_DOCSPACE_LIMIT = 64_000_000
+
+
+def _dense_topk(rows, query_terms, doclen, n_docs: int, avgdl: float,
+                top_k: int, k1: float, b: float) -> List[Tuple[int, float]]:
+    """Vectorized exact scorer: decode everything, accumulate per-doc in
+    ASCENDING TERM order into a dense float64 array (identical summation
+    order to the oracle and to WAND), numpy top-k with doc_id tie-break.
+
+    O(total postings) with no per-doc Python — the winner for in-memory
+    serving when terms are dense and WAND's pruning cannot bite. WAND
+    remains the disk-path kernel (it avoids decoding skipped blocks)."""
+    by_term: dict = {}
+    for r in rows:
+        by_term.setdefault(r["term"], []).append(r)
+    max_doc = max(int(r["max_doc"]) for r in rows)
+    acc = np.zeros(max_doc + 1, dtype=np.float64)
+    seen = np.zeros(max_doc + 1, dtype=bool)
+    for term in sorted(by_term):
+        segs = by_term[term]
+        df = int(segs[0]["df"])
+        idf = float(np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)))
+        for r in segs:  # salted segments: disjoint doc ranges
+            ids, tfs = decode_postings(
+                gaps=bytes(r["gaps"]), tfs=bytes(r["tfs"]), n=int(r["n"]),
+                skips=bytes(r["skips"]), block_size=int(r["block_size"]),
+            )
+            tfs = tfs.astype(np.float64)
+            if isinstance(doclen, np.ndarray):
+                dls = doclen[ids].astype(np.float64)
+            else:
+                dls = np.fromiter(
+                    (doclen[int(i)] for i in ids), dtype=np.float64, count=ids.size
+                )
+            contrib = idf * tfs * (k1 + 1.0) / (tfs + k1 * ((1.0 - b) + (b * dls) / avgdl))
+            acc[ids] += contrib  # ids unique per term -> plain fancy add
+            seen[ids] = True
+    cand = np.flatnonzero(seen)
+    scores = acc[cand]
+    k = min(top_k, cand.size)
+    if k == 0:
+        return []
+    # keep every row tied with the k-th-best score so the doc_id
+    # tie-break sees all tied candidates, then lexsort the small set
+    kth_score = np.partition(scores, cand.size - k)[cand.size - k]
+    mask = scores >= kth_score
+    cand_ids, cand_scores = cand[mask], scores[mask]
+    order = np.lexsort((cand_ids, -cand_scores))[:k]
+    return [(int(cand_ids[i]), float(cand_scores[i])) for i in order]
+
+
 def wand_topk(
     index_rows: Sequence[dict],
     query_terms: Sequence[str],
@@ -141,17 +200,33 @@ def wand_topk(
     k1: float = BM25_K1,
     b: float = BM25_B,
     use_blockmax: bool = True,
+    method: str = "auto",
 ) -> List[Tuple[int, float]]:
     """Top-k (doc_id, score) for one query over encoded index rows.
 
     ``index_rows``: the (term, segment) rows matching the query's terms
     (dict-like with INDEX_SCHEMA fields). ``doclen``: doc_id -> doc length
     (dict or dense numpy array indexed by doc_id).
+
+    ``method``: 'wand' (pruning kernel, decodes only needed blocks),
+    'dense' (vectorized full-decode scorer), or 'auto' — dense when the
+    candidate volume fits the dense limits (in-memory serving sweet spot),
+    WAND otherwise. Both produce IDENTICAL results (same float64 order).
     """
     qset = set(query_terms)
     rows = [r for r in index_rows if r["term"] in qset]
     if not rows:
         return []
+
+    if method not in ("auto", "wand", "dense"):
+        raise ValueError(f"unknown method {method!r}")
+    if method != "wand":
+        total_n = sum(int(r["n"]) for r in rows)
+        max_doc = max(int(r["max_doc"]) for r in rows)
+        if method == "dense" or (
+            total_n <= DENSE_POSTINGS_LIMIT and max_doc <= DENSE_DOCSPACE_LIMIT
+        ):
+            return _dense_topk(rows, query_terms, doclen, n_docs, avgdl, top_k, k1, b)
 
     cursors = []
     for r in rows:

@@ -38,6 +38,7 @@ from pyspark.sql.types import (
 
 from ..constants import DEFAULT_TOP_K, MAX_TOP_K, TERM_BUCKETS
 from ..functions.analyzer import analyze
+from ..functions.xxhash import term_bucket
 from ..operators.index_build import term_bucket_expr
 from ..operators.wand import wand_topk
 
@@ -62,24 +63,45 @@ def _load_norms(spark: SparkSession, index_dir: str):
 class IndexSearcher:
     """Serve BM25 top-k queries from a built index directory."""
 
-    def __init__(self, spark: SparkSession, index_dir: str, buckets: int = TERM_BUCKETS):
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        buckets: int = TERM_BUCKETS,
+        preload: bool = False,
+    ):
+        """``preload=True`` pulls the postings table into a driver-side
+        term->rows dict — the low-latency serving mode (sub-ms routing, no
+        Spark job per query). Appropriate while the hot index fits driver
+        memory; at 10^12 docs serving runs against the bucket-pruned scan
+        (default) or an external KV tier."""
         self.spark = spark
         self.index_dir = index_dir
         self.buckets = buckets
         self.postings = spark.read.parquet(f"{index_dir}/postings")
         self.doclen, self.n_docs, self.avgdl = _load_norms(spark, index_dir)
+        self._mem: dict[str, list] | None = None
+        if preload:
+            self._mem = {}
+            for r in self.postings.collect():
+                self._mem.setdefault(r["term"], []).append(r)
 
     def candidate_rows(self, terms: Sequence[str]) -> list:
-        """Partition-pruned postings fetch for a term set."""
-        if not terms:
+        """Postings fetch for a term set.
+
+        Bucket routing is computed DRIVER-SIDE (functions/xxhash.py is
+        bit-identical to the JVM xxhash64) so the pruned scan is the only
+        Spark job a query pays; preloaded mode pays none.
+        """
+        tset = sorted(set(terms))
+        if not tset:
             return []
-        tdf = self.spark.createDataFrame([(t,) for t in set(terms)], "term string")
-        buckets = [
-            r["b"] for r in tdf.select(term_bucket_expr("term", self.buckets).alias("b")).distinct().collect()
-        ]
+        if self._mem is not None:
+            return [r for t in tset for r in self._mem.get(t, [])]
+        bks = sorted({term_bucket(t, self.buckets) for t in tset})
         return (
-            self.postings.filter(F.col("bucket").isin(buckets))
-            .filter(F.col("term").isin(list(set(terms))))
+            self.postings.filter(F.col("bucket").isin(bks))
+            .filter(F.col("term").isin(tset))
             .collect()
         )
 

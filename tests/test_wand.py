@@ -66,13 +66,18 @@ def test_wand_rank_identity(corpus, qi):
     ]
     from sifter_mrc_search_engine_spark.functions.analyzer import analyze
 
-    got = wand_topk(index, analyze(q), doclen, n_docs, avgdl, top_k=10)
-    assert [d for d, _ in got] == [d for d, _ in expected], q
-    for (gd, gs), (ed, es) in zip(got, expected):
-        # summation order is pinned (ascending term), so the only residual
-        # divergence is the transcendental: JVM Math.log vs libm np.log in
-        # idf can differ by 1 ulp. Allow exactly that, nothing more.
-        assert gs == pytest.approx(es, rel=1e-12, abs=1e-12), (q, gd, gs, es)
+    for method in ("wand", "dense"):
+        got = wand_topk(index, analyze(q), doclen, n_docs, avgdl, top_k=10, method=method)
+        assert [d for d, _ in got] == [d for d, _ in expected], (q, method)
+        for (gd, gs), (ed, es) in zip(got, expected):
+            # summation order is pinned (ascending term), so the only
+            # residual divergence is the transcendental: JVM Math.log vs
+            # libm np.log in idf can differ by 1 ulp. Allow exactly that.
+            assert gs == pytest.approx(es, rel=1e-12, abs=1e-12), (q, method, gd, gs, es)
+    # the two kernels agree bit-for-bit with each other
+    w = wand_topk(index, analyze(q), doclen, n_docs, avgdl, top_k=10, method="wand")
+    d = wand_topk(index, analyze(q), doclen, n_docs, avgdl, top_k=10, method="dense")
+    assert w == d, q
 
 
 @pytest.mark.parametrize("k", [1, 5, 10])
@@ -84,7 +89,7 @@ def test_wand_topk_sizes(corpus, k):
     expected = [
         (r["doc_id"], r["score"]) for r in bm25_brute_force(docs, q, top_k=k).collect()
     ]
-    got = wand_topk(index, analyze(q), doclen, n_docs, avgdl, top_k=k)
+    got = wand_topk(index, analyze(q), doclen, n_docs, avgdl, top_k=k, method="wand")
     assert got == expected
 
 
@@ -92,6 +97,6 @@ def test_blockmax_pruning_equals_exhaustive(corpus):
     _, index, doclen, n_docs, avgdl = corpus
     for q in QUERIES[:6]:
         terms = q.split()
-        a = wand_topk(index, terms, doclen, n_docs, avgdl, use_blockmax=True)
-        b = wand_topk(index, terms, doclen, n_docs, avgdl, use_blockmax=False)
+        a = wand_topk(index, terms, doclen, n_docs, avgdl, use_blockmax=True, method="wand")
+        b = wand_topk(index, terms, doclen, n_docs, avgdl, use_blockmax=False, method="wand")
         assert a == b, q
