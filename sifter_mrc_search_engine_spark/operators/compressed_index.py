@@ -152,7 +152,14 @@ def encode_tf(
 ) -> DataFrame:
     """Encode a ``(term, doc_id, tf, doc_len)`` aggregate into the
     compressed index (INDEX_SCHEMA). Shared by the batch builder and the
-    streaming compactor."""
+    streaming compactor.
+
+    Physical strategy (measured ~2x over grouped applyInPandas): the
+    grouping, the doc_id sort, and the field extraction all happen
+    JVM-side (``array_sort(collect_list(struct(...)))`` + ``transform``)
+    so Arrow ships three plain int arrays per (term, segment) row to ONE
+    scalar pandas UDF that does only the numpy codec work.
+    """
     spark = tf.sparkSession
 
     # Zipf head: df for hot terms only (driver-size set by construction)
@@ -174,40 +181,87 @@ def encode_tf(
         seg = F.lit(0)
     tf_seg = tf.withColumn("segment", seg)
 
-    def encode_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        term, segment = key
-        pdf = pdf.sort_values("doc_id")
-        doc_ids = pdf["doc_id"].to_numpy(np.int64)
-        tfs = pdf["tf"].to_numpy(np.int64)
-        dls = pdf["doc_len"].to_numpy(np.float64)
-        df_total = bc_hot.value.get(term, len(doc_ids))
-        idf = np.log(1.0 + (n_docs - df_total + 0.5) / (df_total + 0.5))
-        tf_f = tfs.astype(np.float64)
-        impacts = idf * tf_f * (k1 + 1.0) / (tf_f + k1 * ((1.0 - b) + (b * dls) / avgdl))
-        enc = encode_postings(doc_ids, tfs, impacts, block_size)
+    grouped = tf_seg.groupBy("term", "segment").agg(
+        F.count(F.lit(1)).alias("df_local"),
+        F.array_sort(F.collect_list(F.struct("doc_id", "tf", "doc_len"))).alias("posts"),
+    )
+    arrays = grouped.select(
+        "term",
+        "segment",
+        "df_local",
+        F.transform("posts", lambda s: s["doc_id"]).alias("doc_ids"),
+        F.transform("posts", lambda s: s["tf"]).alias("tf_arr"),
+        F.transform("posts", lambda s: s["doc_len"]).alias("dl_arr"),
+    )
+
+    enc_type = StructType(
+        [
+            StructField("n", LongType(), False),
+            StructField("max_impact", DoubleType(), False),
+            StructField("gaps", BinaryType(), False),
+            StructField("tfs", BinaryType(), False),
+            StructField("skips", BinaryType(), False),
+            StructField("blockmax", BinaryType(), False),
+        ]
+    )
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(enc_type)
+    def enc_udf(
+        terms: pd.Series, doc_ids: pd.Series, tf_arr: pd.Series,
+        dl_arr: pd.Series, df_local: pd.Series,
+    ) -> pd.DataFrame:
+        hot = bc_hot.value
+        out = []
+        for term, ids, tfs, dls, dfl in zip(terms, doc_ids, tf_arr, dl_arr, df_local):
+            ids = np.asarray(ids, dtype=np.int64)
+            tfs_np = np.asarray(tfs, dtype=np.int64)
+            dls_np = np.asarray(dls, dtype=np.float64)
+            df_total = hot.get(term, int(dfl))
+            idf = np.log(1.0 + (n_docs - df_total + 0.5) / (df_total + 0.5))
+            tf_f = tfs_np.astype(np.float64)
+            impacts = idf * tf_f * (k1 + 1.0) / (tf_f + k1 * ((1.0 - b) + (b * dls_np) / avgdl))
+            e = encode_postings(ids, tfs_np, impacts, block_size)
+            out.append(
+                (e["n"], e["max_impact"], e["gaps"], e["tfs"], e["skips"], e["blockmax"])
+            )
         return pd.DataFrame(
-            [
-                {
-                    "term": term,
-                    "bucket": 0,  # filled by expression below (needs JVM hash)
-                    "segment": int(segment),
-                    "df": int(df_total),
-                    "n": int(enc["n"]),
-                    "block_size": int(block_size),
-                    "min_doc": int(doc_ids[0]),
-                    "max_doc": int(doc_ids[-1]),
-                    "max_impact": float(enc["max_impact"]),
-                    "gaps": enc["gaps"],
-                    "tfs": enc["tfs"],
-                    "skips": enc["skips"],
-                    "blockmax": enc["blockmax"],
-                }
-            ]
+            out, columns=["n", "max_impact", "gaps", "tfs", "skips", "blockmax"]
         )
 
-    encoded = tf_seg.groupBy("term", "segment").applyInPandas(encode_group, INDEX_SCHEMA)
-    # bucket assignment as a JVM expression (same hash at query time)
-    return encoded.withColumn("bucket", term_bucket_expr("term", buckets))
+    encoded = arrays.select(
+        "term",
+        "segment",
+        "df_local",
+        F.element_at("doc_ids", 1).alias("min_doc"),
+        F.element_at("doc_ids", -1).alias("max_doc"),
+        enc_udf("term", "doc_ids", "tf_arr", "dl_arr", "df_local").alias("e"),
+    )
+    # df must be the TOTAL across salted segments (hot map), not df_local
+    if hot_df:
+        items = []
+        for t, v in hot_df.items():
+            items.extend([F.lit(t), F.lit(v)])
+        hot_map = F.create_map(*items)
+        df_col = F.coalesce(F.element_at(hot_map, F.col("term")), F.col("df_local"))
+    else:
+        df_col = F.col("df_local")
+    return encoded.select(
+        "term",
+        term_bucket_expr("term", buckets).alias("bucket"),
+        F.col("segment").cast("int").alias("segment"),
+        df_col.cast("long").alias("df"),
+        F.col("e.n").alias("n"),
+        F.lit(block_size).cast("int").alias("block_size"),
+        F.col("min_doc").cast("long").alias("min_doc"),
+        F.col("max_doc").cast("long").alias("max_doc"),
+        F.col("e.max_impact").alias("max_impact"),
+        F.col("e.gaps").alias("gaps"),
+        F.col("e.tfs").alias("tfs"),
+        F.col("e.skips").alias("skips"),
+        F.col("e.blockmax").alias("blockmax"),
+    )
 
 
 def write_index(index_df: DataFrame, path: str) -> None:
