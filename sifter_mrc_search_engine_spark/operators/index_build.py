@@ -23,6 +23,17 @@ from ..constants import TERM_BUCKETS
 from ..functions.analyzer import tokenize_expr
 
 
+def combine_search_fields(docs: DataFrame, fields=("title", "content"), out_col: str = "text") -> DataFrame:
+    """Concatenate the reference's ``searchField`` list into the indexed
+    text (search_functions.py:92-95 searches [title, content]; BM25 over
+    the concatenation preserves its single-score contract — the reference
+    sets no per-field boosts). Missing/null fields contribute nothing."""
+    present = [f for f in fields if f in docs.columns]
+    # concat_ws skips NULLs natively — no empty-string padding artifacts
+    expr = F.concat_ws(" ", *[F.col(f) for f in present])
+    return docs.withColumn(out_col, expr)
+
+
 def tokens(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """``(doc_id, term, pos)`` — one row per token occurrence.
 
