@@ -100,7 +100,9 @@ def encode_postings(
     n = doc_ids.size
     n_blocks = (n + block_size - 1) // block_size
     gaps = np.empty(n, dtype=np.uint64)
-    gaps[0] = np.uint64(doc_ids[0] + 1)  # +1 so 0 is representable
+    # two's-complement view: negative (hash-derived) doc_ids wrap on
+    # encode and wrap back on the int64 cast at decode
+    gaps[0] = (doc_ids[0:1] + 1).astype(np.uint64)[0]  # +1 so 0 is representable
     gaps[1:] = np.diff(doc_ids).astype(np.uint64)
 
     gaps_parts, tf_parts = [], []
@@ -111,7 +113,7 @@ def encode_postings(
         lo, hi = b * block_size, min((b + 1) * block_size, n)
         # each block restarts with an absolute doc_id so skips can jump in
         blk_gaps = gaps[lo:hi].copy()
-        blk_gaps[0] = np.uint64(doc_ids[lo] + 1)
+        blk_gaps[0] = (doc_ids[lo : lo + 1] + 1).astype(np.uint64)[0]
         gb = varbyte_encode(blk_gaps)
         tb = varbyte_encode(tfs[lo:hi].astype(np.uint64))
         skips[b] = (doc_ids[hi - 1], g_off, t_off)

@@ -55,11 +55,16 @@ def _append_manifest(index_dir: str, rows: Sequence[dict]) -> None:
             f.write(json.dumps(r, sort_keys=True) + "\n")
 
 
+_FP_MOD = 1_000_003  # sum of pmod values stays < 2^63 up to ~9e12 rows
+
+
 def input_fingerprint(docs: DataFrame, id_col: str = "doc_id") -> str:
-    """Cheap deterministic corpus identity: (count, sum, min, max) of ids."""
+    """Cheap deterministic corpus identity: (count, modular sum, min, max)
+    of ids. The sum is over pmod(id, 1e6+3) so hash-valued doc_ids cannot
+    overflow ANSI long arithmetic (Spark 4 default)."""
     r = docs.agg(
         F.count(F.lit(1)).alias("c"),
-        F.sum(id_col).alias("s"),
+        F.sum(F.pmod(F.col(id_col), F.lit(_FP_MOD))).alias("s"),
         F.min(id_col).alias("mn"),
         F.max(id_col).alias("mx"),
     ).collect()[0]
@@ -80,7 +85,7 @@ def _write_doclens_with_stats(
     r = spark.read.parquet(path).agg(
         F.count(F.lit(1)).alias("c"),
         F.avg("doc_len").alias("avgdl"),
-        F.sum("doc_id").alias("s"),
+        F.sum(F.pmod(F.col("doc_id"), F.lit(_FP_MOD))).alias("s"),
         F.min("doc_id").alias("mn"),
         F.max("doc_id").alias("mx"),
     ).collect()[0]

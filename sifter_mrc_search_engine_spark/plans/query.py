@@ -46,16 +46,29 @@ _DOCLEN_CACHE: dict[str, tuple] = {}
 
 
 def _load_norms(spark: SparkSession, index_dir: str):
-    """(doclen ndarray indexed by doc_id, n_docs, avgdl), cached."""
+    """(doclen lookup, n_docs, avgdl), cached.
+
+    Dense numpy array when doc_ids are nonnegative and reasonably packed
+    (fast vectorized lookups); dict fallback for sparse / hash-derived /
+    negative id spaces.
+    """
     if index_dir in _DOCLEN_CACHE:
         return _DOCLEN_CACHE[index_dir]
     stats = json.loads((Path(index_dir) / "stats.json").read_text())
     rows = spark.read.parquet(f"{index_dir}/doclens").collect()
-    max_id = max(r["doc_id"] for r in rows)
-    dl = np.zeros(max_id + 1, dtype=np.int64)
-    for r in rows:
-        dl[r["doc_id"]] = r["doc_len"]
-    out = (dl, int(stats["n_docs"]), float(stats["avgdl"]))
+    ids = [r["doc_id"] for r in rows]
+    min_id, max_id = min(ids), max(ids)
+    if min_id >= 0 and max_id < max(8 * len(ids), 1_000_000):
+        dl = np.zeros(max_id + 1, dtype=np.int64)
+        for r in rows:
+            dl[r["doc_id"]] = r["doc_len"]
+        out = (dl, int(stats["n_docs"]), float(stats["avgdl"]))
+    else:
+        out = (
+            {r["doc_id"]: r["doc_len"] for r in rows},
+            int(stats["n_docs"]),
+            float(stats["avgdl"]),
+        )
     _DOCLEN_CACHE[index_dir] = out
     return out
 
