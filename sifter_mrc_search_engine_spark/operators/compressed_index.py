@@ -162,20 +162,26 @@ def encode_tf(
     """
     spark = tf.sparkSession
 
-    # Zipf head: df for hot terms only (driver-size set by construction)
+    # Zipf-head detection on a deterministic 1/16 hash-sample of the tf
+    # rows — the salting DECISION only needs approximate dfs (salting is a
+    # load-balancing choice, never a correctness one: exact df comes from
+    # the post-encode window sum below, and encode-time impact bounds use
+    # segment-local df which can only OVERestimate idf, keeping every
+    # block-max a valid upper bound).
+    sample_mod = 16
     hot = (
-        tf.groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"), F.max("doc_id").alias("max_doc"))
-        .filter(F.col("df") > salt_threshold)
+        tf.filter(F.pmod(F.xxhash64("doc_id"), F.lit(sample_mod)) == 0)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df_s"), F.max("doc_id").alias("max_doc"))
+        .filter(F.col("df_s") > salt_threshold // sample_mod)
         .collect()
     )
-    hot_df = {r["term"]: int(r["df"]) for r in hot}
+    hot_terms = [r["term"] for r in hot]
     max_doc_global = max((int(r["max_doc"]) for r in hot), default=0)
     seg_range = max(1, (max_doc_global + 1 + salt_fanout - 1) // salt_fanout)
-    bc_hot = spark.sparkContext.broadcast(hot_df)
 
-    if hot_df:
-        hot_col = F.col("term").isin(list(hot_df))
+    if hot_terms:
+        hot_col = F.col("term").isin(hot_terms)
         seg = F.when(hot_col, (F.col("doc_id") / F.lit(seg_range)).cast("int")).otherwise(0)
     else:
         seg = F.lit(0)
@@ -212,13 +218,15 @@ def encode_tf(
         terms: pd.Series, doc_ids: pd.Series, tf_arr: pd.Series,
         dl_arr: pd.Series, df_local: pd.Series,
     ) -> pd.DataFrame:
-        hot = bc_hot.value
         out = []
         for term, ids, tfs, dls, dfl in zip(terms, doc_ids, tf_arr, dl_arr, df_local):
             ids = np.asarray(ids, dtype=np.int64)
             tfs_np = np.asarray(tfs, dtype=np.int64)
             dls_np = np.asarray(dls, dtype=np.float64)
-            df_total = hot.get(term, int(dfl))
+            # segment-local df <= true df -> idf here >= true idf, so the
+            # stored impact bounds remain valid upper bounds for WAND;
+            # the exact df for SCORING is the window sum applied below
+            df_total = int(dfl)
             idf = np.log(1.0 + (n_docs - df_total + 0.5) / (df_total + 0.5))
             tf_f = tfs_np.astype(np.float64)
             impacts = idf * tf_f * (k1 + 1.0) / (tf_f + k1 * ((1.0 - b) + (b * dls_np) / avgdl))
@@ -238,15 +246,11 @@ def encode_tf(
         F.element_at("doc_ids", -1).alias("max_doc"),
         enc_udf("term", "doc_ids", "tf_arr", "dl_arr", "df_local").alias("e"),
     )
-    # df must be the TOTAL across salted segments (hot map), not df_local
-    if hot_df:
-        items = []
-        for t, v in hot_df.items():
-            items.extend([F.lit(t), F.lit(v)])
-        hot_map = F.create_map(*items)
-        df_col = F.coalesce(F.element_at(hot_map, F.col("term")), F.col("df_local"))
-    else:
-        df_col = F.col("df_local")
+    # exact df = total postings across a term's salted segments (window
+    # sum over the few-thousand encoded rows — negligible)
+    from pyspark.sql import Window
+
+    df_col = F.sum("df_local").over(Window.partitionBy("term"))
     return encoded.select(
         "term",
         term_bucket_expr("term", buckets).alias("bucket"),
