@@ -76,12 +76,17 @@ def main() -> None:
             "cast(split(url, '/')[4] as long) as doc_id", "text"
         ).write.mode("overwrite").parquet(corpus_dir)
         pages = spark.read.parquet(corpus_dir)
-        # warm-up build (JIT + Python-daemon spawn) so the measured run is
-        # the steady state a long-lived cluster sees
+        # warm-up build (JIT + Python-daemon spawn) so the measured runs are
+        # the steady state a long-lived cluster sees; min-of-2 guards the
+        # headline number against ambient host-load spikes
         build_index_resumable(pages.limit(PAGES_DOCS // 6), warm_dir, buckets=64)
-        t0 = time.monotonic()
-        build_index_resumable(pages, idx_dir, buckets=64)
-        build_s = time.monotonic() - t0
+        build_times = []
+        for trial in range(2):
+            shutil.rmtree(idx_dir, ignore_errors=True)
+            t0 = time.monotonic()
+            build_index_resumable(pages, idx_dir, buckets=64)
+            build_times.append(time.monotonic() - t0)
+        build_s = min(build_times)
         timings["index_build_pages"] = round(build_s, 3)
         docs_per_sec = PAGES_DOCS / build_s
 
