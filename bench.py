@@ -92,6 +92,7 @@ def main() -> None:
 
         searcher = IndexSearcher(spark, idx_dir, buckets=64)
         timed("wand_batch", lambda: searcher.search_many(BATCH_QUERIES, 10).collect())
+        timed("wand_batch_local", lambda: searcher.search_many_local(BATCH_QUERIES, 10))
 
         def percentiles(s):
             lats = []

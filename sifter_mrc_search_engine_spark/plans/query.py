@@ -127,6 +127,29 @@ class IndexSearcher:
         rows = self.candidate_rows(terms)
         return wand_topk(rows, terms, self.doclen, self.n_docs, self.avgdl, top_k=top_k)
 
+    def search_many_local(
+        self, questions: Sequence[str], top_k: int = DEFAULT_TOP_K
+    ) -> list[list[tuple[int, float]]]:
+        """Scatter-gather batch scoring on the driver: ONE bucket-pruned
+        scan fetches the union of all queries' postings, then the
+        vectorized kernels run per query locally. The right shape when the
+        union of candidate lists fits one node (a serving head); the
+        distributed ``search_many`` covers huge batches/indexes."""
+        top_k = max(1, min(int(top_k), MAX_TOP_K))
+        q_terms = [analyze(q) for q in questions]
+        all_terms = sorted({t for ts in q_terms for t in ts})
+        rows = self.candidate_rows(all_terms)
+        by_term: dict[str, list] = {}
+        for r in rows:
+            by_term.setdefault(r["term"], []).append(r)
+        out = []
+        for terms in q_terms:
+            cand = [r for t in set(terms) for r in by_term.get(t, [])]
+            out.append(
+                wand_topk(cand, terms, self.doclen, self.n_docs, self.avgdl, top_k=top_k)
+            )
+        return out
+
     def search_many(self, questions: Sequence[str], top_k: int = DEFAULT_TOP_K) -> DataFrame:
         """Distributed batch scoring: one WAND kernel per query group.
 

@@ -132,3 +132,9 @@ def test_top_k_clamped_to_reference_ceiling(searcher):
     # server.py:18-19: top_k ∈ [1, 10]
     assert len(searcher.search(VOCAB[0], top_k=99)) == 10
     assert len(searcher.search(VOCAB[0], top_k=0)) == 1
+
+
+def test_search_many_local_matches_search(searcher):
+    batch = searcher.search_many_local(QUERIES, top_k=10)
+    for q, got in zip(QUERIES, batch):
+        assert got == searcher.search(q, top_k=10), q
