@@ -147,9 +147,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_lsh_topk": lambda s, d: _sim.ann_topk(
             s.read.parquet(f"{d}/embeddings.parquet"), 0, k=10, n_planes=4
         ),
+        # rows-only (non-SQL-expressible) pipeline operators
+        "pipeline_prepare_corpus": _q_prepare_corpus,
+        "pipeline_nsp_pairs": _q_nsp_pairs,
+        "pipeline_mlm_mask": _q_mlm_mask,
+        "multimodal_image_features": _q_image_features,
     }
     q.update(_rel.QUERIES)
     return q
+
+
+def _q_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gate -> exact dedup over documents; returns the audit row
+    joined to the surviving count (deterministic)."""
+    from sifter_mrc_search_engine_spark.plans.prepare import prepare_corpus
+
+    clean, audit = prepare_corpus(_docs(spark, sf_dir))
+    return audit
+
+
+def _q_nsp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NSP pairs over pseudo-articles (documents split into 8-token
+    sentences); deterministic label/negative draws."""
+    from sifter_mrc_search_engine_spark.operators.nsp import nsp_pairs
+
+    docs = _docs(spark, sf_dir)
+    arts = docs.selectExpr(
+        "doc_id as article_id",
+        "transform(sequence(0, int(size(split(text, ' '))/8) - 1),"
+        " i -> concat_ws(' ', slice(split(text, ' '), i*8 + 1, 8))) as sentences",
+    ).filter(F.size("sentences") >= 2)
+    return nsp_pairs(arts, prob=0.5, seed=42)
+
+
+def _q_mlm_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLM masking over token-id arrays derived from doc term positions;
+    deterministic per-row seeds -> stable row count + schema."""
+    from sifter_mrc_search_engine_spark.operators.nsp import mask_tokens
+
+    docs = _docs(spark, sf_dir)
+    ids = docs.selectExpr(
+        "doc_id",
+        "transform(regexp_extract_all(lower(text), '[a-z0-9가-힣]+', 0),"
+        " t -> int(10 + pmod(xxhash64(t), 20000))) as token_ids",
+    ).filter(F.size("token_ids") > 0)
+    return mask_tokens(ids).select("doc_id", F.size("masked_ids").alias("n_tokens"))
+
+
+def _q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing over a deterministic synthetic media table."""
+    from sifter_mrc_search_engine_spark.operators.multimodal import (
+        image_features,
+        synthesize_media,
+    )
+
+    media = synthesize_media(spark, 48)
+    return image_features(media).select("media_id", "width", "height")
 
 
 def oracle_sql() -> dict[str, str]:
