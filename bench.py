@@ -93,6 +93,10 @@ def main() -> None:
         searcher = IndexSearcher(spark, idx_dir, buckets=64)
         timed("wand_batch", lambda: searcher.search_many(BATCH_QUERIES, 10).collect())
         timed("wand_batch_local", lambda: searcher.search_many_local(BATCH_QUERIES, 10))
+        timed(
+            "batch_relational",
+            lambda: searcher.search_many_relational(BATCH_QUERIES, 10).collect(),
+        )
 
         def percentiles(s):
             lats = []

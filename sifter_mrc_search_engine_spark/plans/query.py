@@ -201,3 +201,104 @@ class IndexSearcher:
             )
 
         return cand.groupBy("query_id").applyInPandas(score_group, out_schema)
+
+    def search_many_relational(
+        self, questions: Sequence[str], top_k: int = DEFAULT_TOP_K
+    ) -> DataFrame:
+        """Batch scoring as ONE relational plan over the compressed index.
+
+        Each candidate posting segment is decoded exactly once (a pandas
+        UDF explodes it back to (doc_id, tf) arrays); everything after —
+        the BM25 contribution expression, the query fan-out join, the
+        ascending-term score fold, the per-query top-k window — is JVM
+        Catalyst, bit-identical to the brute-force oracle's float64 path.
+        No WAND pruning: this is the throughput shape for query batches
+        large enough that exhaustive scoring amortizes (offline eval runs,
+        relevance-set generation), scaling with executors, not the driver.
+
+        Returns (query_id int, rank int, doc_id long, score double).
+        """
+        from pyspark.sql import Window
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+        from ..constants import BM25_B, BM25_K1
+        from ..operators.bm25 import idf_expr
+        from ..operators.postings_codec import decode_postings
+
+        top_k = max(1, min(int(top_k), MAX_TOP_K))
+        q_terms = {i: analyze(q) for i, q in enumerate(questions)}
+        pairs = [(i, t) for i, ts in q_terms.items() for t in sorted(set(ts))]
+        if not pairs:
+            return self.spark.createDataFrame(
+                [], "query_id int, rank int, doc_id long, score double"
+            )
+        qdf = self.spark.createDataFrame(pairs, "query_id int, term string")
+        all_terms = sorted({t for _, t in pairs})
+        bks = sorted({term_bucket(t, self.buckets) for t in all_terms})
+        cand = self.postings.filter(F.col("bucket").isin(bks)).filter(
+            F.col("term").isin(all_terms)
+        )
+
+        dec_type = StructType(
+            [
+                StructField("doc_ids", ArrayType(LongType()), False),
+                StructField("tfs_arr", ArrayType(LongType()), False),
+            ]
+        )
+
+        @pandas_udf(dec_type)
+        def decode_udf(gaps: pd.Series, tfs: pd.Series, n: pd.Series, skips: pd.Series, bs: pd.Series) -> pd.DataFrame:
+            out_ids, out_tfs = [], []
+            for g, t, nn, sk, b in zip(gaps, tfs, n, skips, bs):
+                ids, tf = decode_postings(
+                    gaps=bytes(g), tfs=bytes(t), n=int(nn), skips=bytes(sk), block_size=int(b)
+                )
+                out_ids.append(ids.tolist())
+                out_tfs.append(tf.tolist())
+            return pd.DataFrame({"doc_ids": out_ids, "tfs_arr": out_tfs})
+
+        decoded = cand.select(
+            "term",
+            "df",
+            decode_udf("gaps", "tfs", "n", "skips", "block_size").alias("d"),
+        ).select(
+            "term",
+            "df",
+            F.explode(F.arrays_zip("d.doc_ids", "d.tfs_arr")).alias("p"),
+        ).select(
+            "term",
+            "df",
+            F.col("p.doc_ids").alias("doc_id"),
+            F.col("p.tfs_arr").alias("tf"),
+        )
+
+        dl = self.spark.read.parquet(f"{self.index_dir}/doclens")
+        joined = (
+            decoded.join(F.broadcast(qdf), "term")
+            .join(dl, "doc_id")
+        )
+        tf_d = F.col("tf").cast("double")
+        norm = tf_d + F.lit(BM25_K1) * (
+            F.lit(1.0) - F.lit(BM25_B) + F.lit(BM25_B) * F.col("doc_len") / F.lit(self.avgdl)
+        )
+        contrib = (
+            idf_expr("df", F.lit(self.n_docs)) * tf_d * F.lit(BM25_K1 + 1.0) / norm
+        )
+        scored = (
+            joined.select("query_id", "doc_id", "term", contrib.alias("contrib"))
+            .groupBy("query_id", "doc_id")
+            .agg(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("term", "contrib"))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["contrib"],
+                ).alias("score")
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= top_k)
+            .select("query_id", "rank", "doc_id", "score")
+        )

@@ -138,3 +138,19 @@ def test_search_many_local_matches_search(searcher):
     batch = searcher.search_many_local(QUERIES, top_k=10)
     for q, got in zip(QUERIES, batch):
         assert got == searcher.search(q, top_k=10), q
+
+
+def test_search_many_relational_matches_brute_force(spark, docs, searcher):
+    """The relational batch path is ALL-JVM float math — must equal the
+    brute-force oracle exactly (tolerance 0)."""
+    out = searcher.search_many_relational(QUERIES, top_k=10).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"], r["score"]))
+    for i, q in enumerate(QUERIES):
+        expected = [
+            (r["doc_id"], r["score"])
+            for r in bm25_brute_force(docs, q, top_k=10).collect()
+        ]
+        got = [(d, s) for _, d, s in sorted(by_q.get(i, []))]
+        assert got == expected, q
