@@ -29,23 +29,18 @@ from ..constants import BLOCK_SIZE
 _SHIFTS = np.array([0, 7, 14, 21, 28, 35, 42, 49, 56, 63], dtype=np.uint64)
 
 
-def varbyte_encode(values: np.ndarray) -> bytes:
-    """Vectorized varbyte (7-bit groups, little-endian, MSB=continuation)."""
+def _varbyte_encode_with_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Vectorized varbyte returning (buffer, per-value byte lengths)."""
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
-    # byte length of each value: position of highest set bit / 7
+        return b"", np.zeros(0, dtype=np.int64)
     nbits = np.zeros(v.shape, dtype=np.int64)
-    nz = v > 0
-    # np.log2 is unsafe at 2^63; use bit_length via frexp-free loop over 10 shifts
-    tmp = v.copy()
     for s in range(1, 10):
-        nbits[tmp >= (np.uint64(1) << np.uint64(7 * s))] = s
+        nbits[v >= (np.uint64(1) << np.uint64(7 * s))] = s
     nbytes = nbits + 1
     offsets = np.zeros(v.size + 1, dtype=np.int64)
     np.cumsum(nbytes, out=offsets[1:])
     out = np.zeros(offsets[-1], dtype=np.uint8)
-    # scatter each 7-bit group
     for g in range(10):
         mask = nbytes > g
         if not mask.any():
@@ -54,7 +49,12 @@ def varbyte_encode(values: np.ndarray) -> bytes:
         chunk = ((v[mask] >> np.uint64(7 * g)) & np.uint64(0x7F)).astype(np.uint8)
         cont = (nbytes[mask] > g + 1).astype(np.uint8) << 7
         out[idx] = chunk | cont
-    return out.tobytes()
+    return out.tobytes(), nbytes
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """Vectorized varbyte (7-bit groups, little-endian, MSB=continuation)."""
+    return _varbyte_encode_with_lengths(values)[0]
 
 
 def varbyte_decode(buf: bytes, offset: int = 0, count: int | None = None) -> np.ndarray:
@@ -99,36 +99,39 @@ def encode_postings(
 
     n = doc_ids.size
     n_blocks = (n + block_size - 1) // block_size
-    gaps = np.empty(n, dtype=np.uint64)
-    # two's-complement view: negative (hash-derived) doc_ids wrap on
-    # encode and wrap back on the int64 cast at decode
-    gaps[0] = (doc_ids[0:1] + 1).astype(np.uint64)[0]  # +1 so 0 is representable
-    gaps[1:] = np.diff(doc_ids).astype(np.uint64)
+    starts = np.arange(0, n, block_size)
+    ends = np.minimum(starts + block_size, n)
 
-    gaps_parts, tf_parts = [], []
-    skips = np.zeros((n_blocks, 3), dtype=np.int64)
-    bm = np.zeros(n_blocks, dtype=np.float64)
-    g_off = t_off = 0
-    for b in range(n_blocks):
-        lo, hi = b * block_size, min((b + 1) * block_size, n)
-        # each block restarts with an absolute doc_id so skips can jump in
-        blk_gaps = gaps[lo:hi].copy()
-        blk_gaps[0] = (doc_ids[lo : lo + 1] + 1).astype(np.uint64)[0]
-        gb = varbyte_encode(blk_gaps)
-        tb = varbyte_encode(tfs[lo:hi].astype(np.uint64))
-        skips[b] = (doc_ids[hi - 1], g_off, t_off)
-        if impacts is not None:
-            bm[b] = impacts[lo:hi].max()
-        gaps_parts.append(gb)
-        tf_parts.append(tb)
-        g_off += len(gb)
-        t_off += len(tb)
+    gaps = np.empty(n, dtype=np.uint64)
+    gaps[0] = 0
+    gaps[1:] = np.diff(doc_ids).astype(np.uint64)
+    # each block restarts with an absolute doc_id so skips can jump in;
+    # two's-complement view lets negative (hash-derived) ids wrap on
+    # encode and wrap back on the int64 cast at decode (+1 so 0 encodes)
+    gaps[starts] = (doc_ids[starts] + 1).astype(np.uint64)
+
+    # single vectorized varbyte pass over the whole list; per-block byte
+    # offsets come from the cumulative per-value byte lengths
+    g_buf, g_lens = _varbyte_encode_with_lengths(gaps)
+    t_buf, t_lens = _varbyte_encode_with_lengths(tfs.astype(np.uint64))
+    g_cum = np.concatenate(([0], np.cumsum(g_lens)))
+    t_cum = np.concatenate(([0], np.cumsum(t_lens)))
+
+    skips = np.empty((n_blocks, 3), dtype=np.int64)
+    skips[:, 0] = doc_ids[ends - 1]
+    skips[:, 1] = g_cum[starts]
+    skips[:, 2] = t_cum[starts]
+
+    if impacts is not None:
+        bm = np.maximum.reduceat(np.asarray(impacts, dtype=np.float64), starts)
+    else:
+        bm = np.zeros(n_blocks, dtype=np.float64)
 
     return {
         "n": n,
         "block_size": block_size,
-        "gaps": b"".join(gaps_parts),
-        "tfs": b"".join(tf_parts),
+        "gaps": g_buf,
+        "tfs": t_buf,
         "skips": skips.tobytes(),
         "blockmax": bm.tobytes(),
         "max_impact": float(bm.max()) if impacts is not None else 0.0,
