@@ -77,12 +77,19 @@ def _q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Postings as (term, df, doc_ids array sorted) — SQL-expressible."""
+    """Postings as (term, df, doc_ids CSV string sorted) — SQL-expressible.
+
+    The doc-id list is emitted as a comma-joined string (not array<long>):
+    the driver's canonicalizer pandas-sorts result columns and cannot hash
+    Python lists, so array outputs hard-error the correctness gate.
+    """
     p = index_build.build_postings(_docs(spark, sf_dir))
     return p.select(
         "term",
         "df",
-        F.transform("postings", lambda s: s["doc_id"]).alias("doc_ids"),
+        F.concat_ws(
+            ",", F.transform("postings", lambda s: s["doc_id"].cast("string"))
+        ).alias("doc_ids"),
     )
 
 
@@ -220,9 +227,9 @@ def oracle_sql() -> dict[str, str]:
         "text_lang_id": _ts.sql_lang_id(),
         "text_winnowing_fingerprint": _ts.sql_winnowing_fingerprint(),
         "sim_cosine_topk": _sim.sql_cosine_topk(0, k=10),
-        # sim_ann_lsh_topk: LSH probing is not SQL-expressible (numpy
-        # hyperplanes) -> rows-only check; exactness of its scores is
-        # pytest-verified against the brute-force scorer
+        # seed-fixed hyperplanes inlined as float64 literals -> the LSH
+        # probe is fully SQL-expressible after all
+        "sim_ann_lsh_topk": _sim.sql_ann_topk(0, k=10, n_planes=4),
     }
     o.update(_rel.ORACLES)
     o.update({
@@ -245,7 +252,8 @@ def oracle_sql() -> dict[str, str]:
             f"(SELECT doc_id, count(*) AS doc_len FROM ({_DUCK_TOKS}) GROUP BY 1)"
         ),
         "index_postings_lists": (
-            "SELECT term, count(*) AS df, list(doc_id ORDER BY doc_id) AS doc_ids FROM "
+            "SELECT term, count(*) AS df, "
+            "array_to_string(list(doc_id ORDER BY doc_id), ',') AS doc_ids FROM "
             f"(SELECT term, doc_id FROM ({_DUCK_TOKS}) GROUP BY 1, 2) "
             "GROUP BY term"
         ),

@@ -93,11 +93,13 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def winnowing_fingerprint(
     docs: DataFrame, k: int = 3, window: int = 4, text_col: str = "text"
 ) -> DataFrame:
-    """Winnowing document fingerprint: ``(doc_id, fingerprint array<long>)``.
+    """Winnowing document fingerprint: ``(doc_id, fingerprint string)``.
 
     k-shingle rolling hashes grouped into fixed windows of ``window``
     consecutive shingles; the min hash of each window is selected; the
-    fingerprint is the sorted distinct selection. Deterministic via md5.
+    fingerprint is the sorted distinct selection, emitted as a
+    comma-joined string (hashable by the driver canonicalizer, which
+    cannot sort array columns). Deterministic via md5.
     """
     toks = tokenize_expr(text_col)
     sh = F.transform(
@@ -114,7 +116,12 @@ def winnowing_fingerprint(
         .agg(F.min("h").alias("mh"))
     )
     return mins.groupBy("doc_id").agg(
-        F.array_sort(F.collect_set("mh")).alias("fingerprint")
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_set("mh")), lambda x: x.cast("string")
+            ),
+        ).alias("fingerprint")
     )
 
 
@@ -178,5 +185,6 @@ WITH sh AS (
        LATERAL unnest(range(1, greatest(len(toks) - {k - 1}, 0) + 1)) AS t(i)
 ),
 mins AS (SELECT doc_id, pos // {window} AS w, min(h) AS mh FROM sh GROUP BY 1, 2)
-SELECT doc_id, list_sort(list(DISTINCT mh)) AS fingerprint FROM mins GROUP BY doc_id
+SELECT doc_id, array_to_string(list_sort(list(DISTINCT mh)), ',') AS fingerprint
+FROM mins GROUP BY doc_id
 """

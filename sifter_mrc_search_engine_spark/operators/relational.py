@@ -30,13 +30,21 @@ def topk_orders_with_customer(spark, sf_dir) -> DataFrame:
     )
 
 
-# J2: example->features multimap (evaluator.py:31-33): group + collect
+# J2: example->features multimap (evaluator.py:31-33): group + collect.
+# The key list is emitted as a comma-joined string — the driver's
+# canonicalizer cannot hash array columns.
 def orders_per_customer(spark, sf_dir) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     return orders.groupBy("o_custkey").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
-        F.array_sort(F.collect_list("o_orderkey")).alias("order_keys"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_list("o_orderkey")),
+                lambda x: x.cast("string"),
+            ),
+        ).alias("order_keys"),
     )
 
 
@@ -196,7 +204,7 @@ JOIN customer ON o_custkey = c_custkey
 """,
     "rel_orders_per_customer": """
 SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_spent,
-       list_sort(list(o_orderkey)) AS order_keys
+       array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys
 FROM orders GROUP BY o_custkey
 """,
     "rel_next_event_pairs": """

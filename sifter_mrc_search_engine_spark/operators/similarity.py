@@ -111,6 +111,69 @@ def lsh_bucket_ids(embeddings: DataFrame, n_planes: int = 8, seed: int = 42) -> 
     return embeddings.select("vec_id", "embedding", bucket_of("embedding").alias("bucket"))
 
 
+def sql_ann_topk(
+    query_vec_id: int,
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 42,
+    dim: int = 64,
+    table: str = "embeddings",
+    round_to: int = 4,
+) -> str:
+    """DuckDB twin of :func:`ann_topk`, fully self-contained SQL.
+
+    The hyperplanes are seed-fixed, so their coefficients are inlined as
+    list literals (``%.17g`` round-trips float64 exactly); each row's
+    bucket is re-derived in SQL with the same float64 math, the query's
+    bucket plus all Hamming-1 neighbors are probed via ``xor``, and only
+    probed rows are exact-scored — the same plan the Spark side runs.
+    """
+    planes = _planes(dim, n_planes, seed)
+
+    def lit(p: np.ndarray) -> str:
+        return "[" + ", ".join(f"{c:.17g}" for c in p) + "]"
+
+    plane_cols = ", ".join(f"{lit(planes[j])} AS p{j}" for j in range(n_planes))
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(range(1, {dim} + 1), "
+        f"i -> CAST(e.embedding[i] AS DOUBLE) * p.p{j}[i])) > 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(n_planes)
+    )
+    probes = ["q.qb"] + [f"xor(q.qb, {1 << j})" for j in range(n_planes)]
+    return f"""
+WITH p AS (SELECT {plane_cols}),
+b AS (
+  SELECT e.vec_id, e.embedding, {bucket_terms} AS bucket
+  FROM {table} e CROSS JOIN p
+),
+q AS (SELECT bucket AS qb, embedding AS q_emb FROM b WHERE vec_id = {query_vec_id}),
+scored AS (
+  SELECT b.vec_id,
+         list_sum(list_transform(range(1, {dim} + 1),
+                  i -> CAST(b.embedding[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE))) AS dot,
+         sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS na,
+         sqrt(list_sum(list_transform(q.q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nb
+  FROM b CROSS JOIN q
+  WHERE b.bucket IN ({", ".join(probes)}) AND b.vec_id != {query_vec_id}
+)
+SELECT vec_id, round(dot / (na * nb), {round_to}) AS cos
+FROM scored ORDER BY dot / (na * nb) DESC, vec_id ASC LIMIT {k}
+"""
+
+
+def write_bucketed_embeddings(
+    embeddings: DataFrame, path: str, n_planes: int = 8, seed: int = 42
+) -> None:
+    """Persist ``(vec_id, embedding)`` partitioned by LSH bucket — the
+    100 TB serving shape: ``ann_topk(buckets=spark.read.parquet(path))``
+    turns the probe IN-filter into parquet partition pruning, so each
+    query scans ~(1+n_planes)/2^n_planes of the corpus."""
+    lsh_bucket_ids(embeddings, n_planes, seed).write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(path)
+
+
 def ann_topk(
     embeddings: DataFrame,
     query_vec_id: int,
@@ -118,26 +181,28 @@ def ann_topk(
     n_planes: int = 8,
     seed: int = 42,
     round_to: int = 4,
+    buckets: DataFrame | None = None,
 ) -> DataFrame:
     """LSH-bucketed approximate top-k: probe the query's bucket and all
     Hamming-1 neighbor buckets, exact-score only those rows.
 
-    With 2^8 buckets over sf0.01's 500 rows this scans ~9/256 of the data;
-    at scale ``bucket`` is the table's partition key and the IN-filter
-    prunes partitions.
+    ``buckets`` (from :func:`write_bucketed_embeddings`) skips the
+    per-call bucket recompute; the probe IN-filter then prunes stored
+    partitions. One driver job fetches the query row (bucket + vector);
+    the query vector rides the plan as a 64-float literal — no second
+    scan, no broadcast join.
     """
-    b = lsh_bucket_ids(embeddings, n_planes, seed)
+    b = buckets if buckets is not None else lsh_bucket_ids(embeddings, n_planes, seed)
     qrow = b.filter(F.col("vec_id") == query_vec_id).select("bucket", "embedding").first()
     qb = int(qrow["bucket"])
     probe = [qb] + [qb ^ (1 << i) for i in range(n_planes)]
-    q = b.filter(F.col("vec_id") == query_vec_id).select(F.col("embedding").alias("q_emb"))
+    q_emb = F.array(*[F.lit(float(x)) for x in qrow["embedding"]])
     return (
         b.filter(F.col("bucket").isin(probe))
         .filter(F.col("vec_id") != query_vec_id)
-        .crossJoin(F.broadcast(q))
         .select(
             "vec_id",
-            F.round(cosine_expr(F.col("embedding"), F.col("q_emb")), round_to).alias("cos"),
+            F.round(cosine_expr(F.col("embedding"), q_emb), round_to).alias("cos"),
         )
         .orderBy(F.desc("cos"), F.asc("vec_id"))
         .limit(k)

@@ -24,14 +24,23 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 def norm_cell(v):
     if isinstance(v, float):
         return f"{v:.6g}"
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(norm_cell(x) for x in v) + "]"
     return str(v)
 
 
 def norm_rows(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted("|".join(norm_cell(r[i]) for i in order) for r in rows)
+    """Mirror the DRIVER's canonicalizer: pandas sort_values over all
+    columns sorted by name. Crucially this THROWS on unhashable cells
+    (lists/arrays), exactly like the driver — r1 shipped three
+    array-column queries because the old stringify here masked that.
+    """
+    import pandas as pd
+
+    order = sorted(cols)
+    pdf = pd.DataFrame(list(rows), columns=list(cols))[order]
+    pdf = pdf.sort_values(order).reset_index(drop=True)  # raises on list cells
+    return sorted(
+        "|".join(norm_cell(r[c]) for c in order) for _, r in pdf.iterrows()
+    )
 
 
 def main():
