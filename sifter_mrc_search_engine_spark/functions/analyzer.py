@@ -57,17 +57,43 @@ def set_backend(fn: Callable[[str], List[str]]) -> None:
     _backend = fn
 
 
+#: pluggable MeCab-shaped tagger: ``sentence -> [(word, pos), ...]``
+_pos_tagger: Callable[[str], List[tuple]] | None = None
+
+
+def extract_pos(sentence: str, tagger: Callable[[str], List[tuple]] | None = None) -> List[str]:
+    """The reference's query analysis (search_functions.py:13-22): POS-tag
+    the sentence, keep words whose tag is in POS_WHITELIST, in order."""
+    tagger = tagger or _pos_tagger
+    if tagger is None:
+        raise ValueError("extract_pos needs a (word, pos) tagger — set_pos_tagger first")
+    return [w for w, pos in tagger(sentence) if pos in POS_WHITELIST]
+
+
+def set_pos_tagger(tagger: Callable[[str], List[tuple]] | None) -> None:
+    """Install a MeCab-shaped ``(word, pos)`` tagger.
+
+    Switches the analyze backend to the reference's POS-whitelist path
+    (P5/C10) and lets :func:`eliminate_final_postposition` self-tag (C11)
+    — the full search_functions.py behavior without requiring the C
+    library (tests inject a deterministic fake). ``None`` restores the
+    default regex backend.
+    """
+    global _pos_tagger
+    _pos_tagger = tagger
+    if tagger is None:
+        set_backend(_regex_backend)
+    else:
+        set_backend(lambda s: extract_pos(s, tagger))
+
+
 def try_mecab_backend() -> bool:
     """Install the reference's MeCab POS-whitelist analyzer if available."""
     try:  # pragma: no cover - mecab not in this environment
         from konlpy.tag import Mecab  # type: ignore
 
         mecab = Mecab()
-
-        def mecab_analyze(sentence: str) -> List[str]:
-            return [w for w, pos in mecab.pos(sentence) if pos in POS_WHITELIST]
-
-        set_backend(mecab_analyze)
+        set_pos_tagger(mecab.pos)
         return True
     except Exception:
         return False
@@ -123,10 +149,13 @@ def eliminate_final_postposition(sentence: str, pos_tags=None) -> str:
     """Strip trailing josa/endings right-to-left (C11), matching
     ``eliminate_final_postposition`` (search_functions.py:46-68).
 
-    Without MeCab there are no POS tags; callers may pass pre-tagged
-    ``(word, pos)`` pairs. With no tags the input is returned unchanged —
-    the reference behavior when MeCab finds no matching-tag suffix.
+    Tags come from (in order): the ``pos_tags`` argument, the installed
+    tagger (:func:`set_pos_tagger`), else none — in which case the input
+    is returned unchanged, the reference behavior when MeCab finds no
+    matching-tag suffix.
     """
+    if pos_tags is None and _pos_tagger is not None:
+        pos_tags = _pos_tagger(sentence)
     if not pos_tags:
         return sentence
     strip_pos = {

@@ -25,6 +25,33 @@ LANG_STOPWORDS = {
 _LANGS = sorted(LANG_STOPWORDS)  # deterministic tie order
 
 
+def quality_flag_expr(text_col: str = "text"):
+    """The is_quality gate as a single Column expression (codegen) —
+    shared by :func:`quality_scores` and the one-pass corpus audit."""
+    t = F.col(text_col)
+    toks = tokenize_expr(text_col)
+    n_chars = F.length(t)
+    alnum = F.length(F.regexp_replace(t, "[^a-zA-Z0-9가-힣]", ""))
+    raw_ratio = F.when(n_chars > 0, alnum / n_chars).otherwise(F.lit(0.0))
+    return (n_chars >= 10) & (raw_ratio > 0.5) & (F.size(toks) >= 3)
+
+
+def pred_lang_expr(text_col: str = "text"):
+    """Predicted language as a single Column expression (stopword-hit
+    argmax, alphabetical tie-break — same semantics as :func:`lang_id`)."""
+    toks = tokenize_expr(text_col)
+    hits = {
+        lang: F.size(F.filter(toks, lambda x: x.isin(LANG_STOPWORDS[lang])))
+        for lang in _LANGS
+    }
+    best = F.greatest(*hits.values())
+    pred = None
+    for lang in reversed(_LANGS):
+        cond = hits[lang] == best
+        pred = F.when(cond, F.lit(lang)).otherwise(pred) if pred is not None else F.lit(lang)
+    return pred
+
+
 def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """``(doc_id, n_tokens, n_ws_tokens)`` — analyzer tokens + raw
     whitespace splits (the BPE-ish pre-count)."""

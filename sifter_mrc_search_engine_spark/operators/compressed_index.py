@@ -268,6 +268,57 @@ def encode_tf(
     )
 
 
+def decode_index_df(
+    index_df: DataFrame, keep_cols: tuple[str, ...] = ("term", "df")
+) -> DataFrame:
+    """Distributed decode of INDEX_SCHEMA rows back to tf rows:
+    ``(*keep_cols, doc_id, tf)``.
+
+    Each encoded (term, segment) row is decoded exactly once inside a
+    scalar pandas UDF, then exploded JVM-side — the inverse of
+    :func:`encode_tf`, running on executors (never ``collect()``s
+    postings to the driver). Shared by the segment compactor and the
+    relational batch scorer.
+    """
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType
+
+    from .postings_codec import decode_postings
+
+    dec_type = StructType(
+        [
+            StructField("doc_ids", ArrayType(LongType()), False),
+            StructField("tfs_arr", ArrayType(LongType()), False),
+        ]
+    )
+
+    @pandas_udf(dec_type)
+    def decode_udf(
+        gaps: pd.Series, tfs: pd.Series, n: pd.Series, skips: pd.Series, bs: pd.Series
+    ) -> pd.DataFrame:
+        out_ids, out_tfs = [], []
+        for g, t, nn, sk, b in zip(gaps, tfs, n, skips, bs):
+            ids, tf = decode_postings(
+                gaps=bytes(g), tfs=bytes(t), n=int(nn), skips=bytes(sk), block_size=int(b)
+            )
+            out_ids.append(ids.tolist())
+            out_tfs.append(tf.tolist())
+        return pd.DataFrame({"doc_ids": out_ids, "tfs_arr": out_tfs})
+
+    return (
+        index_df.select(
+            *keep_cols,
+            decode_udf("gaps", "tfs", "n", "skips", "block_size").alias("d"),
+        )
+        .select(*keep_cols, F.explode(F.arrays_zip("d.doc_ids", "d.tfs_arr")).alias("p"))
+        .select(
+            *keep_cols,
+            F.col("p.doc_ids").alias("doc_id"),
+            F.col("p.tfs_arr").alias("tf"),
+        )
+    )
+
+
 def write_index(index_df: DataFrame, path: str) -> None:
     """Persist partitioned by bucket — query-time term lookups prune to the
     buckets of the query's terms (partition pruning on the filter); rows

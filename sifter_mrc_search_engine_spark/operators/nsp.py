@@ -50,11 +50,23 @@ def sentence_rows(articles: DataFrame) -> DataFrame:
     )
 
 
-def nsp_pairs(articles: DataFrame, prob: float = 0.5, seed: int = 42) -> DataFrame:
+def nsp_pairs(
+    articles: DataFrame, prob: float = 0.5, seed: int = 42, pool_buckets: int = 64
+) -> DataFrame:
     """``(first, second, label)`` — label 1 = true next sentence.
 
     Positives from ``lead`` (J3); the per-pair coin decides whether the
     positive is kept or swapped for a foreign negative (R1/R2).
+
+    Scale shape: the negative pool is NEVER broadcast (at corpus scale
+    that would broadcast every sentence). Pool sentences are hashed into
+    ``pool_buckets`` buckets with a per-bucket seeded rank; each pair
+    draws (bucket, rank) from hashes of its own key and the draw resolves
+    via a plain shuffled equi-join on (bucket, rank). Only the B-row
+    bucket-size table touches the driver. Ranks are assigned by a
+    per-bucket window over hash order, so determinism holds under any
+    partitioning; at 10^12 sentences raise ``pool_buckets`` so each
+    bucket's window sort stays a bounded single-task unit.
     """
     rows = sentence_rows(articles)
     w = Window.partitionBy("article_id").orderBy("pos")
@@ -68,36 +80,63 @@ def nsp_pairs(articles: DataFrame, prob: float = 0.5, seed: int = 42) -> DataFra
     coin = _hash_u01(F.concat_ws("|", "article_id", "pos"), seed)
     pairs = pairs.withColumn("label", (coin < F.lit(prob)).cast("int"))
 
-    # negative pool: every sentence keyed by a seeded hash rank
-    pool = rows.select(
-        F.col("article_id").alias("neg_article"),
-        F.col("sentence").alias("neg_sent"),
-        F.row_number()
-        .over(Window.orderBy(F.xxhash64("sentence", F.lit(seed + 1)), "article_id", "pos"))
-        .alias("rank"),
+    # negative pool: bucketed + per-bucket seeded hash rank
+    bkt = F.pmod(F.xxhash64("sentence", F.lit(seed + 1)), F.lit(pool_buckets)).cast("int")
+    wb = Window.partitionBy("bucket").orderBy(
+        F.xxhash64("neg_sent", F.lit(seed + 1)), "neg_article", "pos"
     )
-    n_pool = pool.count()
-    # pick a pseudo-random pool rank per pair; retry-until-foreign becomes
-    # "advance rank until the article differs" — 2 candidates suffice to
-    # dodge a same-article collision almost surely; a final filter guards
-    cand_rank = (
-        F.pmod(F.xxhash64(F.concat_ws("|", "article_id", "pos"), F.lit(seed + 2)), F.lit(n_pool))
-        + 1
+    pool = (
+        rows.select(
+            F.col("article_id").alias("neg_article"),
+            "pos",
+            F.col("sentence").alias("neg_sent"),
+            bkt.alias("bucket"),
+        )
+        .withColumn("rank", F.row_number().over(wb))
+        .drop("pos")
     )
-    pairs = pairs.withColumn("cand_rank", cand_rank)
-    joined = pairs.join(F.broadcast(pool), pairs["cand_rank"] == pool["rank"], "left")
-    # same-article collision -> fall back to the next rank (wrap)
+    # bucket-size table: <= pool_buckets rows — the ONLY driver traffic
+    sizes = {
+        int(r["bucket"]): int(r["cnt"])
+        for r in pool.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    nonempty = sorted(sizes)
+    bkt_arr = F.array(*[F.lit(b) for b in nonempty])
+    size_map = F.create_map(
+        *[F.lit(x) for b in nonempty for x in (b, sizes[b])]
+    )
+    key = F.concat_ws("|", "article_id", "pos")
+    cand_bucket = F.element_at(
+        bkt_arr, (F.pmod(F.xxhash64(key, F.lit(seed + 2)), F.lit(len(nonempty))) + 1).cast("int")
+    )
+    pairs = pairs.withColumn("cand_bucket", cand_bucket)
+    pairs = pairs.withColumn("bsize", F.element_at(size_map, F.col("cand_bucket")))
+    pairs = pairs.withColumn(
+        "cand_rank",
+        F.pmod(F.xxhash64(key, F.lit(seed + 3)), F.col("bsize")) + 1,
+    )
+    # draw #1: shuffled equi-join on (bucket, rank) — no broadcast
+    joined = pairs.join(
+        pool,
+        (pairs["cand_bucket"] == pool["bucket"]) & (pairs["cand_rank"] == pool["rank"]),
+        "left",
+    )
+    # same-article collision -> fall back to the next rank in the bucket
     collide = F.col("neg_article") == F.col("article_id")
-    pairs2 = joined.withColumn(
-        "cand_rank2", F.when(collide, F.pmod(F.col("cand_rank"), F.lit(n_pool)) + 1)
+    pairs2 = joined.drop("bucket", "rank").withColumn(
+        "cand_rank2", F.when(collide, F.pmod(F.col("cand_rank"), F.col("bsize")) + 1)
     )
     pool2 = pool.select(
         F.col("neg_article").alias("neg_article2"),
         F.col("neg_sent").alias("neg_sent2"),
+        F.col("bucket").alias("bucket2"),
         F.col("rank").alias("rank2"),
     )
     joined2 = pairs2.join(
-        F.broadcast(pool2), pairs2["cand_rank2"] == pool2["rank2"], "left"
+        pool2,
+        (pairs2["cand_bucket"] == pool2["bucket2"])
+        & (pairs2["cand_rank2"] == pool2["rank2"]),
+        "left",
     )
     neg = F.when(collide, F.col("neg_sent2")).otherwise(F.col("neg_sent"))
     neg_art = F.when(collide, F.col("neg_article2")).otherwise(F.col("neg_article"))

@@ -57,9 +57,17 @@ def varbyte_encode(values: np.ndarray) -> bytes:
     return _varbyte_encode_with_lengths(values)[0]
 
 
-def varbyte_decode(buf: bytes, offset: int = 0, count: int | None = None) -> np.ndarray:
-    """Decode ``count`` values (or all) starting at byte ``offset``."""
-    raw = np.frombuffer(buf, dtype=np.uint8)[offset:]
+def varbyte_decode(
+    buf: bytes, offset: int = 0, count: int | None = None, end: int | None = None
+) -> np.ndarray:
+    """Decode ``count`` values (or all) starting at byte ``offset``.
+
+    ``end`` bounds the byte scan: without it the continuation-bit pass
+    runs over the entire remaining buffer, making every block load
+    O(list bytes) instead of O(block) — callers with skip pointers pass
+    the next block's byte offset.
+    """
+    raw = np.frombuffer(buf, dtype=np.uint8)[offset:end]
     if raw.size == 0:
         return np.zeros(0, dtype=np.uint64)
     is_last = (raw & 0x80) == 0
@@ -180,12 +188,15 @@ def decode_block(
     n: int,
     block_size: int = BLOCK_SIZE,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Random-access decode of one block via its skip pointer."""
+    """Random-access decode of one block via its skip pointer; the next
+    block's offsets bound the byte scan to O(block)."""
     sk = decode_skips(skips)
     n_blocks = sk.shape[0]
     lo = block * block_size
     cnt = min(block_size, n - lo)
-    g = varbyte_decode(gaps, offset=int(sk[block, 1]), count=cnt).astype(np.int64)
-    t = varbyte_decode(tfs, offset=int(sk[block, 2]), count=cnt).astype(np.int64)
+    g_end = int(sk[block + 1, 1]) if block + 1 < n_blocks else None
+    t_end = int(sk[block + 1, 2]) if block + 1 < n_blocks else None
+    g = varbyte_decode(gaps, offset=int(sk[block, 1]), count=cnt, end=g_end).astype(np.int64)
+    t = varbyte_decode(tfs, offset=int(sk[block, 2]), count=cnt, end=t_end).astype(np.int64)
     g[0] -= 1
     return np.cumsum(g), t

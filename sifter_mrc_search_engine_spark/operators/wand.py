@@ -73,8 +73,12 @@ class _Cursor:
             return
         lo = b * self.block_size
         cnt = min(self.block_size, self.n - lo)
-        g = varbyte_decode(self.gaps, offset=int(self.skips[b, 1]), count=cnt).astype(np.int64)
-        t = varbyte_decode(self.tfs, offset=int(self.skips[b, 2]), count=cnt).astype(np.int64)
+        # bound the byte scan with the NEXT block's offset: without it
+        # every load is O(remaining list bytes), erasing the skip benefit
+        g_end = int(self.skips[b + 1, 1]) if b + 1 < self.n_blocks else None
+        t_end = int(self.skips[b + 1, 2]) if b + 1 < self.n_blocks else None
+        g = varbyte_decode(self.gaps, offset=int(self.skips[b, 1]), count=cnt, end=g_end).astype(np.int64)
+        t = varbyte_decode(self.tfs, offset=int(self.skips[b, 2]), count=cnt, end=t_end).astype(np.int64)
         g[0] -= 1
         self.ids = np.cumsum(g)
         self.tf = t

@@ -13,15 +13,22 @@ declarative plan over the pages table:
 
 Returns the surviving documents plus a one-row audit frame (counts per
 stage) — a 100 TB pipeline needs the audit as much as the output.
+
+One-pass shape: every stage is a FLAG column computed in a single plan
+(quality/lang are per-row expressions; the exact-dedup keeper is a
+min-over-fingerprint window), so the audit is ONE aggregate over one
+input scan and the clean output is a filter over the same plan — the
+input is scanned at most twice total (audit + consumption), not once
+per stage counter.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.cleaning import extract_html_udf
-from ..functions.text_stats import lang_id, quality_scores
+from ..functions.text_stats import pred_lang_expr, quality_flag_expr
 from ..operators.dedup import lsh_candidate_pairs
 
 
@@ -33,45 +40,44 @@ def prepare_corpus(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> tuple[DataFrame, DataFrame]:
-    """Returns (clean_docs, audit). ``clean_docs`` has (doc_id, text).
+    """Returns (clean_docs, audit). ``clean_docs`` has (doc_id, text);
+    ``audit`` is a lazy one-row DataFrame of per-stage survivor counts.
 
     ``near_dup=True`` drops the higher-doc_id side of every MinHash-LSH
     candidate pair (transitively safe for dedup: keeps at least one doc
     of every near-dup cluster, the minimum-id representative of its
     pairwise links).
     """
-    spark = docs.sparkSession
-    counts = {"input": docs.count()}
-
     if html_col is not None:
         docs = docs.withColumn(text_col, extract_html_udf(F.col(html_col)))
     base = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
 
-    q = quality_scores(base).select("doc_id", "is_quality")
-    base = base.join(q, "doc_id").filter(F.col("is_quality")).drop("is_quality")
-    counts["after_quality"] = base.count()
-
+    passed = quality_flag_expr()
     if lang is not None:
-        lid = lang_id(base).select("doc_id", "pred_lang")
-        base = base.join(lid, "doc_id").filter(F.col("pred_lang") == lang).drop("pred_lang")
-        counts["after_lang"] = base.count()
+        passed = passed & (pred_lang_expr() == lang)
+    flags = base.withColumn("_q", quality_flag_expr()).withColumn("_p", passed)
+    # exact-dedup keeper among rows passing the earlier gates: the min
+    # doc_id per text fingerprint (conditional min inside the window, so
+    # no per-stage re-filter is needed)
+    wfp = Window.partitionBy(F.md5("text"))
+    keeper = F.min(F.when(F.col("_p"), F.col("doc_id"))).over(wfp)
+    flags = flags.withColumn("_d", F.col("_p") & (F.col("doc_id") == keeper))
 
-    keep = (
-        base.select("doc_id", F.md5("text").alias("fp"))
-        .groupBy("fp")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-    )
-    base = base.join(keep, "doc_id")
-    counts["after_exact_dedup"] = base.count()
+    agg_cols = [
+        F.count(F.lit(1)).alias("input"),
+        F.sum(F.col("_q").cast("long")).alias("after_quality"),
+    ]
+    if lang is not None:
+        agg_cols.append(F.sum(F.col("_p").cast("long")).alias("after_lang"))
+    agg_cols.append(F.sum(F.col("_d").cast("long")).alias("after_exact_dedup"))
+    audit = flags.agg(*agg_cols)
 
+    clean = flags.filter(F.col("_d")).select("doc_id", "text")
     if near_dup:
-        pairs = lsh_candidate_pairs(base)
+        pairs = lsh_candidate_pairs(clean)
         drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
-        base = base.join(drop, "doc_id", "left_anti")
-        counts["after_near_dedup"] = base.count()
-
-    audit = spark.createDataFrame(
-        [tuple(counts.values())], ", ".join(f"{k} long" for k in counts)
-    )
-    return base, audit
+        clean = clean.join(drop, "doc_id", "left_anti")
+        audit = audit.crossJoin(
+            clean.agg(F.count(F.lit(1)).alias("after_near_dedup"))
+        )
+    return clean, audit

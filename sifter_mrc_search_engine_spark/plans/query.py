@@ -39,22 +39,36 @@ from pyspark.sql.types import (
 from ..constants import DEFAULT_TOP_K, MAX_TOP_K, TERM_BUCKETS
 from ..functions.analyzer import analyze
 from ..functions.xxhash import term_bucket
-from ..operators.index_build import term_bucket_expr
 from ..operators.wand import wand_topk
 
-_DOCLEN_CACHE: dict[str, tuple] = {}
+_DOCLEN_CACHE: dict[tuple, tuple] = {}
+
+
+def invalidate_norms_cache(index_dir: str | None = None) -> None:
+    """Drop cached norms for ``index_dir`` (or all). Build/compaction
+    paths need not call this — the cache key includes the stats.json
+    mtime, so a rebuilt index at the same path misses naturally."""
+    if index_dir is None:
+        _DOCLEN_CACHE.clear()
+        return
+    for k in [k for k in _DOCLEN_CACHE if k[0] == index_dir]:
+        del _DOCLEN_CACHE[k]
 
 
 def _load_norms(spark: SparkSession, index_dir: str):
-    """(doclen lookup, n_docs, avgdl), cached.
+    """(doclen lookup, n_docs, avgdl), cached per (index_dir, freshness).
 
-    Dense numpy array when doc_ids are nonnegative and reasonably packed
-    (fast vectorized lookups); dict fallback for sparse / hash-derived /
-    negative id spaces.
+    The freshness token is stats.json's mtime_ns: rebuilding or
+    compacting an index at the same path in one process must not serve
+    stale doc lengths. Dense numpy array when doc_ids are nonnegative
+    and reasonably packed (fast vectorized lookups); dict fallback for
+    sparse / hash-derived / negative id spaces.
     """
-    if index_dir in _DOCLEN_CACHE:
-        return _DOCLEN_CACHE[index_dir]
-    stats = json.loads((Path(index_dir) / "stats.json").read_text())
+    stats_path = Path(index_dir) / "stats.json"
+    key = (index_dir, stats_path.stat().st_mtime_ns)
+    if key in _DOCLEN_CACHE:
+        return _DOCLEN_CACHE[key]
+    stats = json.loads(stats_path.read_text())
     rows = spark.read.parquet(f"{index_dir}/doclens").collect()
     ids = [r["doc_id"] for r in rows]
     min_id, max_id = min(ids), max(ids)
@@ -69,7 +83,7 @@ def _load_norms(spark: SparkSession, index_dir: str):
             int(stats["n_docs"]),
             float(stats["avgdl"]),
         )
-    _DOCLEN_CACHE[index_dir] = out
+    _DOCLEN_CACHE[key] = out
     return out
 
 
@@ -118,11 +132,14 @@ class IndexSearcher:
             .collect()
         )
 
-    def search(self, question: str, top_k: int = DEFAULT_TOP_K) -> list[tuple[int, float]]:
+    def search(
+        self, question: str, top_k: int = DEFAULT_TOP_K, clamp: bool = True
+    ) -> list[tuple[int, float]]:
         """The reference's GET /inference contract (server.py:62-75):
         top_k clamped to [1, MAX_TOP_K]; returns [(doc_id, score)] sorted
-        (score desc, doc_id asc)."""
-        top_k = max(1, min(int(top_k), MAX_TOP_K))
+        (score desc, doc_id asc). ``clamp=False`` lifts the ceiling for
+        internal deep retrieval (domain over-fetch)."""
+        top_k = max(1, min(int(top_k), MAX_TOP_K) if clamp else int(top_k))
         terms = analyze(question)
         rows = self.candidate_rows(terms)
         return wand_topk(rows, terms, self.doclen, self.n_docs, self.avgdl, top_k=top_k)
@@ -150,32 +167,45 @@ class IndexSearcher:
             )
         return out
 
+    def _decoded_candidates(self, all_terms: Sequence[str]) -> DataFrame:
+        """One bucket+term-pruned scan, decoded once per (term, segment)
+        to ``(term, df, doc_id, tf)`` rows — the shared front end of both
+        distributed batch-scoring plans."""
+        from ..operators.compressed_index import decode_index_df
+
+        bks = sorted({term_bucket(t, self.buckets) for t in all_terms})
+        cand = self.postings.filter(F.col("bucket").isin(bks)).filter(
+            F.col("term").isin(list(all_terms))
+        )
+        return decode_index_df(cand, keep_cols=("term", "df"))
+
     def search_many(self, questions: Sequence[str], top_k: int = DEFAULT_TOP_K) -> DataFrame:
-        """Distributed batch scoring: one WAND kernel per query group.
+        """Distributed batch scoring: exact numpy kernel per query group.
 
         Returns DataFrame (query_id int, rank int, doc_id long, score
-        double). Postings rows for ALL queries' terms are fetched with one
-        pruned scan, joined to query ids, and grouped; norms ship as a
-        broadcast (range-partitioned at real scale).
+        double). Postings for ALL queries' terms are fetched with one
+        pruned scan, decoded once per (term, segment), joined to query
+        ids AND to the doclens table inside the plan — doc lengths ride
+        the rows, so nothing is broadcast to executors (the old full-
+        norms broadcast was a wall at 10^12 docs). The per-group kernel
+        accumulates contributions in ascending-term order (float64),
+        bit-compatible with the brute-force oracle.
         """
         top_k = max(1, min(int(top_k), MAX_TOP_K))
         q_terms = {i: analyze(q) for i, q in enumerate(questions)}
-        pairs = [(i, t) for i, ts in q_terms.items() for t in ts]
+        pairs = [(i, t) for i, ts in q_terms.items() for t in sorted(set(ts))]
         if not pairs:
             return self.spark.createDataFrame(
                 [], "query_id int, rank int, doc_id long, score double"
             )
         qdf = self.spark.createDataFrame(pairs, "query_id int, term string")
-        buckets = [
-            r["b"] for r in qdf.select(term_bucket_expr("term", self.buckets).alias("b")).distinct().collect()
-        ]
-        cand = self.postings.filter(F.col("bucket").isin(buckets)).join(
-            F.broadcast(qdf), "term"
-        )
-        bc = self.spark.sparkContext.broadcast(
-            (self.doclen, self.n_docs, self.avgdl, dict(q_terms))
-        )
-        k = top_k
+        all_terms = sorted({t for _, t in pairs})
+        decoded = self._decoded_candidates(all_terms)
+        dl = self.spark.read.parquet(f"{self.index_dir}/doclens")
+        joined = decoded.join(F.broadcast(qdf), "term").join(dl, "doc_id")
+
+        n_docs, avgdl, k = self.n_docs, self.avgdl, top_k
+        from ..constants import BM25_B, BM25_K1
 
         out_schema = StructType(
             [
@@ -188,19 +218,40 @@ class IndexSearcher:
 
         def score_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
             qid = int(key[0])
-            doclen, n_docs, avgdl, terms_map = bc.value
-            rows = pdf.drop_duplicates(subset=["term", "segment"]).to_dict("records")
-            hits = wand_topk(rows, terms_map[qid], doclen, n_docs, avgdl, top_k=k)
+            # ascending-term processing order -> per-doc float64 sums are
+            # accumulated in term order, matching the oracle's sorted fold
+            pdf = pdf.sort_values(["term", "doc_id"], kind="mergesort")
+            df_arr = pdf["df"].to_numpy(dtype=np.float64)
+            tf = pdf["tf"].to_numpy(dtype=np.float64)
+            dls = pdf["doc_len"].to_numpy(dtype=np.float64)
+            idf = np.log(1.0 + (n_docs - df_arr + 0.5) / (df_arr + 0.5))
+            contrib = (
+                idf * tf * (BM25_K1 + 1.0)
+                / (tf + BM25_K1 * ((1.0 - BM25_B) + (BM25_B * dls) / avgdl))
+            )
+            ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            uniq, inv = np.unique(ids, return_inverse=True)
+            acc = np.zeros(uniq.size, dtype=np.float64)
+            np.add.at(acc, inv, contrib)
+            kk = min(k, uniq.size)
+            if kk == 0:
+                return pd.DataFrame(
+                    {"query_id": [], "rank": [], "doc_id": [], "score": []}
+                )
+            kth = np.partition(acc, uniq.size - kk)[uniq.size - kk]
+            mask = acc >= kth  # keep ties for the doc_id tie-break
+            cids, cscores = uniq[mask], acc[mask]
+            order = np.lexsort((cids, -cscores))[:kk]
             return pd.DataFrame(
                 {
                     "query_id": qid,
-                    "rank": range(1, len(hits) + 1),
-                    "doc_id": [d for d, _ in hits],
-                    "score": [s for _, s in hits],
+                    "rank": range(1, kk + 1),
+                    "doc_id": cids[order],
+                    "score": cscores[order],
                 }
             )
 
-        return cand.groupBy("query_id").applyInPandas(score_group, out_schema)
+        return joined.groupBy("query_id").applyInPandas(score_group, out_schema)
 
     def search_many_relational(
         self, questions: Sequence[str], top_k: int = DEFAULT_TOP_K
@@ -219,12 +270,9 @@ class IndexSearcher:
         Returns (query_id int, rank int, doc_id long, score double).
         """
         from pyspark.sql import Window
-        from pyspark.sql.functions import pandas_udf
-        from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
         from ..constants import BM25_B, BM25_K1
         from ..operators.bm25 import idf_expr
-        from ..operators.postings_codec import decode_postings
 
         top_k = max(1, min(int(top_k), MAX_TOP_K))
         q_terms = {i: analyze(q) for i, q in enumerate(questions)}
@@ -235,43 +283,7 @@ class IndexSearcher:
             )
         qdf = self.spark.createDataFrame(pairs, "query_id int, term string")
         all_terms = sorted({t for _, t in pairs})
-        bks = sorted({term_bucket(t, self.buckets) for t in all_terms})
-        cand = self.postings.filter(F.col("bucket").isin(bks)).filter(
-            F.col("term").isin(all_terms)
-        )
-
-        dec_type = StructType(
-            [
-                StructField("doc_ids", ArrayType(LongType()), False),
-                StructField("tfs_arr", ArrayType(LongType()), False),
-            ]
-        )
-
-        @pandas_udf(dec_type)
-        def decode_udf(gaps: pd.Series, tfs: pd.Series, n: pd.Series, skips: pd.Series, bs: pd.Series) -> pd.DataFrame:
-            out_ids, out_tfs = [], []
-            for g, t, nn, sk, b in zip(gaps, tfs, n, skips, bs):
-                ids, tf = decode_postings(
-                    gaps=bytes(g), tfs=bytes(t), n=int(nn), skips=bytes(sk), block_size=int(b)
-                )
-                out_ids.append(ids.tolist())
-                out_tfs.append(tf.tolist())
-            return pd.DataFrame({"doc_ids": out_ids, "tfs_arr": out_tfs})
-
-        decoded = cand.select(
-            "term",
-            "df",
-            decode_udf("gaps", "tfs", "n", "skips", "block_size").alias("d"),
-        ).select(
-            "term",
-            "df",
-            F.explode(F.arrays_zip("d.doc_ids", "d.tfs_arr")).alias("p"),
-        ).select(
-            "term",
-            "df",
-            F.col("p.doc_ids").alias("doc_id"),
-            F.col("p.tfs_arr").alias("tf"),
-        )
+        decoded = self._decoded_candidates(all_terms)
 
         dl = self.spark.read.parquet(f"{self.index_dir}/doclens")
         joined = (

@@ -21,7 +21,11 @@ from __future__ import annotations
 from typing import Any
 
 from ..constants import MAX_DOC_PAGE_SIZE, MAX_TOP_K
-from ..functions.analyzer import analyze, rewrite_query
+from ..functions.analyzer import analyze, eliminate_final_postposition, rewrite_query
+
+#: domain retrieval over-fetch: growth factor and depth ceiling
+_OVERFETCH_GROW = 4
+_OVERFETCH_MAX = 10_000
 
 
 class ValidationError(ValueError):
@@ -51,6 +55,32 @@ class InferenceService:
         self.searcher = searcher
         self.docmeta = docmeta or {}
 
+    def _domain_of(self, doc_id: int) -> str:
+        meta = self.docmeta.get(doc_id, {})
+        return meta.get("DOCID", f"{doc_id:012d}")[:3]
+
+    def _retrieve(self, question: str, doc_page_size: int, domain: str | None):
+        """Retrieval with domain-aware over-fetch.
+
+        The reference routes per-domain at search time (server.py:218-223)
+        — a plain post-filter of the global top page can starve a domain
+        query even when many matches exist deeper. Domain queries retrieve
+        progressively deeper (x4 each round, bounded) until doc_page_size
+        in-domain hits are found or the candidate set is exhausted.
+        """
+        if domain is None:
+            return self.searcher.search(question, top_k=doc_page_size)
+        k = doc_page_size
+        while True:
+            try:
+                hits = self.searcher.search(question, top_k=k, clamp=(k <= MAX_TOP_K))
+            except TypeError:  # searcher without a clamp switch
+                hits = self.searcher.search(question, top_k=k)
+            dom = [(d, s) for d, s in hits if self._domain_of(d) == domain]
+            if len(dom) >= doc_page_size or len(hits) < k or k >= _OVERFETCH_MAX:
+                return dom[:doc_page_size]
+            k *= _OVERFETCH_GROW
+
     def inference(
         self,
         question: str,
@@ -60,24 +90,28 @@ class InferenceService:
     ) -> dict[str, Any]:
         _validate(question, top_k, doc_page_size)
         common_query = rewrite_query(question)
-        hits = self.searcher.search(question, top_k=int(doc_page_size))
+        hits = self._retrieve(question, int(doc_page_size), domain)
         answers = []
         for rank, (doc_id, score) in enumerate(hits, start=1):
             meta = self.docmeta.get(doc_id, {})
             docid = meta.get("DOCID", f"{doc_id:012d}")
+            title = meta.get("title", "")
             answer = {
                 "rank": rank,
                 "DOCID": docid,
                 "domain": docid[:3],  # server.py:100
-                "title": meta.get("title", ""),
+                "title": title,
+                # the reference trims every returned answer's trailing
+                # postposition (server.py:96-102); our answer analogue is
+                # the doc title — a no-op unless a POS tagger is installed
+                "raw_answer": title,
+                "answer": eliminate_final_postposition(title),
                 "url": meta.get("url", ""),
                 "content": meta.get("content", ""),
                 "score": score,
                 "doc_id": doc_id,
             }
             answers.append(answer)
-        if domain is not None:
-            answers = [a for a in answers if a["domain"] == domain]
         answers = answers[: int(top_k)]  # server.py:94-95 truncation
         for i, a in enumerate(answers, start=1):
             a["rank"] = i

@@ -52,7 +52,15 @@ def extract_dom(
     sibling path equals ``v`` (the reference's branch/path/value triple,
     main.py:122-126); the path is resolved relative to the article level.
     """
-    cur = df.withColumn("_file", F.monotonically_increasing_id())
+    # STABLE file key: hash of (source file name, row payload) — NOT
+    # monotonically_increasing_id, whose value depends on partition
+    # layout and would make every downstream seeded draw (NSP coin /
+    # negative pick hash on article_id) change across re-runs. Identical
+    # payloads in different files stay distinct via input_file_name();
+    # in-memory frames (tests) distinguish rows by payload alone.
+    cur = df.withColumn(
+        "_file", F.xxhash64(F.input_file_name(), F.to_json(F.struct(*df.columns)))
+    )
     col: Column | None = None
     article_emitted = False
     consumed: list[str] = []
@@ -85,7 +93,9 @@ def extract_dom(
             col = (col.getField(step)) if col is not None else F.col(step)
 
     if article_emitted:
-        art_key = (F.col("_file") * F.lit(1_000_000) + F.col("_apos")).cast("long")
+        # combine via hash (a multiply-add overflows int64 for large
+        # partition ids and collides past 1M articles/file)
+        art_key = F.xxhash64(F.col("_file"), F.col("_apos"))
     else:
         art_key = F.col("_file").cast("long")
     out = cur.select(art_key.alias("article_id"), col.alias("sentence"))

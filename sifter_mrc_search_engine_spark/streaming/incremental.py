@@ -30,10 +30,9 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..constants import BM25_B, BM25_K1, DEFAULT_TOP_K, MAX_TOP_K, TERM_BUCKETS
+from ..constants import BM25_K1, DEFAULT_TOP_K, MAX_TOP_K, TERM_BUCKETS
 from ..functions.analyzer import analyze, tokenize_expr
 from ..operators.compressed_index import build_compressed_index
-from ..operators.index_build import term_bucket_expr
 from ..operators.wand import wand_topk
 
 PAGES_DDL = "doc_id long, text string"
@@ -99,7 +98,12 @@ def list_segments(index_dir: str) -> list[str]:
 
 
 class MultiSegmentSearcher:
-    """Exact BM25 top-k across all committed segments (see module doc)."""
+    """Exact BM25 top-k across all committed segments (see module doc).
+
+    Segments assume exactly-once ingest: a doc_id must appear in at most
+    one segment, else df/N/doclen merges double-count (validated at init
+    by comparing the summed per-segment doc counts to the distinct
+    doclen keys — cheap, the doclen dict is built anyway)."""
 
     def __init__(self, spark: SparkSession, index_dir: str, buckets: int = TERM_BUCKETS):
         self.spark = spark
@@ -113,34 +117,47 @@ class MultiSegmentSearcher:
             st = json.loads((Path(seg) / "stats.json").read_text())
             n += st["n_docs"]
             s += st["dl_sum"]
-            for r in spark.read.parquet(f"{seg}/doclens").collect():
-                self.doclen[r["doc_id"]] = r["doc_len"]
+        dl = None
+        for seg in self.segments:
+            d = spark.read.parquet(f"{seg}/doclens")
+            dl = d if dl is None else dl.unionByName(d)
+        for r in dl.collect():
+            self.doclen[r["doc_id"]] = r["doc_len"]
+        if len(self.doclen) != n:
+            raise ValueError(
+                f"doc_ids overlap across segments ({n} segment docs, "
+                f"{len(self.doclen)} distinct) — segments require "
+                "exactly-once ingest; run compact_segments to dedupe "
+                "keep-latest"
+            )
         self.n_docs, self.avgdl = n, (s / n if n else 0.0)
+        # ONE lazy unioned postings relation over all segments; a query
+        # is a single bucket+term-pruned scan across them (one Spark job)
+        post = None
+        for seg in self.segments:
+            p = spark.read.parquet(f"{seg}/postings")
+            post = p if post is None else post.unionByName(p)
+        self.postings = post
 
-    def search(self, question: str, top_k: int = DEFAULT_TOP_K):
+    def search(self, question: str, top_k: int = DEFAULT_TOP_K, clamp: bool = True):
         import numpy as np
 
-        top_k = max(1, min(int(top_k), MAX_TOP_K))
+        from ..functions.xxhash import term_bucket
+
+        top_k = max(1, min(int(top_k), MAX_TOP_K) if clamp else int(top_k))
         terms = analyze(question)
         if not terms:
             return []
-        tset = list(set(terms))
-        rows: list[dict] = []
-        for seg in self.segments:
-            post = self.spark.read.parquet(f"{seg}/postings")
-            tdf = self.spark.createDataFrame([(t,) for t in tset], "term string")
-            bks = [
-                r["b"]
-                for r in tdf.select(term_bucket_expr("term", self.buckets).alias("b"))
-                .distinct()
-                .collect()
-            ]
-            rows.extend(
-                r.asDict()
-                for r in post.filter(F.col("bucket").isin(bks))
-                .filter(F.col("term").isin(tset))
-                .collect()
-            )
+        tset = sorted(set(terms))
+        # driver-side bucket routing (bit-identical to JVM xxhash64) ->
+        # the pruned unioned scan is the only Spark job this query pays
+        bks = sorted({term_bucket(t, self.buckets) for t in tset})
+        rows = [
+            r.asDict()
+            for r in self.postings.filter(F.col("bucket").isin(bks))
+            .filter(F.col("term").isin(tset))
+            .collect()
+        ]
         # merged df per term; stale segment bounds -> safe UB idf*(k1+1)
         df_tot: dict[str, int] = {}
         for r in rows:
@@ -165,44 +182,41 @@ def compact_segments(
 ) -> str:
     """Merge all committed segments into one (tight bounds restored).
 
-    Rebuilds from the segments' stored doc set: reads every segment's
-    doclens to enumerate docs is NOT enough (postings hold tf only), so
-    compaction re-reads the raw pages recorded per segment is avoided by
-    keeping it simple: decode+concatenate per (term, salt-segment) —
-    doc-id ranges across stream segments are disjoint only if the source
-    guarantees it, so the safe general path is a tf-level union:
-    tf rows are reconstructed by decoding each segment's postings.
+    Fully distributed: each segment's postings are decoded back to tf
+    rows by :func:`decode_index_df` (executor-side pandas UDF — postings
+    are never collected to the driver), unioned, deduped keep-latest by
+    doc_id (a doc re-delivered in a later stream batch wins, so
+    at-least-once sources compact to exactly-once state), then re-encoded
+    with :func:`encode_tf` under the merged corpus stats — which also
+    restores tight per-block max-impact bounds for WAND.
     """
-    import numpy as np
-    import pandas as pd
-
-    from ..operators.postings_codec import decode_postings
+    from ..operators.compressed_index import decode_index_df, encode_tf
 
     segs = list_segments(index_dir)
-    recs = []
-    for seg in segs:
-        for r in spark.read.parquet(f"{seg}/postings").collect():
-            ids, tfs = decode_postings(
-                gaps=bytes(r["gaps"]), tfs=bytes(r["tfs"]), n=int(r["n"]),
-                skips=bytes(r["skips"]), block_size=int(r["block_size"]),
-            )
-            for d, t in zip(ids.tolist(), tfs.tolist()):
-                recs.append((r["term"], d, t))
-    tf = spark.createDataFrame(pd.DataFrame(recs, columns=["term", "doc_id", "tf"]))
+    seg_ids = {s: i for i, s in enumerate(segs)}  # list order = batch order
+    post = None
     dl = None
     for seg in segs:
-        d = spark.read.parquet(f"{seg}/doclens")
+        p = spark.read.parquet(f"{seg}/postings").withColumn(
+            "_seg", F.lit(seg_ids[seg])
+        )
+        post = p if post is None else post.unionByName(p)
+        d = spark.read.parquet(f"{seg}/doclens").withColumn("_seg", F.lit(seg_ids[seg]))
         dl = d if dl is None else dl.unionByName(d)
+    # keep-latest per doc_id (identity when segments are disjoint)
+    winners = dl.groupBy("doc_id").agg(F.max("_seg").alias("_seg"))
+    dl_latest = dl.join(winners, ["doc_id", "_seg"]).select("doc_id", "doc_len")
     dl_path = f"{index_dir}/compacted/doclens"
-    dl.write.mode("overwrite").parquet(dl_path)
+    dl_latest.write.mode("overwrite").parquet(dl_path)
     r = spark.read.parquet(dl_path).agg(
         F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("a")
     ).collect()[0]
     stats = {"n_docs": int(r["n"]), "avgdl": float(r["a"])}
+
+    tf = decode_index_df(post, keep_cols=("term", "_seg"))
+    tf = tf.join(winners, ["doc_id", "_seg"]).drop("_seg")
     # re-encode from the unioned tf (join doc_len back in)
     tf2 = tf.join(spark.read.parquet(dl_path), "doc_id")
-    from ..operators.compressed_index import encode_tf
-
     idx = encode_tf(tf2, stats["n_docs"], stats["avgdl"], buckets=buckets)
     idx.write.mode("overwrite").partitionBy("bucket").parquet(
         f"{index_dir}/compacted/postings"

@@ -61,3 +61,43 @@ def test_eliminate_final_postposition_with_tags():
     assert eliminate_final_postposition("(사과)", [("(", "SSO"), (")", "SSC")]) == "(사과)"
     # no tags → unchanged
     assert eliminate_final_postposition("사과는") == "사과는"
+
+
+def test_fake_pos_tagger_whitelist_and_trim():
+    """Exercise the MeCab-shaped code path (P5/C10/C11) with a
+    deterministic fake tagger: the POS whitelist drives analysis
+    (search_functions.py:13-22) and eliminate_final_postposition
+    self-tags (search_functions.py:46-68)."""
+    from sifter_mrc_search_engine_spark.functions.analyzer import (
+        analyze,
+        extract_pos,
+        rewrite_query,
+        set_pos_tagger,
+    )
+
+    TAGS = {
+        "서울은": [("서울", "NNP"), ("은", "JX")],
+        "어디에": [("어디", "NP"), ("에", "JKB")],
+        "있나요": [("있", "VV"), ("나요", "EF")],
+    }
+
+    def fake_tagger(sentence):
+        out = []
+        for w in sentence.split():
+            out.extend(TAGS.get(w, [(w, "NNG")]))
+        return out
+
+    set_pos_tagger(fake_tagger)
+    try:
+        # whitelist keeps NNP/VV/NNG, drops JX/NP/JKB/EF
+        assert extract_pos("서울은 어디에 있나요") == ["서울", "있"]
+        assert analyze("서울은 어디에 있나요") == ["서울", "있"]
+        assert rewrite_query("서울은 어디에 있나요") == "서울 있"
+        # C11: trailing josa stripped right-to-left via the installed tagger
+        assert eliminate_final_postposition("서울은") == "서울"
+        # trailing EF ending stripped
+        assert eliminate_final_postposition("있나요") == "있"
+    finally:
+        set_pos_tagger(None)
+    # restored default backend
+    assert analyze("the Quick fox") == ["the", "quick", "fox"]

@@ -84,3 +84,28 @@ def test_condition_filter_keeps_matching_topic_only(spark):
         condition={"path": ["metadata", "topic"], "value": "스포츠"},
     ).collect()
     assert sorted(tuple(r["sentences"]) for r in out) == [("s1", "s2"), ("s3",)]
+
+
+def test_article_ids_stable_under_repartition(spark):
+    """article_id derives from content hashes, not
+    monotonically_increasing_id: the same corpus at different partition
+    layouts yields identical keys, so every downstream seeded draw (NSP
+    coin/negative pick) is reproducible run to run."""
+    import json as _json
+
+    files = [ne_doc([[f"f{i} s{j}" for j in range(3)]]) for i in range(8)]
+    dom = ["named_entity", "#", "content", "#", "sentence"]
+
+    def run(parts):
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame([(s,) for s in files], "js string").repartition(
+            parts
+        ).select(F.from_json("js", NE_SCHEMA).alias("root")).select("root.*")
+        from sifter_mrc_search_engine_spark.sources.extraction import extract_dom
+
+        return sorted(
+            (r["article_id"], tuple(r["sentences"])) for r in extract_dom(df, dom).collect()
+        )
+
+    assert run(1) == run(7)

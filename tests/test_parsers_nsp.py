@@ -109,3 +109,14 @@ def test_mlm_mask_ratio_contract(spark):
     mean = float(np.mean(ratios))
     # 15% selected, 80% of those become MASK => ~0.12
     assert 0.08 < mean < 0.15, mean
+
+
+def test_nsp_pool_not_broadcast(spark, articles):
+    """The negative draw resolves via shuffled equi-joins on
+    (bucket, rank): no broadcast HINT on the sentence pool (at corpus
+    scale that would broadcast every sentence). AQE may still choose a
+    broadcast for a tiny test pool — the contract is that the PLAN never
+    demands one."""
+    out = nsp_pairs(articles, prob=0.5, seed=42)
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    assert "strategy=broadcast" not in analyzed

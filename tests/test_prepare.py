@@ -36,3 +36,21 @@ def test_prepare_with_html_and_lang(spark):
     assert kept == [0]
     texts = {r["doc_id"]: r["text"] for r in clean.collect()}
     assert texts[0] == "the quick document of the day with words"
+
+
+def test_prepare_single_input_scan(spark, tmp_path):
+    """The audit aggregates flag columns in ONE pass: its plan contains
+    exactly one scan of the input (the r1 version re-scanned per stage
+    counter — a ~5x input multiplier at corpus scale)."""
+    p = str(tmp_path / "docs")
+    rows = [(i, f"the document number {i} of the corpus with a few words") for i in range(20)]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(p)
+    docs = spark.read.parquet(p)
+    clean, audit = prepare_corpus(docs, lang="en")
+    plan = audit._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Relation") == 1, plan
+    a = audit.collect()[0]
+    assert a["input"] == 20 and a["after_exact_dedup"] == 20
+    # clean output is itself a single-scan plan
+    cplan = clean._jdf.queryExecution().optimizedPlan().toString()
+    assert cplan.count("Relation") == 1, cplan

@@ -71,3 +71,43 @@ def test_domain_filter(service):
 def test_empty_result_for_unknown_terms(service):
     out = service.inference("zzznotaterm")
     assert out["answers"] == []
+
+
+def test_domain_overfetch_reaches_deep_docs(service):
+    """A domain query must return up to doc_page_size in-domain answers
+    even when the global top page holds few of them — the service
+    over-fetches at search time instead of post-filtering the top page
+    (reference routes per-domain at search time, server.py:218-223)."""
+    out = service.inference(VOCAB[0], top_k=10, doc_page_size=10, domain="spo")["answers"]
+    assert all(x["domain"] == "spo" for x in out)
+    # corpus has ~133 'spo' docs and VOCAB[0] is a head term: a full page
+    # of in-domain hits must exist even though only ~1/3 of the global
+    # top-10 is 'spo'
+    assert len(out) == 10
+    scores = [x["score"] for x in out]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_answer_postposition_trim_wired(service):
+    """server.py:96-102: every returned answer passes through
+    eliminate_final_postposition; with a tagger installed the trailing
+    josa disappears from 'answer' while 'raw_answer' keeps the original."""
+    from sifter_mrc_search_engine_spark.functions.analyzer import set_pos_tagger
+
+    out = service.inference(VOCAB[0], top_k=3)["answers"]
+    assert all(a["answer"] == a["raw_answer"] for a in out)  # no tagger -> no-op
+
+    def tagger(sentence):
+        # tag the final token of 'doc NNN' titles as a strippable josa
+        head, _, tail = sentence.rpartition(" ")
+        return [(head, "NNG"), (" ", "SC"), (tail, "JX")] if head else [(sentence, "NNG")]
+
+    set_pos_tagger(tagger)
+    try:
+        out = service.inference(VOCAB[0], top_k=3)["answers"]
+        for a in out:
+            assert a["raw_answer"].startswith("doc ")
+            # both the JX-tagged tail and the SC-tagged space are stripped
+            assert a["answer"] == a["raw_answer"].rsplit(" ", 1)[0]
+    finally:
+        set_pos_tagger(None)

@@ -79,3 +79,83 @@ def test_compaction_preserves_results(spark, streamed):
         assert [d for d, _ in got] == [d for d, _ in expected], q
         for (gd, gs), (ed, es) in zip(got, expected):
             assert gs == pytest.approx(es, rel=1e-12, abs=1e-12)
+
+
+def test_compaction_blockmax_tight(spark, streamed):
+    """Post-compaction the per-block impact bounds are exact maxima under
+    the merged stats (segment-era bounds were stale-but-safe): every
+    block's stored max equals the max recomputed impact of its postings,
+    so WAND pruning over the compacted index is as tight as a batch build."""
+    import json
+    import numpy as np
+    from sifter_mrc_search_engine_spark.constants import BM25_B, BM25_K1
+    from sifter_mrc_search_engine_spark.operators.postings_codec import (
+        decode_blockmax,
+        decode_postings,
+    )
+
+    _, idx_dir = streamed
+    compact_dir = f"{idx_dir}/compacted"
+    stats = json.loads(open(f"{compact_dir}/stats.json").read())
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    dl = {
+        r["doc_id"]: r["doc_len"]
+        for r in spark.read.parquet(f"{compact_dir}/doclens").collect()
+    }
+    rows = spark.read.parquet(f"{compact_dir}/postings").collect()
+    assert rows
+    for r in rows[:50]:
+        ids, tfs = decode_postings(
+            gaps=bytes(r["gaps"]), tfs=bytes(r["tfs"]), n=int(r["n"]),
+            skips=bytes(r["skips"]), block_size=int(r["block_size"]),
+        )
+        df = int(r["df"])
+        idf = np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        tf = tfs.astype(np.float64)
+        dls = np.array([dl[int(i)] for i in ids], dtype=np.float64)
+        imp = idf * tf * (BM25_K1 + 1.0) / (tf + BM25_K1 * ((1.0 - BM25_B) + BM25_B * dls / avgdl))
+        bm = decode_blockmax(bytes(r["blockmax"]))
+        bs = int(r["block_size"])
+        for b in range(bm.size):
+            true_max = imp[b * bs : (b + 1) * bs].max()
+            assert bm[b] == pytest.approx(true_max, rel=1e-12)
+
+
+def test_overlapping_segments_detected_and_compacted(spark, tmp_path):
+    """A doc_id re-delivered in a later batch: the searcher refuses the
+    inconsistent segment set; compaction dedupes keep-latest."""
+    from sifter_mrc_search_engine_spark.plans.query import IndexSearcher
+    from sifter_mrc_search_engine_spark.streaming.incremental import _write_segment
+
+    idx_dir = str(tmp_path / "idx")
+    seg0 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma")], "doc_id long, text string"
+    )
+    # doc 2 re-delivered with NEW content in the later segment
+    seg1 = spark.createDataFrame(
+        [(2, "alpha alpha delta"), (3, "gamma delta")], "doc_id long, text string"
+    )
+    _write_segment(seg0, f"{idx_dir}/segments/seg=0", buckets=4)
+    _write_segment(seg1, f"{idx_dir}/segments/seg=1", buckets=4)
+
+    with pytest.raises(ValueError, match="overlap"):
+        MultiSegmentSearcher(spark, idx_dir, buckets=4)
+
+    compact_dir = compact_segments(spark, idx_dir, buckets=4)
+    # latest content wins: exactly-once corpus == docs 1,3 + NEW doc 2
+    latest = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha alpha delta"), (3, "gamma delta")],
+        "doc_id long, text string",
+    )
+    from sifter_mrc_search_engine_spark.operators.bm25 import bm25_brute_force
+
+    s = IndexSearcher(spark, compact_dir, buckets=4)
+    for q in ["alpha", "gamma delta", "beta"]:
+        expected = [
+            (r["doc_id"], r["score"])
+            for r in bm25_brute_force(latest, q, top_k=10).collect()
+        ]
+        got = s.search(q, top_k=10)
+        assert [d for d, _ in got] == [d for d, _ in expected], q
+        for (gd, gs), (ed, es) in zip(got, expected):
+            assert gs == pytest.approx(es, rel=1e-12, abs=1e-12)
