@@ -124,9 +124,32 @@ def _q_wand_compressed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: derived two-field shape for BM25F: title = first 8 space-tokens, boosted 2x
+_BM25F_WEIGHTS = {"title": 2.0, "content": 1.0}
+_BM25F_SQL_FIELDS = {
+    "title": "array_to_string((string_split(text, ' '))[1:8], ' ')",
+    "content": "text",
+}
+
+
+def _q_bm25f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25F with a 2x title boost over derived (title, content) fields —
+    the reference's searchField semantics (search_functions.py:92-95)."""
+    from sifter_mrc_search_engine_spark.operators.bm25f import bm25f_brute_force
+
+    two_field = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(F.split("text", " "), 1, 8)).alias("title"),
+        F.col("text").alias("content"),
+    )
+    out = bm25f_brute_force(two_field, FLAGSHIP_QUESTION, _BM25F_WEIGHTS, top_k=10)
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "bm25_topk_flagship": _q_bm25(FLAGSHIP_QUESTION),
+        "bm25f_topk": _q_bm25f,
         "bm25_topk_multi": _q_bm25("spark join merge table"),
         "bm25_topk_single": _q_bm25("window", 5),
         "bm25_topk_wand_compressed": _q_wand_compressed,
@@ -213,8 +236,13 @@ def _q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def oracle_sql() -> dict[str, str]:
+    from sifter_mrc_search_engine_spark.operators.bm25f import bm25f_oracle_sql
+
     o = {
         "bm25_topk_flagship": bm25.bm25_oracle_sql(FLAGSHIP_QUESTION, 10),
+        "bm25f_topk": bm25f_oracle_sql(
+            FLAGSHIP_QUESTION, _BM25F_SQL_FIELDS, _BM25F_WEIGHTS, top_k=10
+        ),
         "bm25_topk_wand_compressed": bm25.bm25_oracle_sql(FLAGSHIP_QUESTION, 10),
         "dedup_exact": _dd.sql_dedup_exact(),
         "dedup_shingles": _dd.sql_shingles(),

@@ -40,6 +40,7 @@ def extract_dom(
     df: DataFrame,
     data_dom: Sequence[str],
     condition: dict | None = None,
+    split: bool = False,
 ) -> DataFrame:
     """Walk ``data_dom`` over a parsed-JSON DataFrame.
 
@@ -99,6 +100,14 @@ def extract_dom(
     else:
         art_key = F.col("_file").cast("long")
     out = cur.select(art_key.alias("article_id"), col.alias("sentence"))
+    if split:
+        # extractor.py:131-134: split each extracted string into sentences
+        from ..functions.sentences import split_sentences_udf
+
+        out = out.select(
+            "article_id",
+            F.explode(split_sentences_udf(F.col("sentence"))).alias("sentence"),
+        )
     return out.groupBy("article_id").agg(
         F.collect_list("sentence").alias("sentences")
     )

@@ -7,13 +7,14 @@ and splits parsed text into length-filtered paragraphs. Spark mapping:
   binaryFile scan -> extension dispatch (CASE WHEN) -> per-format pandas
   UDF -> split paragraphs -> explode -> length filter
 
-TEXT parsing is fully implemented (pure stdlib, text_parser.py:5-14
-semantics). PDF/DOCX/HWP/PPTX require third-party decoders (pdfminer,
-docx2txt, olefile, python-pptx) that this container does not ship; each is
-import-gated — the Spark plumbing (dispatch, schema, batch shape, paragraph
-splitting) is real and tested through the TEXT path, and the decoder
-raises ``NotImplementedError`` naming the missing library, matching the
-task's stub contract for unavailable media libs.
+TEXT and HWP parsing are fully implemented in pure stdlib (HWP rides the
+minimal CFB reader in sources/cfb.py — no olefile needed). PDF/DOCX/PPTX
+require third-party decoders (pdfminer, docx2txt, python-pptx) that this
+container does not ship; each is import-gated — the Spark plumbing
+(dispatch, schema, batch shape, paragraph splitting) is real and tested
+through the TEXT/HWP paths, and the gated decoders raise
+``NotImplementedError`` naming the missing library, matching the task's
+stub contract for unavailable media libs.
 """
 
 from __future__ import annotations
@@ -74,32 +75,87 @@ def parse_docx_buffer(buf: bytes) -> list[str]:
     return [p for p in text.split("\n\n\n") if len(p) > MIN_PARAGRAPH_LEN]
 
 
+#: the embedded control sequence the reference scrubs (hwp_parser.py:65)
+_HWP_CTRL_SEQ = "\x02捤獥\x00\x00\x00\x00\x02\x02汤捯\x00\x00\x00\x00\x02"
+#: HWP text record tag (hwp_parser.py:52)
+_HWP_TEXT_TAG = 67
+
+
 def parse_hwp_buffer(buf: bytes) -> list[str]:
-    """HWP: OLE walk + raw-deflate BodyText records, UTF-16 text records
-    (tag 67), control-char scrub (hwp_parser.py:11-67). Needs olefile for
-    the container; the zlib raw-inflate (wbits=-15) + record-header decode
-    (tag = hdr & 0x3ff, len = (hdr >> 20) & 0xfff) are stdlib and kept."""
-    try:
-        import olefile  # type: ignore
-    except ImportError:
-        return _missing("olefile", "HWP")(buf)
-    ole = olefile.OleFileIO(io.BytesIO(buf))
-    sections = sorted(
-        (e for e in ole.listdir() if e[0] == "BodyText"),
-        key=lambda e: int(e[1].replace("Section", "")),
+    """HWP v5: CFB walk + raw-deflate BodyText records, UTF-16 text
+    records (tag 67), control-char scrub — full hwp_parser.py:11-67
+    semantics over the stdlib CFB reader (sources/cfb.py), no olefile:
+
+      * validates FileHeader + HwpSummaryInformation presence (:18-20)
+      * compression flag = FileHeader byte 36 bit 0 (:25)
+      * sections ordered numerically (:29-32)
+      * record header: tag = hdr & 0x3ff, len = (hdr >> 20) & 0xfff (:49-50)
+      * records joined with newlines, then the reference's parse() scrub
+        drops \\n, \\r and the embedded control sequence and returns the
+        whole document as ONE paragraph (:64-67)
+    """
+    from .cfb import CfbReader
+
+    cfb = CfbReader(bytes(buf))
+    names = cfb.list_streams()
+    if ("FileHeader",) not in names or ("\x05HwpSummaryInformation",) not in names:
+        raise ValueError("Not Valid HWP.")
+    header = cfb.read_stream(("FileHeader",))
+    is_compressed = (header[36] & 1) == 1
+    nums = sorted(
+        int(p[1][len("Section"):])
+        for p in names
+        if len(p) == 2 and p[0] == "BodyText" and p[1].startswith("Section")
     )
-    out = []
-    for sec in sections:
-        data = zlib.decompress(ole.openstream(sec).read(), -15)
+    text = ""
+    for num in nums:
+        data = cfb.read_stream(("BodyText", f"Section{num}"))
+        if is_compressed:
+            data = zlib.decompress(data, -15)
         i = 0
+        section_text = ""
         while i < len(data):
             hdr = int.from_bytes(data[i : i + 4], "little")
             tag, length = hdr & 0x3FF, (hdr >> 20) & 0xFFF
-            if tag == 67:
-                text = data[i + 4 : i + 4 + length].decode("utf-16", errors="ignore")
-                out.append(text.replace("\n", ""))
+            if tag == _HWP_TEXT_TAG:
+                section_text += data[i + 4 : i + 4 + length].decode("utf-16")
+                section_text += "\n"
             i += 4 + length
-    return [p for p in out if len(p) > MIN_PARAGRAPH_LEN]
+        text += section_text + "\n"
+    content = text.replace("\n", "").replace("\r", "").replace(_HWP_CTRL_SEQ, "")
+    return [p for p in [content] if len(p) > MIN_PARAGRAPH_LEN]
+
+
+def hwp_record(tag: int, payload: bytes, level: int = 0) -> bytes:
+    """One HWP record: 32-bit header (tag | level<<10 | size<<20) + payload."""
+    assert len(payload) < 0xFFF
+    hdr = (tag & 0x3FF) | ((level & 0x3FF) << 10) | (len(payload) << 20)
+    return hdr.to_bytes(4, "little") + payload
+
+
+def synthesize_hwp(sections: list[list[str]], compressed: bool = True) -> bytes:
+    """Deterministic HWP v5 fixture: each section is a list of text
+    records (tag 67, UTF-16LE), raw-deflated when ``compressed``, in a
+    CFB container with the FileHeader/SummaryInformation streams the
+    reference validates. A non-text record (tag 66) is interleaved so
+    parsers must actually filter by tag."""
+    from .cfb import cfb_write
+
+    header = bytearray(256)
+    header[:15] = b"HWP Document Fi"
+    header[36] = 0x01 if compressed else 0x00
+    streams: dict[tuple[str, ...], bytes] = {
+        ("FileHeader",): bytes(header),
+        ("\x05HwpSummaryInformation",): b"\x00" * 48,
+    }
+    for i, texts in enumerate(sections):
+        body = hwp_record(66, b"\x01\x02\x03\x04")  # para-header noise
+        for t in texts:
+            body += hwp_record(_HWP_TEXT_TAG, t.encode("utf-16-le"))
+        streams[("BodyText", f"Section{i}")] = (
+            zlib.compress(body)[2:-4] if compressed else body
+        )
+    return cfb_write(streams)
 
 
 def parse_pptx_buffer(buf: bytes) -> list[str]:

@@ -109,3 +109,59 @@ def test_article_ids_stable_under_repartition(spark):
         )
 
     assert run(1) == run(7)
+
+
+def test_sentence_splitter_rules():
+    from sifter_mrc_search_engine_spark.functions.sentences import split_sentences
+
+    assert split_sentences("첫 문장입니다. 둘째 문장이다! 셋째는요?") == [
+        "첫 문장입니다.",
+        "둘째 문장이다!",
+        "셋째는요?",
+    ]
+    # decimals survive; terminator runs stay attached; tail w/o punct kept
+    assert split_sentences("pi is 3.14 exactly. next part") == [
+        "pi is 3.14 exactly.",
+        "next part",
+    ]
+    assert split_sentences("really?! yes… ok") == ["really?!", "yes…", "ok"]
+    assert split_sentences("") == []
+    assert split_sentences(None) == []
+
+
+def test_extract_dom_split_true(spark):
+    """extractor.py:131-134: split=True explodes each extracted string
+    into sentences before the per-article collect."""
+    files = [ne_doc([["one sentence. two sentence.", "standalone"]])]
+    dom = ["named_entity", "#", "content", "#", "sentence"]
+    out = extract_dom_json_strings(spark, files, dom, NE_SCHEMA)
+    plain = sorted(tuple(r["sentences"]) for r in out.collect())
+    assert plain == [("one sentence. two sentence.", "standalone")]
+    from sifter_mrc_search_engine_spark.sources.extraction import extract_dom
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(s,) for s in files], "js string").select(
+        F.from_json("js", NE_SCHEMA).alias("root")
+    ).select("root.*")
+    split_out = sorted(
+        tuple(r["sentences"]) for r in extract_dom(df, dom, split=True).collect()
+    )
+    assert split_out == [("one sentence.", "two sentence.", "standalone")]
+
+
+def test_splitter_udf_matches_python(spark):
+    from sifter_mrc_search_engine_spark.functions.sentences import (
+        split_sentences,
+        split_sentences_udf,
+    )
+    from pyspark.sql import functions as F
+
+    texts = [
+        "a b. c d! e?",
+        "no punctuation at all",
+        "tail… mixed?! done.",
+        "숫자 3.14 보존. 다음 문장.",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    got = {r["t"]: list(r["s"]) for r in df.select("t", split_sentences_udf("t").alias("s")).collect()}
+    assert got == {t: split_sentences(t) for t in texts}

@@ -1,3 +1,5 @@
+import pytest
+
 from sifter_mrc_search_engine_spark.operators.index_build import (
     combine_search_fields,
 )
@@ -16,3 +18,70 @@ def test_combine_missing_field_ignored(spark):
     df = spark.createDataFrame([(1, "just content")], "doc_id long, content string")
     out = combine_search_fields(df).collect()[0]
     assert out["text"] == "just content"
+
+
+# --- BM25F -------------------------------------------------------------------
+
+
+def test_bm25f_single_field_unit_weight_equals_bm25(spark, sf_dir):
+    """With one field at weight 1.0, BM25F degenerates to plain BM25 —
+    scores must be exactly equal (same float64 shapes)."""
+    from sifter_mrc_search_engine_spark.operators.bm25 import bm25_brute_force
+    from sifter_mrc_search_engine_spark.operators.bm25f import bm25f_brute_force
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = [(r["doc_id"], r["score"]) for r in bm25_brute_force(docs, "the fast query", top_k=10).collect()]
+    b = [
+        (r["doc_id"], r["score"])
+        for r in bm25f_brute_force(docs, "the fast query", {"text": 1.0}, top_k=10).collect()
+    ]
+    assert [d for d, _ in a] == [d for d, _ in b]
+    for (_, sa), (_, sb) in zip(a, b):
+        assert sa == pytest.approx(sb, rel=1e-12)
+
+
+def test_bm25f_title_boost_changes_ranking(spark):
+    """A term appearing in the boosted title outranks the same term
+    appearing only in the body, all else equal."""
+    from sifter_mrc_search_engine_spark.operators.bm25f import bm25f_brute_force
+
+    rows = [
+        (1, "zebra news", "common words fill the body here today"),
+        (2, "common words", "zebra fill the body here today extra"),
+        (3, "other title", "common words fill the body here today"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, title string, content string")
+    boosted = bm25f_brute_force(docs, "zebra", {"title": 3.0, "content": 1.0}, top_k=3).collect()
+    assert boosted[0]["doc_id"] == 1  # title hit wins under the boost
+
+
+def test_bm25f_duckdb_parity(spark, sf_dir):
+    import duckdb
+
+    from sifter_mrc_search_engine_spark.operators.bm25f import (
+        bm25f_brute_force,
+        bm25f_oracle_sql,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    two = docs.select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(F.split("text", " "), 1, 8)).alias("title"),
+        F.col("text").alias("content"),
+    )
+    w = {"title": 2.0, "content": 1.0}
+    got = [
+        (r["doc_id"], round(r["score"], 4))
+        for r in bm25f_brute_force(two, "the fast query", w, top_k=10).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'")
+    sql = bm25f_oracle_sql(
+        "the fast query",
+        {"title": "array_to_string((string_split(text, ' '))[1:8], ' ')", "content": "text"},
+        w,
+        top_k=10,
+    )
+    exp = con.execute(sql).fetchall()
+    assert got == [(d, s) for d, s in exp]

@@ -1,0 +1,119 @@
+"""HTTP front door: the reference's GET/POST /inference + /inference/file
+routes (server.py:54-188) over stdlib http.server."""
+
+import json
+import urllib.error
+import urllib.request
+import uuid
+
+import pytest
+
+from sifter_mrc_search_engine_spark.plans.checkpoint import build_index_resumable
+from sifter_mrc_search_engine_spark.plans.http_service import HttpFrontDoor
+from sifter_mrc_search_engine_spark.plans.query import IndexSearcher
+from sifter_mrc_search_engine_spark.plans.service import InferenceService
+from sifter_mrc_search_engine_spark.sources.pages import VOCAB, synthesize_pages
+
+
+@pytest.fixture(scope="module")
+def door(spark, tmp_path_factory):
+    idx = str(tmp_path_factory.mktemp("http_idx"))
+    pages = synthesize_pages(spark, 200, partitions=2).selectExpr(
+        "cast(split(url, '/')[4] as long) as doc_id", "url", "text"
+    )
+    build_index_resumable(pages, idx, buckets=8)
+    meta = {
+        int(r["doc_id"]): {
+            "DOCID": f"web{r['doc_id']:09d}",
+            "title": f"doc {r['doc_id']}",
+            "url": r["url"],
+            "content": r["text"][:80],
+        }
+        for r in pages.collect()
+    }
+    svc = InferenceService(IndexSearcher(spark, idx, buckets=8, preload=True), meta)
+    d = HttpFrontDoor(svc).start()
+    yield d
+    d.stop()
+
+
+def _get(door, path):
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{door.port}{path}") as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def _post(door, path, data, headers):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{door.port}{path}", data=data, headers=headers, method="POST"
+    )
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_get_inference_roundtrip(door):
+    code, out = _get(door, f"/inference?question={VOCAB[0]}&top_k=3")
+    assert code == 200
+    assert out["commonQuery"] == VOCAB[0]
+    assert 0 < len(out["answers"]) <= 3
+    assert out["answers"][0]["rank"] == 1 and "score" in out["answers"][0]
+
+
+def test_get_validation_and_404(door):
+    code, out = _get(door, f"/inference?question={VOCAB[0]}&top_k=99")
+    assert code == 400 and "top_k" in out["detail"]
+    code, out = _get(door, "/inference?question=zzznotaterm")
+    assert code == 404 and out["detail"] == "검색된 문서가 없습니다."
+    code, _ = _get(door, "/nope")
+    assert code == 404
+
+
+def test_post_inference_json_body(door):
+    body = json.dumps({"question": VOCAB[0], "top_k": 2}).encode()
+    code, out = _post(door, "/inference", body, {"Content-Type": "application/json"})
+    assert code == 200 and len(out["answers"]) <= 2
+
+
+def test_post_inference_file_multipart(door):
+    boundary = uuid.uuid4().hex
+    text = (
+        "the quick brown fox paragraph about spark engines\n\n\n"
+        "an unrelated paragraph about cooking pasta dinners\n\n\n"
+        "another spark paragraph mentioning fox twice fox"
+    )
+    parts = (
+        f"--{boundary}\r\nContent-Disposition: form-data; name=\"question\"\r\n\r\n"
+        f"spark fox\r\n"
+        f"--{boundary}\r\nContent-Disposition: form-data; name=\"file\"; "
+        f"filename=\"up.txt\"\r\nContent-Type: text/plain\r\n\r\n{text}\r\n"
+        f"--{boundary}--\r\n"
+    ).encode()
+    code, out = _post(
+        door, "/inference/file", parts,
+        {"Content-Type": f"multipart/form-data; boundary={boundary}"},
+    )
+    assert code == 200
+    answers = out["answers"]
+    assert answers and answers[0]["rank"] == 1
+    # the double-fox spark paragraph outranks the pasta one
+    assert "fox twice fox" in answers[0]["raw_answer"]
+    assert all("pasta" not in a["raw_answer"] for a in answers[:1])
+
+
+def test_post_file_unsupported_extension(door):
+    boundary = uuid.uuid4().hex
+    parts = (
+        f"--{boundary}\r\nContent-Disposition: form-data; name=\"question\"\r\n\r\nq\r\n"
+        f"--{boundary}\r\nContent-Disposition: form-data; name=\"file\"; "
+        f"filename=\"x.xyz\"\r\n\r\ndata\r\n--{boundary}--\r\n"
+    ).encode()
+    code, out = _post(
+        door, "/inference/file", parts,
+        {"Content-Type": f"multipart/form-data; boundary={boundary}"},
+    )
+    assert code == 400 and "unsupported" in out["detail"]
