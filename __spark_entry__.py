@@ -258,6 +258,30 @@ def oracle_sql() -> dict[str, str]:
         # seed-fixed hyperplanes inlined as float64 literals -> the LSH
         # probe is fully SQL-expressible after all
         "sim_ann_lsh_topk": _sim.sql_ann_topk(0, k=10, n_planes=4),
+        # one-pass audit: input / quality-gate survivors / exact-dedup
+        # keepers are all plain aggregates over the documents view
+        "pipeline_prepare_corpus": """
+WITH f AS (
+  SELECT doc_id, text,
+         (length(text) >= 10
+          AND (CASE WHEN length(text) > 0
+               THEN length(regexp_replace(text, '[^a-zA-Z0-9가-힣]', '', 'g'))
+                    / length(text) ELSE 0 END) > 0.5
+          AND len(regexp_extract_all(lower(text), '[a-z0-9가-힣]+')) >= 3) AS q
+  FROM documents
+)
+SELECT count(*) AS input,
+       CAST(sum(CASE WHEN q THEN 1 ELSE 0 END) AS BIGINT) AS after_quality,
+       CAST(count(DISTINCT CASE WHEN q THEN md5(text) END) AS BIGINT)
+         AS after_exact_dedup
+FROM f
+""",
+        # masking preserves array length, so n_tokens == the token count
+        "pipeline_mlm_mask": """
+SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z0-9가-힣]+')) AS n_tokens
+FROM documents
+WHERE len(regexp_extract_all(lower(text), '[a-z0-9가-힣]+')) > 0
+""",
     }
     o.update(_rel.ORACLES)
     o.update({

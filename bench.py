@@ -11,8 +11,13 @@ Workloads:
   * index_build_pages  — compressed (varbyte+blockmax) index over a
                          synthesized Common-Crawl-style corpus (the real
                          engine workload; docs count scales with sf)
-  * wand_batch         — distributed batch of 24 WAND queries over the
-                         just-built index
+  * wand_batch         — distributed batch of 24 queries over the
+                         just-built index (decode-once-per-term scan,
+                         in-plan doclen join, exact per-query numpy
+                         kernel — no driver broadcast of norms)
+  * wand_batch_local   — same batch, scatter-gather on the driver with
+                         the WAND/dense kernels (serving-head shape)
+  * batch_relational   — same batch as ONE pure-Catalyst relational plan
 """
 
 from __future__ import annotations

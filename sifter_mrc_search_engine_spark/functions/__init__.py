@@ -1,4 +1,5 @@
 from .cleaning import clean_text, clean_text_udf
+from .sentences import split_sentences, split_sentences_udf
 from .analyzer import (
     analyze,
     analyze_udf,
@@ -9,6 +10,8 @@ from .analyzer import (
 
 __all__ = [
     "clean_text",
+    "split_sentences",
+    "split_sentences_udf",
     "clean_text_udf",
     "analyze",
     "analyze_udf",

@@ -7,8 +7,10 @@ from .index_build import (
     build_postings,
 )
 from .bm25 import bm25_brute_force, bm25_term_scores
+from .bm25f import bm25f_brute_force
 
 __all__ = [
+    "bm25f_brute_force",
     "tokens",
     "term_frequencies",
     "doc_lengths",

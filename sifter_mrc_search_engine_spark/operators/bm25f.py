@@ -54,15 +54,20 @@ def bm25f_brute_force(
         return docs.sparkSession.createDataFrame([], "doc_id long, score double")
     names = sorted(fields)
 
-    # weighted tf: per-field counts -> Σ w_f * tf_f (fixed field order)
-    per_field = None
-    for f_name in names:
-        part = docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(tokenize_expr(f_name)).alias("term"),
-            F.lit(f_name).alias("field"),
-        ).filter(F.col("term").isin(qterms))
-        per_field = part if per_field is None else per_field.unionByName(part)
+    # weighted tf: per-field counts -> Σ w_f * tf_f (fixed field order).
+    # All fields tokenize inside ONE struct-array explode over ONE scan —
+    # a per-field union would re-read the table once per field at scale.
+    field_toks = F.array(
+        *[
+            F.struct(F.lit(n).alias("field"), tokenize_expr(n).alias("toks"))
+            for n in names
+        ]
+    )
+    per_field = (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(field_toks).alias("ft"))
+        .select("doc_id", F.col("ft.field").alias("field"), F.explode("ft.toks").alias("term"))
+        .filter(F.col("term").isin(qterms))
+    )
     ftf = per_field.groupBy("term", "doc_id", "field").agg(
         F.count(F.lit(1)).alias("tf")
     )
@@ -81,12 +86,14 @@ def bm25f_brute_force(
         F.count(F.lit(1)).alias("n_docs"), F.avg("wdl").alias("avg_wdl")
     )
 
-    dfreq = wtf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    joined = (
-        wtf.join(F.broadcast(dfreq), "term")
-        .join(wdl, "doc_id")
-        .crossJoin(F.broadcast(stats))
+    # df as a window over the aggregated (term, doc) rows — a separate
+    # dfreq aggregate would re-scan the input a third time
+    from pyspark.sql import Window
+
+    wtf = wtf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
     )
+    joined = wtf.join(wdl, "doc_id").crossJoin(F.broadcast(stats))
     norm = F.col("wtf") + F.lit(k1) * (
         F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("wdl") / F.col("avg_wdl")
     )

@@ -186,6 +186,9 @@ def cfb_write(streams: dict[tuple[str, ...], bytes]) -> bytes:
     minifat: list[int] = []
     mini_start: dict[tuple, int] = {}
     for p in sorted(small):
+        if not small[p]:  # empty stream: no sectors, chain is ENDOFCHAIN
+            mini_start[p] = ENDOFCHAIN
+            continue
         data = _pad(small[p], MINI_SECT)
         n = len(data) // MINI_SECT
         mini_start[p] = len(minifat)

@@ -87,3 +87,65 @@ def test_hwp_record_roundtrip_bitfields():
     assert hdr & 0x3FF == 67
     assert (hdr >> 10) & 0x3FF == 3
     assert (hdr >> 20) & 0xFFF == len("텍스트".encode("utf-16-le"))
+
+
+# --- property tests ----------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_name = st.text(
+    alphabet=st.characters(min_codepoint=65, max_codepoint=122), min_size=1, max_size=12
+)
+_payload = st.binary(min_size=0, max_size=9000)  # straddles the 4096 mini cutoff
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.dictionaries(
+        st.one_of(
+            _name.map(lambda n: (n,)),
+            st.tuples(_name, _name),
+        ),
+        _payload,
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_cfb_roundtrip_property(streams):
+    # a storage name must not collide with a stream name at top level
+    tops_as_storage = {p[0] for p in streams if len(p) == 2}
+    streams = {
+        p: b for p, b in streams.items() if not (len(p) == 1 and p[0] in tops_as_storage)
+    }
+    if not streams:
+        return
+    buf = cfb_write(streams)
+    r = CfbReader(buf)
+    assert r.list_streams() == sorted(streams)
+    for p, data in streams.items():
+        assert r.read_stream(p) == data
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                blacklist_characters=".!?…", blacklist_categories=("Cs", "Cc", "Zs")
+            ),
+            min_size=1,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    st.sampled_from([". ", "! ", "? ", "… ", "?! "]),
+)
+def test_splitter_reassembles_property(bodies, term):
+    """sentences joined with terminator+space split back to themselves."""
+    from sifter_mrc_search_engine_spark.functions.sentences import split_sentences
+
+    text = "".join(b + term for b in bodies)
+    got = split_sentences(text)
+    assert got == [b + term.strip() for b in bodies]

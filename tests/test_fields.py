@@ -85,3 +85,23 @@ def test_bm25f_duckdb_parity(spark, sf_dir):
     )
     exp = con.execute(sql).fetchall()
     assert got == [(d, s) for d, s in exp]
+
+
+def test_bm25f_tf_side_single_scan(spark, sf_dir):
+    """All fields tokenize inside one struct-array explode: the weighted-tf
+    subplan reads the input once, not once per field."""
+    from sifter_mrc_search_engine_spark.operators.bm25f import bm25f_brute_force
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    two = docs.select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(F.split("text", " "), 1, 8)).alias("title"),
+        F.col("text").alias("content"),
+    )
+    plan = bm25f_brute_force(
+        two, "the fast query", {"title": 2.0, "content": 1.0}, top_k=10
+    )._jdf.queryExecution().optimizedPlan().toString()
+    # 2 relations total: one for the tf side, one for the wdl/stats side
+    # (a per-field union would make it n_fields + 1)
+    assert plan.count("Relation") <= 3, plan
