@@ -146,10 +146,33 @@ def _q_bm25f(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.round("score", 4).alias("score"))
 
 
+def _q_bm25f_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25F from a PERSISTED fielded index (field-prefixed postings +
+    per-field doclens) — same oracle as the query-time plan, proving the
+    stored path is score-identical end to end."""
+    import tempfile
+
+    from sifter_mrc_search_engine_spark.operators.fielded_index import (
+        build_fielded_index,
+        search_bm25f,
+    )
+
+    two_field = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(F.split("text", " "), 1, 8)).alias("title"),
+        F.col("text").alias("content"),
+    )
+    d = tempfile.mkdtemp(prefix="entry_fielded_")
+    build_fielded_index(two_field, ["title", "content"], d, buckets=16)
+    out = search_bm25f(spark, d, FLAGSHIP_QUESTION, _BM25F_WEIGHTS, top_k=10, buckets=16)
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "bm25_topk_flagship": _q_bm25(FLAGSHIP_QUESTION),
         "bm25f_topk": _q_bm25f,
+        "bm25f_topk_indexed": _q_bm25f_indexed,
         "bm25_topk_multi": _q_bm25("spark join merge table"),
         "bm25_topk_single": _q_bm25("window", 5),
         "bm25_topk_wand_compressed": _q_wand_compressed,
@@ -182,6 +205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_nsp_pairs": _q_nsp_pairs,
         "pipeline_mlm_mask": _q_mlm_mask,
         "multimodal_image_features": _q_image_features,
+        "multimodal_audio_windows": _q_audio_windows,
     }
     q.update(_rel.QUERIES)
     return q
@@ -235,12 +259,27 @@ def _q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_features(media).select("media_id", "width", "height")
 
 
+def _q_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-window plumbing over the synthetic media table (rows-only:
+    embeddings come from the stubbed decoder)."""
+    from sifter_mrc_search_engine_spark.operators.multimodal import (
+        audio_windows,
+        synthesize_media,
+    )
+
+    media = synthesize_media(spark, 48)
+    return audio_windows(media).select("media_id", "window_idx", "start_ms", "end_ms")
+
+
 def oracle_sql() -> dict[str, str]:
     from sifter_mrc_search_engine_spark.operators.bm25f import bm25f_oracle_sql
 
     o = {
         "bm25_topk_flagship": bm25.bm25_oracle_sql(FLAGSHIP_QUESTION, 10),
         "bm25f_topk": bm25f_oracle_sql(
+            FLAGSHIP_QUESTION, _BM25F_SQL_FIELDS, _BM25F_WEIGHTS, top_k=10
+        ),
+        "bm25f_topk_indexed": bm25f_oracle_sql(
             FLAGSHIP_QUESTION, _BM25F_SQL_FIELDS, _BM25F_WEIGHTS, top_k=10
         ),
         "bm25_topk_wand_compressed": bm25.bm25_oracle_sql(FLAGSHIP_QUESTION, 10),

@@ -1,0 +1,172 @@
+"""Fielded inverted index — BM25F served from compressed postings.
+
+``operators/bm25f.py`` scores field boosts with a query-time plan over the
+raw corpus; at serving scale the weighted term frequencies must come from
+a PERSISTED index. The trick: store per-field postings under
+field-prefixed terms (``title\\x1fspark``) so the existing codec, bucket
+partitioning, and pruned-scan machinery work unchanged, and keep
+per-field document lengths in the doclens sidecar. Field WEIGHTS stay a
+query-time choice — the index is weight-agnostic, exactly like the
+reference engine's ``searchField`` list (search_functions.py:92-95).
+
+Layout under ``index_dir``:
+  postings/bucket=*/   INDEX_SCHEMA rows, term = "<field>\\x1f<term>"
+  doclens/             (doc_id, field, doc_len) long format
+  stats.json           {"n_docs": N, "fields": [...]}
+
+Query lifecycle (``search_bm25f``): driver-side bucket routing for the
+field-prefixed query terms -> ONE pruned scan -> distributed decode ->
+weighted-tf aggregation -> weighted-doclen join -> the same
+ascending-term float64 fold as the brute-force scorer (bit-compatible,
+pinned by pytest). Note the stored per-block impact bounds are computed
+under per-field stats and are NOT valid for arbitrary weights — this
+path never uses them (exhaustive scoring over the pruned candidates);
+WAND-style pruning for BM25F would need weight-upper-bounded metadata.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Mapping, Sequence
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..constants import BM25_B, BM25_K1, DEFAULT_TOP_K, TERM_BUCKETS
+from ..functions.analyzer import analyze, tokenize_expr
+from ..functions.xxhash import term_bucket
+from .bm25 import idf_expr
+from .compressed_index import decode_index_df, encode_tf, write_index
+
+#: joins field and term in the stored term key; the analyzer's token
+#: alphabet ([a-z0-9가-힣]) can never produce it
+FIELD_SEP = "\x1f"
+
+
+def fielded_tf(docs: DataFrame, fields: Sequence[str], id_col: str = "doc_id") -> DataFrame:
+    """``(term="field\\x1fterm", doc_id, tf, doc_len)`` in ONE scan —
+    doc_len is the FIELD's token length, riding the tokenize explode
+    exactly like tf_doclen does for the single-field build."""
+    field_toks = F.array(
+        *[
+            F.struct(F.lit(f).alias("field"), tokenize_expr(f).alias("toks"))
+            for f in sorted(fields)
+        ]
+    )
+    tok = (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(field_toks).alias("ft"))
+        .select(
+            "doc_id",
+            F.col("ft.field").alias("field"),
+            F.size("ft.toks").cast("long").alias("doc_len"),
+            F.explode("ft.toks").alias("term"),
+        )
+    )
+    return tok.groupBy("field", "term", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("doc_len").alias("doc_len")
+    ).select(
+        F.concat_ws(FIELD_SEP, "field", "term").alias("term"),
+        "doc_id",
+        "tf",
+        "doc_len",
+    )
+
+
+def build_fielded_index(
+    docs: DataFrame,
+    fields: Sequence[str],
+    index_dir: str,
+    id_col: str = "doc_id",
+    buckets: int = TERM_BUCKETS,
+) -> dict:
+    """Build + persist the fielded index; returns stats."""
+    spark = docs.sparkSession
+    field_lens = F.array(
+        *[
+            F.struct(
+                F.lit(f).alias("field"),
+                F.size(tokenize_expr(f)).cast("long").alias("doc_len"),
+            )
+            for f in sorted(fields)
+        ]
+    )
+    dl = docs.select(F.col(id_col).alias("doc_id"), F.explode(field_lens).alias("fl")).select(
+        "doc_id", F.col("fl.field").alias("field"), F.col("fl.doc_len").alias("doc_len")
+    )
+    dl.write.mode("overwrite").parquet(f"{index_dir}/doclens")
+    row = spark.read.parquet(f"{index_dir}/doclens").groupBy().agg(
+        F.countDistinct("doc_id").alias("n"), F.avg("doc_len").alias("a")
+    ).collect()[0]
+    n_docs, avg_any = int(row["n"]), float(row["a"] or 1.0)
+
+    tf = fielded_tf(docs, fields, id_col)
+    # impact bounds stored by encode_tf are per-field artifacts, unused by
+    # the BM25F scorer (see module doc) — any positive avgdl is fine here
+    idx = encode_tf(tf, n_docs, max(avg_any, 1e-9), buckets=buckets)
+    write_index(idx, f"{index_dir}/postings")
+    stats = {"n_docs": n_docs, "fields": sorted(fields)}
+    (Path(index_dir) / "stats.json").write_text(json.dumps(stats))
+    return stats
+
+
+def search_bm25f(
+    spark: SparkSession,
+    index_dir: str,
+    question: str,
+    weights: Mapping[str, float],
+    top_k: int = DEFAULT_TOP_K,
+    buckets: int = TERM_BUCKETS,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Top-k ``(doc_id, score)`` under BM25F from the persisted index —
+    rank- and score-identical to ``bm25f_brute_force`` over the same
+    corpus (pinned by pytest)."""
+    stats = json.loads((Path(index_dir) / "stats.json").read_text())
+    n_docs = int(stats["n_docs"])
+    names = sorted(weights)
+    qterms = sorted(set(analyze(question)))
+    if not qterms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    fterms = [f"{f}{FIELD_SEP}{t}" for f in names for t in qterms]
+    bks = sorted({term_bucket(ft, buckets) for ft in fterms})
+
+    post = spark.read.parquet(f"{index_dir}/postings")
+    cand = post.filter(F.col("bucket").isin(bks)).filter(F.col("term").isin(fterms))
+    dec = decode_index_df(cand, keep_cols=("term",))
+    parts = dec.select(
+        F.substring_index("term", FIELD_SEP, 1).alias("field"),
+        F.substring_index("term", FIELD_SEP, -1).alias("term"),
+        "doc_id",
+        "tf",
+    )
+    w_map = F.create_map(*[F.lit(x) for n in names for x in (n, float(weights[n]))])
+    wtf = parts.groupBy("term", "doc_id").agg(
+        F.sum(F.element_at(w_map, F.col("field")) * F.col("tf")).alias("wtf")
+    )
+    wtf = wtf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
+
+    dl = spark.read.parquet(f"{index_dir}/doclens")
+    wdl = dl.groupBy("doc_id").agg(
+        F.sum(F.element_at(w_map, F.col("field")) * F.col("doc_len")).alias("wdl")
+    )
+    avg_wdl = wdl.agg(F.avg("wdl").alias("avg_wdl"))
+
+    joined = wtf.join(wdl, "doc_id").crossJoin(F.broadcast(avg_wdl))
+    norm = F.col("wtf") + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("wdl") / F.col("avg_wdl")
+    )
+    contrib = idf_expr("df", F.lit(n_docs)) * F.col("wtf") * F.lit(k1 + 1.0) / norm
+    scored = (
+        joined.select("doc_id", "term", contrib.alias("contrib"))
+        .groupBy("doc_id")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("term", "contrib"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["contrib"],
+            ).alias("score")
+        )
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(top_k)

@@ -145,6 +145,47 @@ def video_frame_samples(media: DataFrame, every_ms: int = 1000, dim: int = 16) -
     return media.mapInPandas(gen, FRAME_SCHEMA)
 
 
+AUDIO_WINDOW_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("window_idx", IntegerType(), False),
+        StructField("start_ms", IntegerType(), False),
+        StructField("end_ms", IntegerType(), False),
+        StructField("embedding", ArrayType(FloatType()), False),
+    ]
+)
+
+
+def audio_windows(media: DataFrame, window_ms: int = 500, dim: int = 16) -> DataFrame:
+    """audio -> one row per fixed-length analysis window (the audio twin
+    of video_frame_samples): (media_id, window_idx, start_ms, end_ms,
+    embedding). Decode is STUBBED (no audio libs in this container) as a
+    deterministic hash of (content, window start); the Spark plumbing —
+    variable-length explode inside iterator-batched mapInPandas — is real.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf[pdf["kind"] == "audio"]
+            if pdf.empty:
+                continue
+            out = {"media_id": [], "window_idx": [], "start_ms": [], "end_ms": [], "embedding": []}
+            for mid, content, meta in zip(pdf["media_id"], pdf["content"], pdf["meta"]):
+                dur = int(meta["duration_ms"] or 0)
+                for i, ts in enumerate(range(0, max(dur, 1), window_ms)):
+                    out["media_id"].append(mid)
+                    out["window_idx"].append(i)
+                    out["start_ms"].append(ts)
+                    out["end_ms"].append(min(ts + window_ms, dur))
+                    # STUB: window decode faked as hash(content || ts)
+                    out["embedding"].append(
+                        _fake_embedding(bytes(content) + ts.to_bytes(4, "little"), dim).tolist()
+                    )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(gen, AUDIO_WINDOW_SCHEMA)
+
+
 def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     """Deterministic fake media corpus for plumbing tests."""
     rows = []

@@ -41,3 +41,28 @@ def test_real_decode_is_gated(spark):
 
     with pytest.raises(NotImplementedError, match="Pillow"):
         decode_image_real(b"fakebytes")
+
+
+def test_audio_windows_plumbing(spark):
+    from sifter_mrc_search_engine_spark.operators.multimodal import (
+        audio_windows,
+        synthesize_media,
+    )
+
+    media = synthesize_media(spark, 24)
+    rows = audio_windows(media, window_ms=500).collect()
+    assert rows
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r["media_id"], []).append(r)
+    for mid, ws in by_media.items():
+        ws.sort(key=lambda r: r["window_idx"])
+        # contiguous fixed windows covering [0, duration)
+        assert [w["window_idx"] for w in ws] == list(range(len(ws)))
+        for w in ws:
+            assert w["start_ms"] == w["window_idx"] * 500
+            assert w["end_ms"] > w["start_ms"]
+            assert len(w["embedding"]) == 16
+    # only audio rows produced
+    kinds = {r["media_id"] % 3 for r in rows}
+    assert kinds == {1}  # synthesize_media: kind index 1 == audio
