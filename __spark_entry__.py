@@ -188,6 +188,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_candidate_pairs": lambda s, d: _dd.lsh_candidate_pairs(_docs(s, d)),
         "dedup_ngram_jaccard": lambda s, d: _dd.ngram_jaccard_pairs(_docs(s, d), threshold=0.2),
         "dedup_simhash": lambda s, d: _dd.simhash(_docs(s, d)),
+        "dedup_embedding_cosine": lambda s, d: _sim.embedding_near_dup_pairs(
+            s.read.parquet(f"{d}/embeddings.parquet"), threshold=0.5, n_planes=4
+        ),
         # text analysis
         "text_token_counts": lambda s, d: _ts.token_counts(_docs(s, d)),
         "text_quality_scores": lambda s, d: _ts.quality_scores(_docs(s, d)),
@@ -289,6 +292,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_lsh_candidate_pairs": _dd.sql_lsh_candidate_pairs(),
         "dedup_ngram_jaccard": _dd.sql_ngram_jaccard_pairs(threshold=0.2),
         "dedup_simhash": _dd.sql_simhash(),
+        "dedup_embedding_cosine": _sim.sql_embedding_near_dup_pairs(
+            threshold=0.5, n_planes=4
+        ),
         "text_token_counts": _ts.sql_token_counts(),
         "text_quality_scores": _ts.sql_quality_scores(),
         "text_lang_id": _ts.sql_lang_id(),

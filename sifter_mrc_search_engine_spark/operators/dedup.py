@@ -100,11 +100,20 @@ def lsh_candidate_pairs(
     bands: int = DEFAULT_BANDS,
     k: int = DEFAULT_SHINGLE_K,
     text_col: str = "text",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs ``(doc_a, doc_b)`` via banded MinHash.
 
     Docs sharing ALL rows of at least one band collide in a bucket; the
     pair join is an equi-join on (band, bucket_key) — the scale path.
+
+    ``max_bucket`` is the pathological-skew escape hatch: a (band, key)
+    bucket holding B docs emits B·(B−1)/2 pairs, so one degenerate
+    signature (boilerplate pages, empty docs) can go quadratic. Buckets
+    larger than ``max_bucket`` are DROPPED before the join — a documented
+    recall tradeoff (members of an over-full bucket are near-identical
+    and still pair through their other bands; exact dedup catches byte
+    dups regardless). None (default) keeps exact reference semantics.
     """
     rows = perms // bands
     sig = minhash_signatures(docs, perms, k, text_col)
@@ -115,6 +124,13 @@ def lsh_candidate_pairs(
     buckets = sig.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("bb")
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        sz = F.count(F.lit(1)).over(Window.partitionBy("band", "bkey"))
+        buckets = buckets.withColumn("_sz", sz).filter(
+            F.col("_sz") <= max_bucket
+        ).drop("_sz")
     a = buckets.alias("a")
     b_ = buckets.alias("b")
     return (

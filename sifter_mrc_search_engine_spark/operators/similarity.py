@@ -162,6 +162,99 @@ FROM scored ORDER BY dot / (na * nb) DESC, vec_id ASC LIMIT {k}
 """
 
 
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 0,
+    seed: int = 42,
+    round_to: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs:
+    ``(vec_a, vec_b, cos)`` with ``vec_a < vec_b`` and cosine >= threshold.
+
+    ``n_planes=0``: exact all-pairs self-join (the verification oracle —
+    O(n^2), fine for candidate sets, not for a corpus). ``n_planes>0``:
+    LSH-bucketed — only SAME-bucKET pairs are scored, turning the
+    self-join into a per-bucket equi-join (the 100 TB shape; recall
+    trades against 2^n_planes like any sign-projection LSH).
+    """
+    a = embeddings.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")
+    )
+    b = embeddings.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b")
+    )
+    if n_planes > 0:
+        ba = lsh_bucket_ids(embeddings, n_planes, seed).select(
+            F.col("vec_id").alias("vec_a"),
+            F.col("embedding").alias("emb_a"),
+            F.col("bucket").alias("bkt_a"),
+        )
+        bb = ba.select(
+            F.col("vec_a").alias("vec_b"),
+            F.col("emb_a").alias("emb_b"),
+            F.col("bkt_a").alias("bkt_b"),
+        )
+        pairs = ba.join(bb, (ba["bkt_a"] == bb["bkt_b"]) & (ba["vec_a"] < bb["vec_b"]))
+    else:
+        pairs = a.join(b, a["vec_a"] < b["vec_b"])
+    cos = cosine_expr(F.col("emb_a"), F.col("emb_b"))
+    return (
+        pairs.select("vec_a", "vec_b", cos.alias("_cos"))
+        .filter(F.col("_cos") >= threshold)
+        .select("vec_a", "vec_b", F.round("_cos", round_to).alias("cos"))
+    )
+
+
+def sql_embedding_near_dup_pairs(
+    threshold: float = 0.9,
+    n_planes: int = 0,
+    seed: int = 42,
+    dim: int = 64,
+    table: str = "embeddings",
+    round_to: int = 4,
+) -> str:
+    """DuckDB twin of :func:`embedding_near_dup_pairs`; with n_planes>0
+    the bucket derivation uses the same inlined hyperplane literals as
+    :func:`sql_ann_topk`."""
+    dot = (
+        f"list_sum(list_transform(range(1, {dim} + 1), "
+        "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
+    )
+    nrm = (
+        "sqrt(list_sum(list_transform({t}.embedding, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    )
+    cos = f"{dot} / ({nrm.format(t='a')} * {nrm.format(t='b')})"
+    if n_planes > 0:
+        planes = _planes(dim, n_planes, seed)
+        plane_cols = ", ".join(
+            "[" + ", ".join(f"{c:.17g}" for c in planes[j]) + f"] AS p{j}"
+            for j in range(n_planes)
+        )
+        bucket_terms = " + ".join(
+            f"(CASE WHEN list_sum(list_transform(range(1, {dim} + 1), "
+            f"i -> CAST(e.embedding[i] AS DOUBLE) * p.p{j}[i])) > 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+            for j in range(n_planes)
+        )
+        src = (
+            f"WITH p AS (SELECT {plane_cols}), "
+            f"src AS (SELECT e.vec_id, e.embedding, {bucket_terms} AS bucket "
+            f"FROM {table} e CROSS JOIN p) "
+        )
+        join_cond = "a.bucket = b.bucket AND a.vec_id < b.vec_id"
+        frm = "src a JOIN src b ON " + join_cond
+    else:
+        src = ""
+        frm = f"{table} a JOIN {table} b ON a.vec_id < b.vec_id"
+    return f"""
+{src}SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round({cos}, {round_to}) AS cos
+FROM {frm}
+WHERE {cos} >= {threshold}
+"""
+
+
 def write_bucketed_embeddings(
     embeddings: DataFrame, path: str, n_planes: int = 8, seed: int = 42
 ) -> None:

@@ -142,3 +142,52 @@ def test_ann_bucketed_table_path(emb, spark, tmp_path):
 
     parts = [d for d in os.listdir(path) if d.startswith("bucket=")]
     assert len(parts) > 1  # physically partitioned -> IN-filter prunes dirs
+
+
+def test_embedding_near_dup_exact_parity(emb, con):
+    got = _rows(S.embedding_near_dup_pairs(emb, threshold=0.5))
+    exp = _sql_rows(con, S.sql_embedding_near_dup_pairs(threshold=0.5))
+    assert got == exp
+
+
+def test_embedding_near_dup_bucketed_parity_and_subset(emb, con):
+    bucketed = _rows(S.embedding_near_dup_pairs(emb, threshold=0.5, n_planes=4))
+    exp = _sql_rows(con, S.sql_embedding_near_dup_pairs(threshold=0.5, n_planes=4))
+    assert bucketed == exp
+    # LSH candidates are a subset of the exact pair set (recall tradeoff,
+    # never false positives)
+    exact = set(_rows(S.embedding_near_dup_pairs(emb, threshold=0.5)))
+    assert set(bucketed) <= exact
+
+
+def test_embedding_near_dup_finds_planted_duplicate(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.standard_normal(64).astype(np.float32)
+    near = base + rng.standard_normal(64).astype(np.float32) * 0.01
+    far = rng.standard_normal(64).astype(np.float32)
+    df = spark.createDataFrame(
+        [(0, base.tolist()), (1, near.tolist()), (2, far.tolist())],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = S.embedding_near_dup_pairs(df, threshold=0.95).collect()
+    assert [(p["vec_a"], p["vec_b"]) for p in pairs] == [(0, 1)]
+
+
+def test_lsh_bucket_cap_bounds_pathological_skew(spark, docs, con):
+    """A degenerate corpus where many docs share one band signature:
+    max_bucket caps the quadratic bucket while default semantics are
+    untouched (still equal to the oracle)."""
+    # 40 identical docs + 2 distinct -> one giant bucket per band
+    rows = [(i, "the same boilerplate page content repeated everywhere") for i in range(40)]
+    rows += [(100, "a genuinely different document about spark engines"),
+             (101, "a genuinely different document about spark engines!")]
+    degenerate = spark.createDataFrame(rows, "doc_id long, text string")
+    full = D.lsh_candidate_pairs(degenerate).count()
+    capped = D.lsh_candidate_pairs(degenerate, max_bucket=8).count()
+    assert full >= 40 * 39 // 2  # quadratic blowup without the cap
+    assert capped < full and capped <= 8 * 7 // 2 * 16 + 10
+    # default path (max_bucket=None) still matches the DuckDB oracle
+    got = _rows(D.lsh_candidate_pairs(docs))
+    assert got == _sql_rows(con, D.sql_lsh_candidate_pairs())
