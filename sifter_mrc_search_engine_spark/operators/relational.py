@@ -167,6 +167,32 @@ def source_prefix_counts(spark, sf_dir) -> DataFrame:
     )
 
 
+# stateful-streaming-shaped: session windows with a 30-minute inactivity
+# gap (the batch twin of streaming/stateful.py's applyInPandasWithState
+# path): session boundary = gap > 30 min, session id = running count of
+# boundaries per user
+def user_sessions(spark, sf_dir) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # events.ts is TIMESTAMP_NTZ; session tz is pinned UTC so the
+    # timestamp->long epoch matches DuckDB's epoch() on naive timestamps
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap_min = (epoch - F.lag(epoch).over(w)) / 60.0
+    is_new = F.when(gap_min.isNull() | (gap_min > 30), 1).otherwise(0)
+    sess = F.sum(is_new).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.withColumn("session_id", sess)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+
+
 # streaming-shaped: event-time tumbling window aggregation (the batch twin
 # of the Structured Streaming path in streaming/incremental.py)
 def events_daily_window(spark, sf_dir) -> DataFrame:
@@ -194,6 +220,7 @@ QUERIES = {
     "rel_event_props_extract": event_props_extract,
     "rel_source_prefix_counts": source_prefix_counts,
     "rel_events_daily_window": events_daily_window,
+    "rel_user_sessions": user_sessions,
 }
 
 ORACLES = {
@@ -268,5 +295,22 @@ SELECT substr(source, 1, 4) AS src_prefix, count(*) AS n FROM documents GROUP BY
 SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type, count(*) AS n,
        round(sum(value), 4) AS total
 FROM events GROUP BY 1, 2
+""",
+    "rel_user_sessions": """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         (epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)) / 60.0 AS gap_min
+  FROM events
+),
+s AS (
+  SELECT user_id, ts,
+         sum(CASE WHEN gap_min IS NULL OR gap_min > 30 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM s GROUP BY 1, 2
 """,
 }

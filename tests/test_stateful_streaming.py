@@ -1,0 +1,136 @@
+"""applyInPandasWithState: running per-user totals across micro-batches
+must converge to the batch aggregate over the same input."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sifter_mrc_search_engine_spark.streaming.stateful import (
+    EVENTS_DDL,
+    running_user_totals,
+)
+
+
+def test_running_totals_across_batches(spark, tmp_path):
+    in_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    rows = [
+        (i, f"2024-01-01 00:{i % 60:02d}:00", i % 5, float(i % 7))
+        for i in range(200)
+    ]
+    full = spark.createDataFrame(rows, "event_id long, ts string, user_id long, value double").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id", "value"
+    )
+    # three arriving chunks
+    for c, (lo, hi) in enumerate([(0, 80), (80, 150), (150, 200)]):
+        full.filter(f"event_id >= {lo} and event_id < {hi}").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{in_dir}/chunk={c}")
+
+    # one file per micro-batch so state must carry ACROSS batches
+    stream = (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{in_dir}/chunk=*")
+    )
+    updates = []
+
+    def sink(batch_df, batch_id):
+        updates.extend(
+            (batch_id, r["user_id"], r["n_events"], r["total_value"])
+            for r in batch_df.collect()
+        )
+
+    q = (
+        running_user_totals(stream)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # the LAST update per user == the batch aggregate over everything
+    final = {}
+    for bid, uid, n, tot in sorted(updates):
+        final[uid] = (n, tot)
+    exp = {
+        r["user_id"]: (r["n"], r["t"])
+        for r in full.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("t"))
+        .collect()
+    }
+    assert {u: n for u, (n, _) in final.items()} == {u: n for u, (n, _) in exp.items()}
+    for u in exp:
+        assert final[u][1] == pytest.approx(exp[u][1], rel=1e-12)
+    # state genuinely accumulated ACROSS batches (not per-batch counts):
+    # some user's final count must exceed any single chunk's size share
+    assert max(n for n, _ in final.values()) == max(n for n, _ in exp.values()) == 40
+    # and updates were emitted in more than one micro-batch
+    assert len({bid for bid, *_ in updates}) >= 2
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Append-mode windowed counts: an event older than the watermark at
+    its arrival batch is dropped; the finalized window is emitted once
+    without it."""
+    from sifter_mrc_search_engine_spark.streaming.stateful import (
+        windowed_event_counts,
+    )
+
+    in_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+
+    def chunk(c, rows):
+        df = spark.createDataFrame(
+            rows, "event_id long, ts string, user_id long, value double"
+        ).selectExpr("event_id", "cast(ts as timestamp) as ts", "user_id", "value")
+        df.coalesce(1).write.mode("overwrite").parquet(f"{in_dir}/chunk={c}")
+
+    # batch 0: three on-time events in [00:00, 00:10) + one at 01:00 that
+    # will advance the watermark to 00:50
+    chunk(0, [
+        (0, "2024-01-01 00:01:00", 1, 1.0),
+        (1, "2024-01-01 00:03:00", 1, 1.0),
+        (2, "2024-01-01 00:07:00", 2, 1.0),
+        (3, "2024-01-01 01:00:00", 2, 1.0),
+    ])
+    # batch 1: fresh data only — the 00:50 watermark takes effect and the
+    # [00:00, 00:10) window is finalized/emitted at this batch
+    chunk(1, [
+        (4, "2024-01-01 01:05:00", 1, 1.0),
+    ])
+    # batch 2: a LATE event for the already-finalized window — must be
+    # dropped, not re-opened/re-emitted — plus a fresh one
+    chunk(2, [
+        (5, "2024-01-01 00:02:00", 1, 1.0),   # late beyond watermark
+        (6, "2024-01-01 01:20:00", 1, 1.0),
+    ])
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{in_dir}/chunk=*")
+    )
+    out = []
+
+    def sink(batch_df, batch_id):
+        out.extend((r["win_start"], r["n"]) for r in batch_df.collect())
+
+    q = (
+        windowed_event_counts(stream)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    finalized = {str(w): n for w, n in out}
+    # the 00:00 window finalized with ONLY the 3 on-time events — the late
+    # arrival (event 5) was dropped, not re-opened/re-emitted; the 01:00
+    # window (events 3 and 4) finalized when event 6 pushed the watermark
+    # past its end
+    assert finalized == {"2024-01-01 00:00:00": 3, "2024-01-01 01:00:00": 2}, out
+    assert len(out) == 2  # each window emitted exactly once (append mode)
