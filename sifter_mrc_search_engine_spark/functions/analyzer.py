@@ -115,8 +115,33 @@ def rewrite_query(question: str) -> str:
 
 @pandas_udf(ArrayType(StringType()))
 def analyze_udf(s: pd.Series) -> pd.Series:
-    """Vectorized analyzer: ``string -> array<string>``."""
+    """Vectorized DEFAULT-backend analyzer: ``string -> array<string>``.
+
+    WARNING: this UDF resolves ``_backend`` on the EXECUTOR, where the
+    module is imported fresh — a backend installed on the driver via
+    ``set_backend``/``set_pos_tagger`` does NOT reach it. When a custom
+    backend is active, use :func:`make_analyze_udf`, which captures the
+    current backend by value and ships it with the UDF.
+    """
     return s.map(lambda x: _backend(x) if x is not None else [])
+
+
+def make_analyze_udf():
+    """Build a pandas UDF bound to the CURRENT backend by value.
+
+    cloudpickle serializes the captured callable into the UDF, so a
+    driver-installed tagger genuinely runs on executors — without this,
+    index-side tokenization would silently fall back to the default
+    backend while the query side used the tagger, breaking the
+    rank-identity contract's self-consistency.
+    """
+    backend = _backend
+
+    @pandas_udf(ArrayType(StringType()))
+    def bound_analyze_udf(s: pd.Series) -> pd.Series:
+        return s.map(lambda x: backend(x) if x is not None else [])
+
+    return bound_analyze_udf
 
 
 def tokenize_expr(col: str | Column) -> Column:

@@ -101,3 +101,32 @@ def test_fake_pos_tagger_whitelist_and_trim():
         set_pos_tagger(None)
     # restored default backend
     assert analyze("the Quick fox") == ["the", "quick", "fox"]
+
+
+def test_make_analyze_udf_ships_installed_backend(spark):
+    """A driver-installed tagger must reach executors: make_analyze_udf
+    captures the backend by value (the module-global UDF cannot — fresh
+    executor imports see the default backend)."""
+    from pyspark.sql import functions as F
+
+    from sifter_mrc_search_engine_spark.functions.analyzer import (
+        make_analyze_udf,
+        set_pos_tagger,
+    )
+
+    def shouty_tagger(sentence):
+        # keep only words tagged NNG == words longer than 3 chars
+        return [(w, "NNG" if len(w) > 3 else "JX") for w in sentence.split()]
+
+    df = spark.createDataFrame([("the quick brown fox ran",)], "t string")
+    set_pos_tagger(shouty_tagger)
+    try:
+        bound = make_analyze_udf()
+        got = df.select(bound(F.col("t")).alias("toks")).collect()[0]["toks"]
+        assert got == ["quick", "brown"]  # whitelist applied ON EXECUTORS
+    finally:
+        set_pos_tagger(None)
+    # default UDF path unchanged after restore
+    fresh = make_analyze_udf()
+    got = df.select(fresh(F.col("t")).alias("toks")).collect()[0]["toks"]
+    assert got == ["the", "quick", "brown", "fox", "ran"]
