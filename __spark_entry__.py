@@ -146,6 +146,12 @@ def _q_bm25f(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.round("score", 4).alias("score"))
 
 
+#: fielded-index memo: build once per sf_dir per process (the harness may
+#: invoke a query callable several times; rebuilding each call would bill
+#: the build to the query AND leak a temp index dir per invocation)
+_FIELDED_IDX_MEMO: dict[str, str] = {}
+
+
 def _q_bm25f_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25F from a PERSISTED fielded index (field-prefixed postings +
     per-field doclens) — same oracle as the query-time plan, proving the
@@ -157,14 +163,19 @@ def _q_bm25f_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         search_bm25f,
     )
 
-    two_field = _docs(spark, sf_dir).select(
-        "doc_id",
-        F.concat_ws(" ", F.slice(F.split("text", " "), 1, 8)).alias("title"),
-        F.col("text").alias("content"),
+    if sf_dir not in _FIELDED_IDX_MEMO:
+        two_field = _docs(spark, sf_dir).select(
+            "doc_id",
+            F.concat_ws(" ", F.slice(F.split("text", " "), 1, 8)).alias("title"),
+            F.col("text").alias("content"),
+        )
+        d = tempfile.mkdtemp(prefix="entry_fielded_")
+        build_fielded_index(two_field, ["title", "content"], d, buckets=16)
+        _FIELDED_IDX_MEMO[sf_dir] = d
+    out = search_bm25f(
+        spark, _FIELDED_IDX_MEMO[sf_dir], FLAGSHIP_QUESTION, _BM25F_WEIGHTS,
+        top_k=10, buckets=16,
     )
-    d = tempfile.mkdtemp(prefix="entry_fielded_")
-    build_fielded_index(two_field, ["title", "content"], d, buckets=16)
-    out = search_bm25f(spark, d, FLAGSHIP_QUESTION, _BM25F_WEIGHTS, top_k=10, buckets=16)
     return out.select("doc_id", F.round("score", 4).alias("score"))
 
 

@@ -75,5 +75,24 @@ def split_sentences(text: str) -> List[str]:
 
 @pandas_udf(ArrayType(StringType()))
 def split_sentences_udf(s: pd.Series) -> pd.Series:
-    """Vectorized splitter: ``string -> array<string>``."""
+    """Vectorized DEFAULT splitter: ``string -> array<string>``.
+
+    WARNING: resolves ``_splitter`` on the EXECUTOR (fresh module import)
+    — a splitter installed on the driver via ``set_splitter`` does NOT
+    reach it. Use :func:`make_split_sentences_udf` when a custom
+    splitter is active.
+    """
     return s.map(lambda x: _splitter(x) if x is not None else [])
+
+
+def make_split_sentences_udf():
+    """Build a pandas UDF bound to the CURRENT splitter by value, so a
+    driver-installed kss ships to executors (same late-binding trap as
+    analyzer.make_analyze_udf)."""
+    splitter = _splitter
+
+    @pandas_udf(ArrayType(StringType()))
+    def bound_split_udf(s: pd.Series) -> pd.Series:
+        return s.map(lambda x: splitter(x) if x is not None else [])
+
+    return bound_split_udf

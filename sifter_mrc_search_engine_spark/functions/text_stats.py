@@ -36,20 +36,30 @@ def quality_flag_expr(text_col: str = "text"):
     return (n_chars >= 10) & (raw_ratio > 0.5) & (F.size(toks) >= 3)
 
 
-def pred_lang_expr(text_col: str = "text"):
-    """Predicted language as a single Column expression (stopword-hit
-    argmax, alphabetical tie-break — same semantics as :func:`lang_id`)."""
+def _lang_hit_exprs(text_col: str) -> dict:
     toks = tokenize_expr(text_col)
-    hits = {
+    return {
         lang: F.size(F.filter(toks, lambda x: x.isin(LANG_STOPWORDS[lang])))
         for lang in _LANGS
     }
-    best = F.greatest(*hits.values())
+
+
+def _argmax_pred(hits: dict):
+    """(pred_lang, best_hits) from a lang -> hit-count Column mapping —
+    first language alphabetically reaching the max wins. THE shared
+    argmax: lang_id and pred_lang_expr must never diverge."""
+    best = F.greatest(*[hits[lang] for lang in _LANGS])
     pred = None
     for lang in reversed(_LANGS):
         cond = hits[lang] == best
         pred = F.when(cond, F.lit(lang)).otherwise(pred) if pred is not None else F.lit(lang)
-    return pred
+    return pred, best
+
+
+def pred_lang_expr(text_col: str = "text"):
+    """Predicted language as a single Column expression (stopword-hit
+    argmax, alphabetical tie-break — same semantics as :func:`lang_id`)."""
+    return _argmax_pred(_lang_hit_exprs(text_col))[0]
 
 
 def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -80,10 +90,10 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     mean_tok = F.when(n_toks > 0, F.round(alnum / n_toks, 6)).otherwise(F.lit(0.0))
     alnum_ratio = F.when(n_chars > 0, F.round(alnum / n_chars, 6)).otherwise(F.lit(0.0))
     sw_ratio = F.when(n_toks > 0, F.round(sw_hits / n_toks, 6)).otherwise(F.lit(0.0))
-    # gate on the UNROUNDED ratio (the SQL twin does too — rounding first
-    # would flip docs sitting within 5e-7 of the 0.5 boundary)
-    raw_ratio = F.when(n_chars > 0, alnum / n_chars).otherwise(F.lit(0.0))
-    is_q = (n_chars >= 10) & (raw_ratio > 0.5) & (n_toks >= 3)
+    # the SHARED gate expression (also drives prepare_corpus's one-pass
+    # audit) — it gates on the UNROUNDED ratio; a second inline copy here
+    # could silently desynchronize the two
+    is_q = quality_flag_expr(text_col)
     return docs.select(
         "doc_id",
         n_chars.cast("long").alias("n_chars"),
@@ -97,21 +107,12 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """``(doc_id, pred_lang, hits)`` — stopword-hit argmax heuristic with
-    deterministic alphabetical tie-break."""
-    toks = tokenize_expr(text_col)
-    hit_cols = []
-    for lang in _LANGS:
-        sw = LANG_STOPWORDS[lang]
-        hit_cols.append(
-            F.size(F.filter(toks, lambda x: x.isin(sw))).alias(f"hits_{lang}")
-        )
-    with_hits = docs.select("doc_id", *hit_cols)
-    best = F.greatest(*[F.col(f"hits_{l}") for l in _LANGS])
-    pred = None
-    # first lang (alphabetical) reaching the max wins
-    for lang in reversed(_LANGS):
-        cond = F.col(f"hits_{lang}") == best
-        pred = F.when(cond, F.lit(lang)).otherwise(pred) if pred is not None else F.lit(lang)
+    deterministic alphabetical tie-break (shared with pred_lang_expr)."""
+    exprs = _lang_hit_exprs(text_col)
+    with_hits = docs.select(
+        "doc_id", *[exprs[lang].alias(f"hits_{lang}") for lang in _LANGS]
+    )
+    pred, best = _argmax_pred({lang: F.col(f"hits_{lang}") for lang in _LANGS})
     return with_hits.select(
         "doc_id", pred.alias("pred_lang"), best.cast("long").alias("hits")
     )

@@ -80,13 +80,14 @@ def make_handler(service: InferenceService):
 
         def _run_inference(self, params: dict) -> None:
             try:
+                # int() failures on non-numeric params are client errors too
                 out = service.inference(
                     params.get("question"),
                     top_k=int(params.get("top_k", MAX_TOP_K)),
                     doc_page_size=int(params.get("doc_page_size", MAX_DOC_PAGE_SIZE)),
                     domain=params.get("domain"),
                 )
-            except ValidationError as e:
+            except (ValidationError, ValueError, TypeError) as e:
                 return self._send(400, {"detail": str(e)})
             if not out["answers"]:
                 return self._send(404, {"detail": NO_DOCS_DETAIL})
@@ -117,21 +118,25 @@ def make_handler(service: InferenceService):
                     f"Content-Type: {ctype}\r\n\r\n".encode() + raw
                 )
                 question, top_k, fname, payload = None, MAX_TOP_K, None, None
-                for part in msg.iter_parts():
-                    name = part.get_param("name", header="content-disposition")
-                    if name == "question":
-                        question = part.get_payload(decode=True).decode("utf-8")
-                    elif name == "top_k":
-                        top_k = int(part.get_payload(decode=True))
-                    elif name == "file":
-                        fname = part.get_filename() or ""
-                        payload = part.get_payload(decode=True)
                 try:
+                    for part in msg.iter_parts():
+                        name = part.get_param("name", header="content-disposition")
+                        if name == "question":
+                            question = part.get_payload(decode=True).decode("utf-8")
+                        elif name == "top_k":
+                            top_k = int(part.get_payload(decode=True))
+                        elif name == "file":
+                            fname = part.get_filename() or ""
+                            payload = part.get_payload(decode=True)
                     if question is None or payload is None:
                         raise ValidationError("question and file parts are required")
                     answers = _file_answers(service, question, fname, payload, top_k)
-                except ValidationError as e:
-                    return self._send(400, {"detail": str(e)})
+                except NotImplementedError as e:  # import-gated format decoder
+                    return self._send(501, {"detail": str(e)})
+                except Exception as e:
+                    # malformed uploads (bad CFB, bad zlib, bad UTF-16, bad
+                    # ints) are CLIENT errors — never drop the connection
+                    return self._send(400, {"detail": f"{type(e).__name__}: {e}"})
                 if not answers:
                     return self._send(404, {"detail": NO_DOCS_DETAIL})
                 return self._send(200, {"question": question, "answers": answers})

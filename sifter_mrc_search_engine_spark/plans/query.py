@@ -68,6 +68,10 @@ def _load_norms(spark: SparkSession, index_dir: str):
     key = (index_dir, stats_path.stat().st_mtime_ns)
     if key in _DOCLEN_CACHE:
         return _DOCLEN_CACHE[key]
+    # evict superseded versions of the same index — a rebuild-per-batch
+    # process must not pin every generation's doclen array forever
+    for stale in [k for k in _DOCLEN_CACHE if k[0] == index_dir]:
+        del _DOCLEN_CACHE[stale]
     stats = json.loads(stats_path.read_text())
     rows = spark.read.parquet(f"{index_dir}/doclens").collect()
     ids = [r["doc_id"] for r in rows]

@@ -70,11 +70,16 @@ class InferenceService:
         """
         if domain is None:
             return self.searcher.search(question, top_k=doc_page_size)
+        # feature-detect the clamp switch ONCE (an except TypeError around
+        # the call would swallow genuine TypeErrors from inside search)
+        import inspect
+
+        has_clamp = "clamp" in inspect.signature(self.searcher.search).parameters
         k = doc_page_size
         while True:
-            try:
+            if has_clamp:
                 hits = self.searcher.search(question, top_k=k, clamp=(k <= MAX_TOP_K))
-            except TypeError:  # searcher without a clamp switch
+            else:
                 hits = self.searcher.search(question, top_k=k)
             dom = [(d, s) for d, s in hits if self._domain_of(d) == domain]
             if len(dom) >= doc_page_size or len(hits) < k or k >= _OVERFETCH_MAX:

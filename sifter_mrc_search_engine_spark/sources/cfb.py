@@ -94,11 +94,17 @@ class CfbReader:
 
     def _sector(self, s: int) -> bytes:
         off = SECT * (s + 1)
+        if off + SECT > len(self.buf):
+            raise CfbError(f"sector {s} beyond end of file")
         return self.buf[off : off + SECT]
 
     def _chain(self, start: int) -> list[int]:
         out, s = [], start
-        while s not in (ENDOFCHAIN, FREESECT) and s < len(self.fat) + 2:
+        while s not in (ENDOFCHAIN, FREESECT):
+            if s >= len(self.fat):
+                # a silent stop here would return a truncated stream as
+                # if complete — malformed chains must fail loudly
+                raise CfbError(f"FAT chain references out-of-range sector {s}")
             out.append(s)
             s = self.fat[s]
             if len(out) > len(self.fat) + 1:

@@ -58,10 +58,21 @@ def extract_dom(
     # layout and would make every downstream seeded draw (NSP coin /
     # negative pick hash on article_id) change across re-runs. Identical
     # payloads in different files stay distinct via input_file_name();
-    # in-memory frames (tests) distinguish rows by payload alone.
-    cur = df.withColumn(
-        "_file", F.xxhash64(F.input_file_name(), F.to_json(F.struct(*df.columns)))
-    )
+    # byte-identical rows in the SAME source are disambiguated by a
+    # row_number within their hash group — which row gets which ordinal
+    # is arbitrary but the rows are identical, so the output multiset is
+    # deterministic under any partitioning (they must NOT collapse into
+    # one article with doubled sentences).
+    from pyspark.sql import Window
+
+    payload_key = F.xxhash64(F.input_file_name(), F.to_json(F.struct(*df.columns)))
+    cur = df.withColumn("_pk", payload_key).withColumn(
+        "_file",
+        F.xxhash64(
+            F.col("_pk"),
+            F.row_number().over(Window.partitionBy("_pk").orderBy("_pk")),
+        ),
+    ).drop("_pk")
     col: Column | None = None
     article_emitted = False
     consumed: list[str] = []
@@ -101,12 +112,14 @@ def extract_dom(
         art_key = F.col("_file").cast("long")
     out = cur.select(art_key.alias("article_id"), col.alias("sentence"))
     if split:
-        # extractor.py:131-134: split each extracted string into sentences
-        from ..functions.sentences import split_sentences_udf
+        # extractor.py:131-134: split each extracted string into sentences;
+        # bind the CURRENT splitter by value so a driver-installed kss
+        # genuinely runs on executors
+        from ..functions.sentences import make_split_sentences_udf
 
         out = out.select(
             "article_id",
-            F.explode(split_sentences_udf(F.col("sentence"))).alias("sentence"),
+            F.explode(make_split_sentences_udf()(F.col("sentence"))).alias("sentence"),
         )
     return out.groupBy("article_id").agg(
         F.collect_list("sentence").alias("sentences")

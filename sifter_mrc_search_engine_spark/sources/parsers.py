@@ -90,6 +90,9 @@ def parse_hwp_buffer(buf: bytes) -> list[str]:
       * compression flag = FileHeader byte 36 bit 0 (:25)
       * sections ordered numerically (:29-32)
       * record header: tag = hdr & 0x3ff, len = (hdr >> 20) & 0xfff (:49-50)
+      * STRICT utf-16 decode like the reference (:54) — a record whose
+        payload is not valid UTF-16 raises, exactly as hwp_parser.py
+        would; the HTTP front door maps that to a 400, not a crash
       * records joined with newlines, then the reference's parse() scrub
         drops \\n, \\r and the embedded control sequence and returns the
         whole document as ONE paragraph (:64-67)

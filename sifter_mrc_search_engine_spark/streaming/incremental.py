@@ -88,13 +88,23 @@ def stream_build_index(
     return writer.start()
 
 
+def _segment_batch_id(path: str) -> int:
+    name = Path(path).name
+    try:
+        return int(name.split("=", 1)[1])
+    except (IndexError, ValueError):
+        return -1
+
+
 def list_segments(index_dir: str) -> list[str]:
+    """Committed segments in BATCH order — numeric on the seg={batch_id}
+    suffix, NOT lexicographic (seg=10 sorts after seg=9, not after
+    seg=1); compaction's keep-latest dedupe depends on this order."""
     base = Path(index_dir) / "segments"
     if not base.exists():
         return []
-    return sorted(
-        str(p) for p in base.iterdir() if (p / "_SEGMENT_COMMITTED").exists()
-    )
+    segs = [str(p) for p in base.iterdir() if (p / "_SEGMENT_COMMITTED").exists()]
+    return sorted(segs, key=lambda s: (_segment_batch_id(s), s))
 
 
 class MultiSegmentSearcher:

@@ -117,3 +117,32 @@ def test_post_file_unsupported_extension(door):
         {"Content-Type": f"multipart/form-data; boundary={boundary}"},
     )
     assert code == 400 and "unsupported" in out["detail"]
+
+
+def test_malformed_params_and_uploads_return_4xx(door):
+    # non-integer top_k: 400, not a dropped connection
+    code, out = _get(door, f"/inference?question={VOCAB[0]}&top_k=abc")
+    assert code == 400
+    # corrupt HWP upload: 400 with the parse error, not a dropped connection
+    boundary = uuid.uuid4().hex
+    parts = (
+        f"--{boundary}\r\nContent-Disposition: form-data; name=\"question\"\r\n\r\nq\r\n"
+        f"--{boundary}\r\nContent-Disposition: form-data; name=\"file\"; "
+        f"filename=\"x.hwp\"\r\n\r\nnot a cfb container at all\r\n--{boundary}--\r\n"
+    ).encode()
+    code, out = _post(
+        door, "/inference/file", parts,
+        {"Content-Type": f"multipart/form-data; boundary={boundary}"},
+    )
+    assert code == 400 and "magic" in out["detail"]
+    # import-gated format: 501 naming the missing library
+    parts = (
+        f"--{boundary}\r\nContent-Disposition: form-data; name=\"question\"\r\n\r\nq\r\n"
+        f"--{boundary}\r\nContent-Disposition: form-data; name=\"file\"; "
+        f"filename=\"x.pdf\"\r\n\r\n%PDF-fake\r\n--{boundary}--\r\n"
+    ).encode()
+    code, out = _post(
+        door, "/inference/file", parts,
+        {"Content-Type": f"multipart/form-data; boundary={boundary}"},
+    )
+    assert code == 501 and "pdfminer" in out["detail"]

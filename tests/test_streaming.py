@@ -159,3 +159,34 @@ def test_overlapping_segments_detected_and_compacted(spark, tmp_path):
         assert [d for d, _ in got] == [d for d, _ in expected], q
         for (gd, gs), (ed, es) in zip(got, expected):
             assert gs == pytest.approx(es, rel=1e-12, abs=1e-12)
+
+
+def test_segment_order_numeric_past_ten(spark, tmp_path):
+    """seg=10 must order AFTER seg=9, not after seg=1: keep-latest
+    compaction picks the wrong winner under lexicographic order once a
+    stream passes ten micro-batches."""
+    from sifter_mrc_search_engine_spark.plans.query import IndexSearcher
+    from sifter_mrc_search_engine_spark.streaming.incremental import _write_segment
+
+    idx_dir = str(tmp_path / "idx")
+    # 11 segments; doc 7 appears in seg=9 with OLD text and in seg=10 with NEW
+    for b in range(11):
+        if b == 9:
+            rows = [(7, "old stale content alpha"), (900, f"filler doc {b}")]
+        elif b == 10:
+            rows = [(7, "new fresh content beta"), (1000, f"filler doc {b}")]
+        else:
+            rows = [(b * 10, f"filler doc number {b} gamma")]
+        _write_segment(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            f"{idx_dir}/segments/seg={b}",
+            buckets=4,
+        )
+    segs = list_segments(idx_dir)
+    assert [s.rsplit("=", 1)[1] for s in segs] == [str(i) for i in range(11)]
+
+    compact_dir = compact_segments(spark, idx_dir, buckets=4)
+    s = IndexSearcher(spark, compact_dir, buckets=4)
+    # the batch-10 content must win: 'beta' finds doc 7, 'alpha' does not
+    assert [d for d, _ in s.search("beta", top_k=5)] == [7]
+    assert [d for d, _ in s.search("alpha", top_k=5)] == []
