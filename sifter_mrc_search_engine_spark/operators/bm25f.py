@@ -36,6 +36,13 @@ from ..functions.analyzer import analyze, tokenize_expr
 from .bm25 import idf_expr
 
 
+def _toks(field: str):
+    """Null-safe field tokenization: a NULL field contributes an EMPTY
+    token list (size 0), not NULL (size -1, which would poison the
+    weighted doc length)."""
+    return F.coalesce(tokenize_expr(field), F.array().cast("array<string>"))
+
+
 def bm25f_brute_force(
     docs: DataFrame,
     question: str,
@@ -59,7 +66,7 @@ def bm25f_brute_force(
     # a per-field union would re-read the table once per field at scale.
     field_toks = F.array(
         *[
-            F.struct(F.lit(n).alias("field"), tokenize_expr(n).alias("toks"))
+            F.struct(F.lit(n).alias("field"), _toks(n).alias("toks"))
             for n in names
         ]
     )
@@ -79,7 +86,7 @@ def bm25f_brute_force(
     # weighted doc length: single fixed-order expression over one scan
     wdl_expr = None
     for f_name in names:
-        piece = F.lit(float(fields[f_name])) * F.size(tokenize_expr(f_name)).cast("double")
+        piece = F.lit(float(fields[f_name])) * F.size(_toks(f_name)).cast("double")
         wdl_expr = piece if wdl_expr is None else (wdl_expr + piece)
     wdl = docs.select(F.col(id_col).alias("doc_id"), wdl_expr.alias("wdl"))
     stats = wdl.agg(

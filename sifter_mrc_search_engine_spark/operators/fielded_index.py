@@ -44,13 +44,20 @@ from .compressed_index import decode_index_df, encode_tf, write_index
 FIELD_SEP = "\x1f"
 
 
+def _toks(field: str):
+    """Null-safe field tokenization: a NULL field contributes an EMPTY
+    token list (size 0), not NULL (size -1, which would poison the
+    weighted doc length)."""
+    return F.coalesce(tokenize_expr(field), F.array().cast("array<string>"))
+
+
 def fielded_tf(docs: DataFrame, fields: Sequence[str], id_col: str = "doc_id") -> DataFrame:
     """``(term="field\\x1fterm", doc_id, tf, doc_len)`` in ONE scan —
     doc_len is the FIELD's token length, riding the tokenize explode
     exactly like tf_doclen does for the single-field build."""
     field_toks = F.array(
         *[
-            F.struct(F.lit(f).alias("field"), tokenize_expr(f).alias("toks"))
+            F.struct(F.lit(f).alias("field"), _toks(f).alias("toks"))
             for f in sorted(fields)
         ]
     )
@@ -86,7 +93,7 @@ def build_fielded_index(
         *[
             F.struct(
                 F.lit(f).alias("field"),
-                F.size(tokenize_expr(f)).cast("long").alias("doc_len"),
+                F.size(_toks(f)).cast("long").alias("doc_len"),
             )
             for f in sorted(fields)
         ]

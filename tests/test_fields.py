@@ -105,3 +105,32 @@ def test_bm25f_tf_side_single_scan(spark, sf_dir):
     # 2 relations total: one for the tf side, one for the wdl/stats side
     # (a per-field union would make it n_fields + 1)
     assert plan.count("Relation") <= 3, plan
+
+
+def test_bm25f_null_field_is_empty_not_poison(spark):
+    """A NULL title must contribute zero weighted length/tf — not the
+    size(NULL) = -1 that would corrupt the doc-length normalization —
+    and the persisted fielded index must agree with the brute force."""
+    from sifter_mrc_search_engine_spark.operators.bm25f import bm25f_brute_force
+    from sifter_mrc_search_engine_spark.operators.fielded_index import (
+        build_fielded_index,
+        search_bm25f,
+    )
+    import tempfile
+
+    rows = [
+        (1, None, "zebra body words here today fine"),
+        (2, "zebra title", "plain body words here today fine"),
+        (3, "other title", "plain body words here today fine"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, title string, content string")
+    w = {"title": 2.0, "content": 1.0}
+    brute = [(r["doc_id"], r["score"]) for r in bm25f_brute_force(docs, "zebra", w, top_k=3).collect()]
+    assert [d for d, _ in brute] == [2, 1]  # boosted title hit first; null-title doc still scores
+    assert all(s > 0 for _, s in brute)
+    d = tempfile.mkdtemp()
+    build_fielded_index(docs, ["title", "content"], d, buckets=4)
+    stored = [(r["doc_id"], r["score"]) for r in search_bm25f(spark, d, "zebra", w, top_k=3, buckets=4).collect()]
+    assert [x for x, _ in stored] == [x for x, _ in brute]
+    for (gd, gs), (_, es) in zip(stored, brute):
+        assert gs == pytest.approx(es, rel=1e-12)
