@@ -117,6 +117,128 @@ def build_fielded_index(
     return stats
 
 
+class FieldedSearcher:
+    """Low-latency BM25F serving over a persisted fielded index.
+
+    The driver-side twin of plans.query.IndexSearcher: doclens (per
+    field) load once into memory, bucket routing is computed driver-side,
+    ``preload=True`` pulls the postings into a term->rows dict (no Spark
+    job per query). Scoring is an exact numpy kernel — ascending-term
+    float64 accumulation, (score desc, doc_id asc) ties — rank- and
+    score-identical to ``bm25f_brute_force`` (pinned by pytest). Weights
+    remain per-query; the weighted average doc length is computed from
+    the in-memory doclens per weights tuple and memoized.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        buckets: int = TERM_BUCKETS,
+        preload: bool = False,
+    ):
+        import numpy as np
+
+        self.spark = spark
+        self.index_dir = index_dir
+        self.buckets = buckets
+        stats = json.loads((Path(index_dir) / "stats.json").read_text())
+        self.n_docs = int(stats["n_docs"])
+        self.fields = list(stats["fields"])
+        self.postings = spark.read.parquet(f"{index_dir}/postings")
+        self._flen: dict[str, dict[int, int]] = {f: {} for f in self.fields}
+        for r in spark.read.parquet(f"{index_dir}/doclens").collect():
+            self._flen[r["field"]][r["doc_id"]] = r["doc_len"]
+        self._doc_ids = sorted({d for m in self._flen.values() for d in m})
+        self._avg_wdl_memo: dict[tuple, float] = {}
+        self._mem: dict[str, list] | None = None
+        if preload:
+            self._mem = {}
+            for r in self.postings.collect():
+                self._mem.setdefault(r["term"], []).append(r)
+
+    def _avg_wdl(self, weights: Mapping[str, float]) -> float:
+        """Mean over ALL docs of the per-doc weighted length — the same
+        mean-of-sums the brute-force plan computes (a sum-of-means would
+        drift in the last ulp)."""
+        key = tuple(sorted((k, float(v)) for k, v in weights.items()))
+        if key not in self._avg_wdl_memo:
+            total = 0.0
+            for d in self._doc_ids:
+                total += sum(
+                    float(w) * self._flen.get(f, {}).get(d, 0)
+                    for f, w in sorted(weights.items())
+                )
+            self._avg_wdl_memo[key] = total / len(self._doc_ids)
+        return self._avg_wdl_memo[key]
+
+    def _rows_for(self, fterms: list[str]) -> list:
+        if self._mem is not None:
+            return [r for t in fterms for r in self._mem.get(t, [])]
+        bks = sorted({term_bucket(t, self.buckets) for t in fterms})
+        return (
+            self.postings.filter(F.col("bucket").isin(bks))
+            .filter(F.col("term").isin(fterms))
+            .collect()
+        )
+
+    def search(
+        self,
+        question: str,
+        weights: Mapping[str, float],
+        top_k: int = DEFAULT_TOP_K,
+        k1: float = BM25_K1,
+        b: float = BM25_B,
+    ) -> list[tuple[int, float]]:
+        import numpy as np
+
+        from .postings_codec import decode_postings
+
+        names = sorted(weights)
+        qterms = sorted(set(analyze(question)))
+        if not qterms:
+            return []
+        fterms = [f"{f}{FIELD_SEP}{t}" for f in names for t in qterms]
+        rows = self._rows_for(fterms)
+        by_term: dict[str, list] = {}
+        for r in rows:
+            field, term = r["term"].split(FIELD_SEP, 1)
+            by_term.setdefault(term, []).append((field, r))
+        avg_wdl = self._avg_wdl(weights)
+        acc: dict[int, float] = {}
+        for term in sorted(by_term):  # ascending-term float64 order
+            ids_parts, val_parts = [], []
+            for field, r in sorted(by_term[term], key=lambda x: x[0]):
+                ids, tfs = decode_postings(
+                    gaps=bytes(r["gaps"]), tfs=bytes(r["tfs"]), n=int(r["n"]),
+                    skips=bytes(r["skips"]), block_size=int(r["block_size"]),
+                )
+                ids_parts.append(ids)
+                val_parts.append(float(weights[field]) * tfs.astype(np.float64))
+            all_ids = np.concatenate(ids_parts)
+            all_vals = np.concatenate(val_parts)
+            uniq, inv = np.unique(all_ids, return_inverse=True)
+            wtf = np.zeros(uniq.size, dtype=np.float64)
+            np.add.at(wtf, inv, all_vals)
+            df = uniq.size
+            idf = float(np.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5)))
+            wdl = np.fromiter(
+                (
+                    sum(float(weights[f]) * self._flen[f].get(int(d), 0) for f in names)
+                    for d in uniq
+                ),
+                dtype=np.float64,
+                count=uniq.size,
+            )
+            contrib = idf * wtf * (k1 + 1.0) / (
+                wtf + k1 * ((1.0 - b) + (b * wdl) / avg_wdl)
+            )
+            for d, c in zip(uniq.tolist(), contrib.tolist()):
+                acc[d] = acc.get(d, 0.0) + c
+        hits = sorted(acc.items(), key=lambda it: (-it[1], it[0]))[:top_k]
+        return [(int(d), float(s)) for d, s in hits]
+
+
 def search_bm25f(
     spark: SparkSession,
     index_dir: str,

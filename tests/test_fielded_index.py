@@ -76,3 +76,25 @@ def test_pruned_scan_shape(spark, fielded_dir):
         spark, fielded_dir, "the fast query", WEIGHTS, top_k=10, buckets=16
     )._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [bucket" in plan or "bucket#" in plan, plan[:2000]
+
+
+@pytest.mark.parametrize("preload", [False, True])
+def test_fielded_searcher_serving_kernel(spark, corpus, fielded_dir, preload):
+    """The driver-side serving kernel (scan-mode and preloaded) matches
+    brute force for multiple weightings."""
+    from sifter_mrc_search_engine_spark.operators.fielded_index import FieldedSearcher
+
+    s = FieldedSearcher(spark, fielded_dir, buckets=16, preload=preload)
+    for w in (WEIGHTS, {"title": 5.0, "content": 0.5}):
+        for q in QUESTIONS:
+            exp = [
+                (r["doc_id"], r["score"])
+                for r in bm25f_brute_force(corpus, q, w, top_k=10).collect()
+            ]
+            got = s.search(q, w, top_k=10)
+            assert [d for d, _ in got] == [d for d, _ in exp], (q, w, preload)
+            for (gd, gs), (_, es) in zip(got, exp):
+                assert gs == pytest.approx(es, rel=1e-12, abs=1e-12)
+    # empty/unknown questions behave like the engine contract
+    assert s.search("", WEIGHTS) == []
+    assert s.search("zzznotaterm", WEIGHTS) == []
