@@ -112,9 +112,146 @@ def build_fielded_index(
     # the BM25F scorer (see module doc) — any positive avgdl is fine here
     idx = encode_tf(tf, n_docs, max(avg_any, 1e-9), buckets=buckets)
     write_index(idx, f"{index_dir}/postings")
+    # per-BASE-term union df (docs containing the term in ANY field):
+    # idf is weight-independent, so this small sidecar gives query-time
+    # WAND the exact idf per term WITHOUT decoding — the key to pruned
+    # BM25F serving (weighted-tf saturation < k1+1 bounds the rest)
+    tf.select(
+        F.substring_index("term", FIELD_SEP, -1).alias("term"), "doc_id"
+    ).distinct().groupBy("term").agg(F.count(F.lit(1)).alias("df")).write.mode(
+        "overwrite"
+    ).parquet(f"{index_dir}/term_df")
     stats = {"n_docs": n_docs, "fields": sorted(fields)}
     (Path(index_dir) / "stats.json").write_text(json.dumps(stats))
     return stats
+
+
+def bm25f_wand_topk(
+    rows,
+    weights: Mapping[str, float],
+    flen: Mapping[str, Mapping[int, int]],
+    n_docs: int,
+    avg_wdl: float,
+    df_by_term: Mapping[str, int],
+    top_k: int = DEFAULT_TOP_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+):
+    """Document-at-a-time WAND over MULTI-FIELD cursors — pruned BM25F.
+
+    Each base term owns one cursor per (field, segment); the term's upper
+    bound is ``idf(df_union) * (k1 + 1)`` — valid for ANY weights because
+    the weighted-tf saturation ``wtf(k1+1)/(wtf+K)`` < k1+1. The exact
+    union df comes from the build-time ``term_df`` sidecar (idf is
+    weight-independent), so no decode is needed to bound a term. Blocks
+    of skipped doc ranges are never decoded (the sub-cursors seek via
+    skip pointers). Exact: same scores as the exhaustive kernel.
+    """
+    import heapq
+
+    import numpy as np
+
+    from .wand import _Cursor
+
+    names = sorted(weights)
+    groups: dict[str, list] = {}
+    for r in rows:
+        field, term = r["term"].split(FIELD_SEP, 1)
+        if term not in df_by_term:
+            continue
+        groups.setdefault(term, []).append((field, _Cursor(r, 0.0)))
+
+    class _Group:
+        __slots__ = ("term", "idf", "ub", "cursors")
+
+        def __init__(self, term, cursors):
+            self.term = term
+            df = int(df_by_term[term])
+            self.idf = float(np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)))
+            self.ub = self.idf * (k1 + 1.0)
+            self.cursors = [(f, c) for f, c in cursors if not c.exhausted]
+
+        @property
+        def doc(self) -> int:
+            return min(c.doc for _, c in self.cursors)
+
+        def wtf_at(self, doc: int) -> float:
+            # field-ascending accumulation (cursors pre-sorted by field)
+            wtf = 0.0
+            for f, c in self.cursors:
+                if not c.exhausted and c.doc == doc:
+                    wtf += float(weights[f]) * float(c.cur_tf)
+            return wtf
+
+        def advance_past(self, doc: int) -> None:
+            for _, c in self.cursors:
+                if not c.exhausted and c.doc == doc:
+                    c.next_doc()
+            self.cursors = [(f, c) for f, c in self.cursors if not c.exhausted]
+
+        def seek(self, target: int) -> None:
+            for _, c in self.cursors:
+                if not c.exhausted:
+                    c.seek(target)
+            self.cursors = [(f, c) for f, c in self.cursors if not c.exhausted]
+
+    live = [
+        _Group(t, sorted(cs, key=lambda x: x[0]))
+        for t, cs in groups.items()
+    ]
+    live = [g for g in live if g.cursors]
+
+    heap: list = []  # (score, -doc_id) min-heap of size top_k
+
+    def threshold() -> float:
+        return heap[0][0] if len(heap) >= top_k else -1.0
+
+    def offer(doc: int, score: float) -> None:
+        item = (score, -doc)
+        if len(heap) < top_k:
+            heapq.heappush(heap, item)
+        elif item > heap[0]:
+            heapq.heapreplace(heap, item)
+
+    def wdl_of(doc: int) -> float:
+        return sum(float(weights[f]) * flen.get(f, {}).get(doc, 0) for f in names)
+
+    while live:
+        live.sort(key=lambda g: g.doc)
+        theta = threshold()
+        acc, pivot = 0.0, -1
+        for i, g in enumerate(live):
+            acc += g.ub
+            if theta < 0.0 or acc >= theta:
+                pivot = i
+                break
+        if pivot < 0:
+            break  # even every UB summed cannot reach θ
+        pivot_doc = live[pivot].doc
+        if live[0].doc == pivot_doc:
+            # score pivot_doc: ascending-TERM float64 fold
+            matching = sorted(
+                (g for g in live if g.doc == pivot_doc), key=lambda g: g.term
+            )
+            wdl = wdl_of(pivot_doc)
+            score = 0.0
+            for g in matching:
+                wtf = g.wtf_at(pivot_doc)
+                score += (
+                    g.idf * wtf * (k1 + 1.0)
+                    / (wtf + k1 * ((1.0 - b) + (b * wdl) / avg_wdl))
+                )
+            offer(pivot_doc, score)
+            for g in matching:
+                g.advance_past(pivot_doc)
+            live = [g for g in live if g.cursors]
+        else:
+            for g in live[:pivot]:
+                g.seek(pivot_doc)
+            live = [g for g in live if g.cursors]
+
+    out = sorted(heap, key=lambda it: (-it[0], -it[1]))
+    return [(-nd, s) for s, nd in out]
 
 
 class FieldedSearcher:
@@ -151,6 +288,11 @@ class FieldedSearcher:
             self._flen[r["field"]][r["doc_id"]] = r["doc_len"]
         self._doc_ids = sorted({d for m in self._flen.values() for d in m})
         self._avg_wdl_memo: dict[tuple, float] = {}
+        # union-df sidecar (idf is weight-independent) -> WAND-prunable
+        self._term_df: dict[str, int] = {}
+        if (Path(index_dir) / "term_df").exists():
+            for r in spark.read.parquet(f"{index_dir}/term_df").collect():
+                self._term_df[r["term"]] = int(r["df"])
         self._mem: dict[str, list] | None = None
         if preload:
             self._mem = {}
@@ -189,7 +331,11 @@ class FieldedSearcher:
         top_k: int = DEFAULT_TOP_K,
         k1: float = BM25_K1,
         b: float = BM25_B,
+        method: str = "auto",
     ) -> list[tuple[int, float]]:
+        """``method``: 'wand' (pruned, needs the term_df sidecar),
+        'exhaustive' (full decode), or 'auto' (wand when the sidecar
+        exists). Both produce IDENTICAL results (same float64 shapes)."""
         import numpy as np
 
         from .postings_codec import decode_postings
@@ -200,6 +346,15 @@ class FieldedSearcher:
             return []
         fterms = [f"{f}{FIELD_SEP}{t}" for f in names for t in qterms]
         rows = self._rows_for(fterms)
+        if method not in ("auto", "wand", "exhaustive"):
+            raise ValueError(f"unknown method {method!r}")
+        if method == "wand" or (method == "auto" and self._term_df):
+            if not self._term_df:
+                raise ValueError("method='wand' needs the term_df sidecar")
+            return bm25f_wand_topk(
+                rows, weights, self._flen, self.n_docs,
+                self._avg_wdl(weights), self._term_df, top_k=top_k, k1=k1, b=b,
+            )
         by_term: dict[str, list] = {}
         for r in rows:
             field, term = r["term"].split(FIELD_SEP, 1)

@@ -98,3 +98,51 @@ def test_fielded_searcher_serving_kernel(spark, corpus, fielded_dir, preload):
     # empty/unknown questions behave like the engine contract
     assert s.search("", WEIGHTS) == []
     assert s.search("zzznotaterm", WEIGHTS) == []
+
+
+@pytest.mark.parametrize("method", ["wand", "exhaustive"])
+def test_fielded_wand_vs_exhaustive(spark, corpus, fielded_dir, method):
+    """Pruned multi-field WAND == exhaustive kernel == brute force, at a
+    small top_k where the threshold actually bites."""
+    from sifter_mrc_search_engine_spark.operators.fielded_index import FieldedSearcher
+
+    s = FieldedSearcher(spark, fielded_dir, buckets=16, preload=True)
+    assert s._term_df  # build wrote the union-df sidecar
+    for q in QUESTIONS + ["the the the", "window table"]:
+        exp = [
+            (r["doc_id"], r["score"])
+            for r in bm25f_brute_force(corpus, q, WEIGHTS, top_k=3).collect()
+        ]
+        got = s.search(q, WEIGHTS, top_k=3, method=method)
+        assert [d for d, _ in got] == [d for d, _ in exp], (q, method)
+        for (gd, gs), (_, es) in zip(got, exp):
+            assert gs == pytest.approx(es, rel=1e-12, abs=1e-12)
+
+
+def test_fielded_term_df_sidecar_is_union_df(spark, corpus, fielded_dir):
+    """term_df must be the UNION df (docs containing the term in ANY
+    field) — the idf driving both kernels and the oracle."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    got = {
+        r["term"]: r["df"]
+        for r in spark.read.parquet(f"{fielded_dir}/term_df").collect()
+    }
+    exp_df = (
+        corpus.select(
+            "doc_id",
+            F.explode(
+                F.array_union(
+                    F.regexp_extract_all(F.lower("title"), F.lit("[a-z0-9가-힣]+"), F.lit(0)),
+                    F.regexp_extract_all(F.lower("content"), F.lit("[a-z0-9가-힣]+"), F.lit(0)),
+                )
+            ).alias("term"),
+        )
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    exp = {r["term"]: r["df"] for r in exp_df.collect()}
+    assert got == exp
