@@ -333,9 +333,13 @@ class FieldedSearcher:
         b: float = BM25_B,
         method: str = "auto",
     ) -> list[tuple[int, float]]:
-        """``method``: 'wand' (pruned, needs the term_df sidecar),
-        'exhaustive' (full decode), or 'auto' (wand when the sidecar
-        exists). Both produce IDENTICAL results (same float64 shapes)."""
+        """``method``: 'exhaustive' (vectorized full decode — the
+        in-memory winner, same as the single-field engine's dense
+        kernel), 'wand' (term-level pruned, needs the term_df sidecar —
+        wins when candidate lists are disk-backed/selective so skipped
+        blocks are never decoded; measured SLOWER in-memory on Zipf-head
+        queries where the doc-at-a-time Python loop can't prune), or
+        'auto' (exhaustive). Both produce IDENTICAL results."""
         import numpy as np
 
         from .postings_codec import decode_postings
@@ -348,7 +352,7 @@ class FieldedSearcher:
         rows = self._rows_for(fterms)
         if method not in ("auto", "wand", "exhaustive"):
             raise ValueError(f"unknown method {method!r}")
-        if method == "wand" or (method == "auto" and self._term_df):
+        if method == "wand":
             if not self._term_df:
                 raise ValueError("method='wand' needs the term_df sidecar")
             return bm25f_wand_topk(
