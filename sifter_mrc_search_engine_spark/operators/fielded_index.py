@@ -107,20 +107,27 @@ def build_fielded_index(
     ).collect()[0]
     n_docs, avg_any = int(row["n"]), float(row["a"] or 1.0)
 
-    tf = fielded_tf(docs, fields, id_col)
-    # impact bounds stored by encode_tf are per-field artifacts, unused by
-    # the BM25F scorer (see module doc) — any positive avgdl is fine here
-    idx = encode_tf(tf, n_docs, max(avg_any, 1e-9), buckets=buckets)
-    write_index(idx, f"{index_dir}/postings")
-    # per-BASE-term union df (docs containing the term in ANY field):
-    # idf is weight-independent, so this small sidecar gives query-time
-    # WAND the exact idf per term WITHOUT decoding — the key to pruned
-    # BM25F serving (weighted-tf saturation < k1+1 bounds the rest)
-    tf.select(
-        F.substring_index("term", FIELD_SEP, -1).alias("term"), "doc_id"
-    ).distinct().groupBy("term").agg(F.count(F.lit(1)).alias("df")).write.mode(
-        "overwrite"
-    ).parquet(f"{index_dir}/term_df")
+    from pyspark import StorageLevel
+
+    # tf feeds TWO consumers (encoder + union-df sidecar) — persist it so
+    # the sidecar doesn't replay the full tokenize+aggregate chain
+    # (unpersisted, the sidecar pass roughly doubled build wall time)
+    tf = fielded_tf(docs, fields, id_col).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        # impact bounds stored by encode_tf are per-field artifacts, unused
+        # by the BM25F scorer (see module doc) — any positive avgdl is fine
+        idx = encode_tf(tf, n_docs, max(avg_any, 1e-9), buckets=buckets)
+        write_index(idx, f"{index_dir}/postings")
+        # per-BASE-term union df (docs containing the term in ANY field):
+        # idf is weight-independent, so this small sidecar gives query-time
+        # WAND the exact idf per term WITHOUT decoding
+        tf.select(
+            F.substring_index("term", FIELD_SEP, -1).alias("term"), "doc_id"
+        ).distinct().groupBy("term").agg(F.count(F.lit(1)).alias("df")).write.mode(
+            "overwrite"
+        ).parquet(f"{index_dir}/term_df")
+    finally:
+        tf.unpersist()
     stats = {"n_docs": n_docs, "fields": sorted(fields)}
     (Path(index_dir) / "stats.json").write_text(json.dumps(stats))
     return stats
