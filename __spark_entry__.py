@@ -273,6 +273,26 @@ def _q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_features(media).select("media_id", "width", "height")
 
 
+def _nsp_oracle_sql() -> str:
+    """DuckDB twin of _q_nsp_pairs: same 8-token pseudo-sentence
+    derivation over documents, then the md5-seeded pair construction."""
+    from sifter_mrc_search_engine_spark.operators.nsp import sql_nsp_pairs
+
+    rows_sql = """
+SELECT s.article_id, s.pos, s.sentence FROM (
+  SELECT d.doc_id AS article_id, CAST(t.i - 1 AS INT) AS pos,
+         array_to_string(
+           (string_split(d.text, ' '))[(CAST(t.i AS INT) - 1) * 8 + 1
+                                       : (CAST(t.i AS INT) - 1) * 8 + 8], ' '
+         ) AS sentence,
+         len(string_split(d.text, ' ')) // 8 AS nsent
+  FROM documents d,
+       LATERAL unnest(range(1, len(string_split(d.text, ' ')) // 8 + 1)) AS t(i)
+) s WHERE s.nsent >= 2
+"""
+    return sql_nsp_pairs(rows_sql, prob=0.5, seed=42)
+
+
 def _q_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio-window plumbing over the synthetic media table (rows-only:
     embeddings come from the stubbed decoder)."""
@@ -332,6 +352,10 @@ SELECT count(*) AS input,
          AS after_exact_dedup
 FROM f
 """,
+        # every NSP draw is an md5-based hash both engines can compute, so
+        # the pair construction (coin, bucketed negative draws, collision
+        # fallback) is fully SQL-expressible
+        "pipeline_nsp_pairs": _nsp_oracle_sql(),
         # masking preserves array length, so n_tokens == the token count
         "pipeline_mlm_mask": """
 SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z0-9가-힣]+')) AS n_tokens

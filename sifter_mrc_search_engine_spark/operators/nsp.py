@@ -37,10 +37,22 @@ MAX_MASKS = 40  # preprocessor.py:352
 MASK_RATIO = 0.15
 
 
+def _hash64(col, seed: int):
+    """Deterministic nonnegative 60-bit hash of a string column + seed.
+
+    md5-based (NOT xxhash64) so a DuckDB oracle can reproduce every draw:
+    ``('0x' || substr(md5(x || '|seed'), 1, 15))::BIGINT`` is the exact
+    SQL twin (the repo's established cross-engine hash construct).
+    """
+    h = F.md5(F.concat(col.cast("string"), F.lit(f"|{seed}")))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+
+
 def _hash_u01(col, seed: int):
-    """Deterministic uniform [0,1) from a column value + seed (xxhash64)."""
-    h = F.xxhash64(col, F.lit(seed))
-    return (F.pmod(h, F.lit(1_000_000_007)).cast("double")) / F.lit(1_000_000_007.0)
+    """Deterministic uniform [0,1) from a column value + seed."""
+    return (F.pmod(_hash64(col, seed), F.lit(1_000_000_007)).cast("double")) / F.lit(
+        1_000_000_007.0
+    )
 
 
 def sentence_rows(articles: DataFrame) -> DataFrame:
@@ -81,9 +93,9 @@ def nsp_pairs(
     pairs = pairs.withColumn("label", (coin < F.lit(prob)).cast("int"))
 
     # negative pool: bucketed + per-bucket seeded hash rank
-    bkt = F.pmod(F.xxhash64("sentence", F.lit(seed + 1)), F.lit(pool_buckets)).cast("int")
+    bkt = F.pmod(_hash64(F.col("sentence"), seed + 1), F.lit(pool_buckets)).cast("int")
     wb = Window.partitionBy("bucket").orderBy(
-        F.xxhash64("neg_sent", F.lit(seed + 1)), "neg_article", "pos"
+        _hash64(F.col("neg_sent"), seed + 1), "neg_article", "pos"
     )
     pool = (
         rows.select(
@@ -107,13 +119,13 @@ def nsp_pairs(
     )
     key = F.concat_ws("|", "article_id", "pos")
     cand_bucket = F.element_at(
-        bkt_arr, (F.pmod(F.xxhash64(key, F.lit(seed + 2)), F.lit(len(nonempty))) + 1).cast("int")
+        bkt_arr, (F.pmod(_hash64(key, seed + 2), F.lit(len(nonempty))) + 1).cast("int")
     )
     pairs = pairs.withColumn("cand_bucket", cand_bucket)
     pairs = pairs.withColumn("bsize", F.element_at(size_map, F.col("cand_bucket")))
     pairs = pairs.withColumn(
         "cand_rank",
-        F.pmod(F.xxhash64(key, F.lit(seed + 3)), F.col("bsize")) + 1,
+        F.pmod(_hash64(key, seed + 3), F.col("bsize")) + 1,
     )
     # draw #1: shuffled equi-join on (bucket, rank) — no broadcast
     joined = pairs.join(
@@ -153,6 +165,85 @@ def nsp_pairs(
         (F.col("label") == 1) | (F.col("_neg_article") != F.col("article_id"))
     )
     return out.select("first", "second", "label")
+
+
+def sql_nsp_pairs(
+    rows_sql: str, prob: float = 0.5, seed: int = 42, pool_buckets: int = 64
+) -> str:
+    """DuckDB twin of :func:`nsp_pairs`.
+
+    ``rows_sql``: a SELECT yielding ``(article_id, pos, sentence)`` — the
+    exploded sentence rows. Every seeded draw (label coin, pool bucket,
+    per-bucket rank, candidate bucket/rank, collision fallback) uses the
+    same md5-based hash as the Spark side, so the oracle reproduces the
+    pair set exactly.
+    """
+
+    def H(x: str, s: int) -> str:
+        return (
+            f"CAST(('0x' || substr(md5({x} || '|{s}'), 1, 15)) AS BIGINT)"
+        )
+
+    key = "CAST(p.article_id AS VARCHAR) || '|' || CAST(p.pos AS VARCHAR)"
+    return f"""
+WITH rows_ AS ({rows_sql}),
+pairs0 AS (
+  SELECT article_id, pos, sentence AS first,
+         lead(sentence) OVER (PARTITION BY article_id ORDER BY pos) AS next_sent
+  FROM rows_
+),
+pairs1 AS (
+  SELECT *, CASE WHEN ({H("CAST(article_id AS VARCHAR) || '|' || CAST(pos AS VARCHAR)", seed)}
+                       % 1000000007) / 1000000007.0 < {prob}
+                 THEN 1 ELSE 0 END AS label
+  FROM pairs0 WHERE next_sent IS NOT NULL
+),
+pool AS (
+  SELECT article_id AS neg_article, pos, sentence AS neg_sent,
+         CAST({H("sentence", seed + 1)} % {pool_buckets} AS INT) AS bucket
+  FROM rows_
+),
+poolr AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY bucket ORDER BY {H("neg_sent", seed + 1)}, neg_article, pos
+  ) AS rank FROM pool
+),
+sizes AS (SELECT bucket, count(*) AS cnt FROM poolr GROUP BY 1),
+ne AS (
+  SELECT bucket, cnt, row_number() OVER (ORDER BY bucket) - 1 AS bidx,
+         (SELECT count(*) FROM sizes) AS nb
+  FROM sizes
+),
+cand AS (
+  SELECT p.*, ne.bucket AS cand_bucket, ne.cnt AS bsize,
+         ({H(key, seed + 3)} % ne.cnt) + 1 AS cand_rank
+  FROM pairs1 p
+  JOIN ne ON ne.bidx = {H(key, seed + 2)} % ne.nb
+),
+d1 AS (
+  SELECT c.*, pr.neg_article, pr.neg_sent,
+         (pr.neg_article = c.article_id) AS collide
+  FROM cand c
+  LEFT JOIN poolr pr ON pr.bucket = c.cand_bucket AND pr.rank = c.cand_rank
+),
+d2 AS (
+  SELECT d.*, pr2.neg_article AS neg_article2, pr2.neg_sent AS neg_sent2
+  FROM d1 d
+  LEFT JOIN poolr pr2 ON d.collide AND pr2.bucket = d.cand_bucket
+       AND pr2.rank = (d.cand_rank % d.bsize) + 1
+),
+outp AS (
+  SELECT first,
+         CASE WHEN label = 1 THEN next_sent
+              WHEN collide THEN neg_sent2 ELSE neg_sent END AS second,
+         label,
+         CASE WHEN collide THEN neg_article2 ELSE neg_article END AS _na,
+         article_id
+  FROM d2
+)
+SELECT first, second, label FROM outp
+WHERE label = 1 OR _na != article_id
+"""
 
 
 @pandas_udf(ArrayType(IntegerType()))
