@@ -352,6 +352,28 @@ SELECT count(*) AS input,
          AS after_exact_dedup
 FROM f
 """,
+        # the multimodal DECODERS are stubs (libs absent) and their fake
+        # embeddings are excluded from these queries — but the plumbing
+        # outputs (kind filter, metadata passthrough, window explode) are
+        # deterministic functions of the synthetic media table, so DuckDB
+        # can re-derive them from first principles (48 media rows, kind =
+        # id % 3: 0=image, 1=audio; image dims 64+i%8 x 48+i%8; audio
+        # duration 3000+100*(i%5) ms, 500 ms windows)
+        "multimodal_image_features": """
+SELECT CAST(i AS BIGINT) AS media_id,
+       CAST(64 + i % 8 AS INT) AS width,
+       CAST(48 + i % 8 AS INT) AS height
+FROM range(0, 48) t(i) WHERE i % 3 = 0
+""",
+        "multimodal_audio_windows": """
+SELECT CAST(r.i AS BIGINT) AS media_id,
+       CAST(t.j AS INT) AS window_idx,
+       CAST(t.j * 500 AS INT) AS start_ms,
+       CAST(least(t.j * 500 + 500, 3000 + 100 * (r.i % 5)) AS INT) AS end_ms
+FROM range(0, 48) r(i),
+     LATERAL unnest(range(0, (3000 + 100 * (r.i % 5) + 499) // 500)) AS t(j)
+WHERE r.i % 3 = 1
+""",
         # every NSP draw is an md5-based hash both engines can compute, so
         # the pair construction (coin, bucketed negative draws, collision
         # fallback) is fully SQL-expressible
