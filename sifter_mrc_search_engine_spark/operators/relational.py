@@ -170,25 +170,34 @@ def source_prefix_counts(spark, sf_dir) -> DataFrame:
 # stateful-streaming-shaped: session windows with a 30-minute inactivity
 # gap (the batch twin of streaming/stateful.py's applyInPandasWithState
 # path): session boundary = gap > 30 min, session id = running count of
-# boundaries per user
+# boundaries per user.
+#
+# Gap arithmetic and the emitted session bounds are INTEGER EPOCH
+# MICROSECONDS on both sides (Spark unix_micros / DuckDB epoch_us):
+# casting to whole seconds would truncate sub-second gaps right at the
+# 30-min boundary, and raw µs-precision timestamp outputs hash
+# differently between Arrow (ns) and DuckDB (µs) in the driver's
+# canonicalizer even when the instants are equal.
 def user_sessions(spark, sf_dir) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # events.ts is TIMESTAMP_NTZ; session tz is pinned UTC so the
-    # timestamp->long epoch matches DuckDB's epoch() on naive timestamps
-    epoch = F.col("ts").cast("timestamp").cast("long")
-    gap_min = (epoch - F.lag(epoch).over(w)) / 60.0
-    is_new = F.when(gap_min.isNull() | (gap_min > 30), 1).otherwise(0)
+    # NTZ->timestamp cast is instant-preserving and matches DuckDB's
+    # epoch_us() on naive timestamps
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap_us = us - F.lag(us).over(w)
+    is_new = F.when(gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1).otherwise(0)
     sess = F.sum(is_new).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
         ev.withColumn("session_id", sess)
+        .withColumn("ts_us", us)
         .groupBy("user_id", "session_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.min("ts").alias("session_start"),
-            F.max("ts").alias("session_end"),
+            F.min("ts_us").alias("session_start_us"),
+            F.max("ts_us").alias("session_end_us"),
         )
     )
 
@@ -298,19 +307,19 @@ FROM events GROUP BY 1, 2
 """,
     "rel_user_sessions": """
 WITH g AS (
-  SELECT user_id, event_id, ts,
-         (epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)) / 60.0 AS gap_min
+  SELECT user_id, event_id, ts, epoch_us(ts) AS ts_us,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
   FROM events
 ),
 s AS (
-  SELECT user_id, ts,
-         sum(CASE WHEN gap_min IS NULL OR gap_min > 30 THEN 1 ELSE 0 END)
+  SELECT user_id, ts_us, event_id, ts,
+         sum(CASE WHEN gap_us IS NULL OR gap_us > 30 * 60 * 1000000 THEN 1 ELSE 0 END)
            OVER (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS UNBOUNDED PRECEDING) AS session_id
   FROM g
 )
 SELECT user_id, session_id, count(*) AS n_events,
-       min(ts) AS session_start, max(ts) AS session_end
+       min(ts_us) AS session_start_us, max(ts_us) AS session_end_us
 FROM s GROUP BY 1, 2
 """,
 }

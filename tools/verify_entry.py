@@ -61,6 +61,26 @@ def main():
         sdf = fn(spark, SF_DIR)
         scols = sdf.columns
         srows = [tuple(r) for r in sdf.collect()]
+        # Driver-hash hazard: raw timestamp outputs with sub-second
+        # precision hash differently between Arrow (ns) and DuckDB (µs)
+        # even for equal instants (r2's rel_user_sessions red cell).
+        # Entry queries must emit epoch-micros BIGINT or strings instead.
+        ts_cols = [c for c, t in sdf.dtypes if t.startswith("timestamp")]
+        if ts_cols:
+            import datetime as _dt
+
+            hazard = any(
+                isinstance(v, _dt.datetime) and v.microsecond != 0
+                for r in srows
+                for v in r
+            )
+            if hazard:
+                failures += 1
+                print(
+                    f"{name:32s} FAIL hash-hazard: µs-precision timestamp "
+                    f"column(s) {ts_cols} — emit epoch micros BIGINT instead"
+                )
+                continue
         if name not in oracles:
             print(f"{name:32s} rows-only: {len(srows)} rows")
             continue
