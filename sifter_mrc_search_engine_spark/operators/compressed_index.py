@@ -58,6 +58,9 @@ INDEX_SCHEMA = StructType(
         StructField("tfs", BinaryType(), False),
         StructField("skips", BinaryType(), False),
         StructField("blockmax", BinaryType(), False),
+        # weight-free per-block max tf: lets field-weighted scorers (BM25F)
+        # bound blocks for ANY query-time weights (blockmax impacts cannot)
+        StructField("blockmaxtf", BinaryType(), False),
     ]
 )
 
@@ -208,6 +211,7 @@ def encode_tf(
             StructField("tfs", BinaryType(), False),
             StructField("skips", BinaryType(), False),
             StructField("blockmax", BinaryType(), False),
+            StructField("blockmaxtf", BinaryType(), False),
         ]
     )
 
@@ -232,10 +236,12 @@ def encode_tf(
             impacts = idf * tf_f * (k1 + 1.0) / (tf_f + k1 * ((1.0 - b) + (b * dls_np) / avgdl))
             e = encode_postings(ids, tfs_np, impacts, block_size)
             out.append(
-                (e["n"], e["max_impact"], e["gaps"], e["tfs"], e["skips"], e["blockmax"])
+                (e["n"], e["max_impact"], e["gaps"], e["tfs"], e["skips"],
+                 e["blockmax"], e["blockmaxtf"])
             )
         return pd.DataFrame(
-            out, columns=["n", "max_impact", "gaps", "tfs", "skips", "blockmax"]
+            out,
+            columns=["n", "max_impact", "gaps", "tfs", "skips", "blockmax", "blockmaxtf"],
         )
 
     encoded = arrays.select(
@@ -265,6 +271,7 @@ def encode_tf(
         F.col("e.tfs").alias("tfs"),
         F.col("e.skips").alias("skips"),
         F.col("e.blockmax").alias("blockmax"),
+        F.col("e.blockmaxtf").alias("blockmaxtf"),
     )
 
 

@@ -16,12 +16,21 @@ Layout under ``index_dir``:
 
 Query lifecycle (``search_bm25f``): driver-side bucket routing for the
 field-prefixed query terms -> ONE pruned scan -> distributed decode ->
-weighted-tf aggregation -> weighted-doclen join -> the same
-ascending-term float64 fold as the brute-force scorer (bit-compatible,
-pinned by pytest). Note the stored per-block impact bounds are computed
-under per-field stats and are NOT valid for arbitrary weights — this
-path never uses them (exhaustive scoring over the pruned candidates);
-WAND-style pruning for BM25F would need weight-upper-bounded metadata.
+weighted-tf aggregation -> weighted-doclen join (candidates only; the
+weighted average doc length is a build-time constant from per-field
+length sums in stats.json) -> the same ascending-term float64 fold as
+the brute-force scorer (bit-compatible, pinned by pytest).
+
+Pruning metadata: the stored per-block impact bounds (``blockmax``) are
+computed under per-field stats and are NOT valid for arbitrary weights —
+BM25F paths never use them. Instead the codec's weight-FREE per-block
+max tf (``blockmaxtf``) gives a valid bound for ANY weights:
+
+    score(t, d) <= idf * S(Σ_f w_f·maxtf_f),
+    S(x) = x(k1+1) / (x + k1(1-b))          (wdl >= 0 ⇒ K >= k1(1-b))
+
+which ``bm25f_wand_topk`` uses both per term (global max tf) and per
+block (skip whole blocks without decoding them).
 """
 
 from __future__ import annotations
@@ -80,14 +89,16 @@ def fielded_tf(docs: DataFrame, fields: Sequence[str], id_col: str = "doc_id") -
     )
 
 
-def build_fielded_index(
-    docs: DataFrame,
-    fields: Sequence[str],
-    index_dir: str,
-    id_col: str = "doc_id",
-    buckets: int = TERM_BUCKETS,
+def write_fielded_doclens(
+    docs: DataFrame, fields: Sequence[str], index_dir: str, id_col: str = "doc_id"
 ) -> dict:
-    """Build + persist the fielded index; returns stats."""
+    """Write the per-field norms sidecar and return the build stats:
+    ``{"n_docs", "fields", "len_sums": {field: Σ doc_len}}``.
+
+    ``len_sums`` make the weighted average doc length a query-time
+    CONSTANT for any weights (avg_wdl = Σ_f w_f·sum_f / n_docs — exact,
+    since the totals are integers summed exactly in both engines), so no
+    serving path ever needs a full doclens aggregate."""
     spark = docs.sparkSession
     field_lens = F.array(
         *[
@@ -102,10 +113,31 @@ def build_fielded_index(
         "doc_id", F.col("fl.field").alias("field"), F.col("fl.doc_len").alias("doc_len")
     )
     dl.write.mode("overwrite").parquet(f"{index_dir}/doclens")
-    row = spark.read.parquet(f"{index_dir}/doclens").groupBy().agg(
-        F.countDistinct("doc_id").alias("n"), F.avg("doc_len").alias("a")
-    ).collect()[0]
-    n_docs, avg_any = int(row["n"]), float(row["a"] or 1.0)
+    rows = (
+        spark.read.parquet(f"{index_dir}/doclens")
+        .groupBy("field")
+        .agg(F.sum("doc_len").alias("s"), F.countDistinct("doc_id").alias("n"))
+        .collect()
+    )
+    n_docs = max((int(r["n"]) for r in rows), default=0)
+    return {
+        "n_docs": n_docs,
+        "fields": sorted(fields),
+        "len_sums": {r["field"]: int(r["s"] or 0) for r in rows},
+    }
+
+
+def build_fielded_index(
+    docs: DataFrame,
+    fields: Sequence[str],
+    index_dir: str,
+    id_col: str = "doc_id",
+    buckets: int = TERM_BUCKETS,
+) -> dict:
+    """Build + persist the fielded index; returns stats."""
+    stats = write_fielded_doclens(docs, fields, index_dir, id_col)
+    n_docs = stats["n_docs"]
+    avg_any = (sum(stats["len_sums"].values()) / max(n_docs, 1)) or 1.0
 
     from pyspark import StorageLevel
 
@@ -118,19 +150,26 @@ def build_fielded_index(
         # by the BM25F scorer (see module doc) — any positive avgdl is fine
         idx = encode_tf(tf, n_docs, max(avg_any, 1e-9), buckets=buckets)
         write_index(idx, f"{index_dir}/postings")
-        # per-BASE-term union df (docs containing the term in ANY field):
-        # idf is weight-independent, so this small sidecar gives query-time
-        # WAND the exact idf per term WITHOUT decoding
-        tf.select(
-            F.substring_index("term", FIELD_SEP, -1).alias("term"), "doc_id"
-        ).distinct().groupBy("term").agg(F.count(F.lit(1)).alias("df")).write.mode(
-            "overwrite"
-        ).parquet(f"{index_dir}/term_df")
+        write_fielded_term_df(tf, f"{index_dir}/term_df")
     finally:
         tf.unpersist()
-    stats = {"n_docs": n_docs, "fields": sorted(fields)}
     (Path(index_dir) / "stats.json").write_text(json.dumps(stats))
     return stats
+
+
+def write_fielded_term_df(tf: DataFrame, path: str) -> None:
+    """Per-BASE-term union df (docs containing the term in ANY field):
+    idf is weight-independent, so this small sidecar gives query-time
+    WAND the exact idf per term WITHOUT decoding. One distinct-aggregate
+    over the already-aggregated tf rows (map-side partial aggregation
+    keeps the shuffle at |distinct (term, doc)| rows)."""
+    (
+        tf.select(F.substring_index("term", FIELD_SEP, -1).alias("term"), "doc_id")
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .write.mode("overwrite")
+        .parquet(path)
+    )
 
 
 def bm25f_wand_topk(
@@ -146,13 +185,20 @@ def bm25f_wand_topk(
 ):
     """Document-at-a-time WAND over MULTI-FIELD cursors — pruned BM25F.
 
-    Each base term owns one cursor per (field, segment); the term's upper
-    bound is ``idf(df_union) * (k1 + 1)`` — valid for ANY weights because
-    the weighted-tf saturation ``wtf(k1+1)/(wtf+K)`` < k1+1. The exact
-    union df comes from the build-time ``term_df`` sidecar (idf is
-    weight-independent), so no decode is needed to bound a term. Blocks
-    of skipped doc ranges are never decoded (the sub-cursors seek via
-    skip pointers). Exact: same scores as the exhaustive kernel.
+    Each base term owns one cursor per (field, segment). Upper bounds
+    come from the weight-free max-tf metadata when present:
+
+      term level:   ub = idf · S(Σ_f w_f · maxtf_f),
+      block level:  bound(target) = idf · S(Σ_cursors w_f · blockmaxtf),
+      S(x) = x(k1+1)/(x + k1(1-b))   — valid since K >= k1(1-b) for wdl>=0
+
+    falling back to ``idf·(k1+1)`` (the saturation ceiling) on indexes
+    without ``blockmaxtf``. ``df_by_term`` must be the EXACT union df
+    over the QUERIED fields (weights' key set) — the same df the
+    exhaustive kernel and the brute-force oracle compute — or scores
+    silently diverge when weights cover a subset of the indexed fields.
+    Blocks bounded below θ are skipped without decoding (the sub-cursors
+    seek via skip pointers). Exact: same scores as the exhaustive kernel.
     """
     import heapq
 
@@ -168,15 +214,51 @@ def bm25f_wand_topk(
             continue
         groups.setdefault(term, []).append((field, _Cursor(r, 0.0)))
 
+    k_floor = k1 * (1.0 - b)  # K = k1((1-b) + b·wdl/avg_wdl) >= this
+
+    def _sat_ub(wtf_max: float) -> float:
+        """Upper bound of the saturation term for weighted tf <= wtf_max."""
+        if wtf_max <= 0.0:
+            return 0.0
+        if k_floor <= 0.0:  # b == 1: only the asymptotic ceiling is safe
+            return k1 + 1.0
+        return wtf_max * (k1 + 1.0) / (wtf_max + k_floor)
+
     class _Group:
-        __slots__ = ("term", "idf", "ub", "cursors")
+        __slots__ = ("term", "idf", "ub", "cursors", "has_bmtf")
 
         def __init__(self, term, cursors):
             self.term = term
             df = int(df_by_term[term])
             self.idf = float(np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)))
-            self.ub = self.idf * (k1 + 1.0)
+            self.has_bmtf = all(c.blockmaxtf is not None for _, c in cursors)
+            if self.has_bmtf:
+                # global max weighted tf: per field, max tf over all of that
+                # field's segments/blocks (salted segments are disjoint)
+                maxtf: dict[str, int] = {}
+                for f, c in cursors:
+                    m = int(c.blockmaxtf.max())
+                    if m > maxtf.get(f, 0):
+                        maxtf[f] = m
+                wtf_max = sum(float(weights[f]) * m for f, m in maxtf.items())
+                self.ub = self.idf * _sat_ub(wtf_max)
+            else:
+                self.ub = self.idf * (k1 + 1.0)
             self.cursors = [(f, c) for f, c in cursors if not c.exhausted]
+
+        def block_bound_at(self, target: int) -> tuple:
+            """(score upper bound, min block-last-doc) over the blocks
+            containing the first doc >= target — metadata only, nothing
+            is decoded. Summing across a field's salted segments can only
+            overestimate (segments are doc-disjoint), keeping the bound
+            valid."""
+            s, boundary = 0.0, 2**62
+            for f, c in self.cursors:
+                bmtf, last = c.block_maxtf_at(target)
+                s += float(weights[f]) * bmtf
+                if last < boundary:
+                    boundary = last
+            return self.idf * _sat_ub(s), boundary
 
         @property
         def doc(self) -> int:
@@ -236,6 +318,35 @@ def bm25f_wand_topk(
             break  # even every UB summed cannot reach θ
         pivot_doc = live[pivot].doc
         if live[0].doc == pivot_doc:
+            # prefix = every group at or before the pivot doc, including
+            # groups tied at pivot_doc beyond the pivot index — their
+            # contribution is part of pivot_doc's true score
+            end = pivot + 1
+            while end < len(live) and live[end].doc == pivot_doc:
+                end += 1
+            prefix = live[:end]
+            if theta >= 0.0 and all(g.has_bmtf for g in prefix):
+                # advance over bounded-out blocks on METADATA ALONE (skips
+                # + blockmaxtf lookups); only the final landing block is
+                # ever decoded — consecutive cold blocks cost zero decodes
+                target = pivot_doc
+                while True:
+                    infos = [g.block_bound_at(target) for g in prefix]
+                    if sum(bb for bb, _ in infos) >= theta:
+                        break
+                    nt = min(last for _, last in infos) + 1
+                    if end < len(live):
+                        # past the next group's doc the prefix changes —
+                        # stop and let the outer loop re-pivot
+                        nt = min(nt, live[end].doc)
+                    if nt <= target:
+                        break
+                    target = nt
+                if target > pivot_doc:
+                    for g in prefix:
+                        g.seek(target)
+                    live = [g for g in live if g.cursors]
+                    continue
             # score pivot_doc: ascending-TERM float64 fold
             matching = sorted(
                 (g for g in live if g.doc == pivot_doc), key=lambda g: g.term
@@ -294,6 +405,11 @@ class FieldedSearcher:
         for r in spark.read.parquet(f"{index_dir}/doclens").collect():
             self._flen[r["field"]][r["doc_id"]] = r["doc_len"]
         self._doc_ids = sorted({d for m in self._flen.values() for d in m})
+        # per-field length totals (exact ints) make avg_wdl O(fields) per
+        # weights tuple instead of a Python loop over every doc_id
+        self._len_sum: dict[str, int] = {
+            f: int(s) for f, s in stats.get("len_sums", {}).items()
+        } or {f: sum(m.values()) for f, m in self._flen.items()}
         self._avg_wdl_memo: dict[tuple, float] = {}
         # union-df sidecar (idf is weight-independent) -> WAND-prunable
         self._term_df: dict[str, int] = {}
@@ -307,18 +423,18 @@ class FieldedSearcher:
                 self._mem.setdefault(r["term"], []).append(r)
 
     def _avg_wdl(self, weights: Mapping[str, float]) -> float:
-        """Mean over ALL docs of the per-doc weighted length — the same
-        mean-of-sums the brute-force plan computes (a sum-of-means would
-        drift in the last ulp)."""
+        """Mean over ALL docs of the per-doc weighted length, computed as
+        Σ_f w_f·sum_f / n_docs from the exact integer per-field totals.
+        Equal to the brute-force plan's mean-of-per-doc-sums whenever
+        w_f·len is exactly representable (dyadic weights — the documented
+        bit-equality contract), since both totals are then exact."""
         key = tuple(sorted((k, float(v)) for k, v in weights.items()))
         if key not in self._avg_wdl_memo:
-            total = 0.0
-            for d in self._doc_ids:
-                total += sum(
-                    float(w) * self._flen.get(f, {}).get(d, 0)
-                    for f, w in sorted(weights.items())
-                )
-            self._avg_wdl_memo[key] = total / len(self._doc_ids)
+            total = sum(
+                float(w) * self._len_sum.get(f, 0)
+                for f, w in sorted(weights.items())
+            )
+            self._avg_wdl_memo[key] = total / max(len(self._doc_ids), 1)
         return self._avg_wdl_memo[key]
 
     def _rows_for(self, fterms: list[str]) -> list:
@@ -360,11 +476,30 @@ class FieldedSearcher:
         if method not in ("auto", "wand", "exhaustive"):
             raise ValueError(f"unknown method {method!r}")
         if method == "wand":
-            if not self._term_df:
-                raise ValueError("method='wand' needs the term_df sidecar")
+            if set(names) == set(self.fields) and self._term_df:
+                # sidecar df IS the union df when every field is queried
+                df_by_term = self._term_df
+            else:
+                # weights cover a SUBSET of indexed fields: the sidecar's
+                # any-field df understates idf (and its bound can prune
+                # wrongly) — derive the exact union df over the queried
+                # fields from the fetched rows (one vectorized ids decode;
+                # pruning still saves all scoring work)
+                ids_by_term: dict[str, list] = {}
+                for r in rows:
+                    _, term = r["term"].split(FIELD_SEP, 1)
+                    ids, _tfs = decode_postings(
+                        gaps=bytes(r["gaps"]), tfs=bytes(r["tfs"]), n=int(r["n"]),
+                        skips=bytes(r["skips"]), block_size=int(r["block_size"]),
+                    )
+                    ids_by_term.setdefault(term, []).append(ids)
+                df_by_term = {
+                    t: int(np.unique(np.concatenate(parts)).size)
+                    for t, parts in ids_by_term.items()
+                }
             return bm25f_wand_topk(
                 rows, weights, self._flen, self.n_docs,
-                self._avg_wdl(weights), self._term_df, top_k=top_k, k1=k1, b=b,
+                self._avg_wdl(weights), df_by_term, top_k=top_k, k1=k1, b=b,
             )
         by_term: dict[str, list] = {}
         for r in rows:
@@ -442,15 +577,29 @@ def search_bm25f(
     )
     wtf = wtf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
 
-    dl = spark.read.parquet(f"{index_dir}/doclens")
-    wdl = dl.groupBy("doc_id").agg(
-        F.sum(F.element_at(w_map, F.col("field")) * F.col("doc_len")).alias("wdl")
-    )
-    avg_wdl = wdl.agg(F.avg("wdl").alias("avg_wdl"))
+    # avg_wdl is a build-time CONSTANT (Σ_f w_f·len_sum_f / n_docs, exact
+    # integer totals in stats.json) — no full-doclens aggregate per query;
+    # doclens are joined only for the candidate doc_ids
+    len_sums = stats.get("len_sums")
+    if len_sums is None:  # pre-len_sums index layout: one-time fallback
+        dl_all = spark.read.parquet(f"{index_dir}/doclens")
+        len_sums = {
+            r["field"]: int(r["s"])
+            for r in dl_all.groupBy("field").agg(F.sum("doc_len").alias("s")).collect()
+        }
+    avg_wdl = sum(float(weights[f]) * len_sums.get(f, 0) for f in names) / max(n_docs, 1)
 
-    joined = wtf.join(wdl, "doc_id").crossJoin(F.broadcast(avg_wdl))
+    dl = spark.read.parquet(f"{index_dir}/doclens")
+    cand_ids = wtf.select("doc_id").distinct()
+    wdl = (
+        dl.join(cand_ids, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.sum(F.element_at(w_map, F.col("field")) * F.col("doc_len")).alias("wdl"))
+    )
+
+    joined = wtf.join(wdl, "doc_id")
     norm = F.col("wtf") + F.lit(k1) * (
-        F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("wdl") / F.col("avg_wdl")
+        F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("wdl") / F.lit(avg_wdl)
     )
     contrib = idf_expr("df", F.lit(n_docs)) * F.col("wtf") * F.lit(k1 + 1.0) / norm
     scored = (

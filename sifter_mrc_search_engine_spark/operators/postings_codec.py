@@ -12,6 +12,11 @@ Layout per (term, segment):
   skips    binary  int64 array triplets per block:
                    (last_doc_id, gaps_byte_offset, tfs_byte_offset)
   blockmax binary  float64 array: max BM25 impact per block
+  blockmaxtf binary int64 array: max raw tf per block — weight-FREE, so
+                   field-weighted scorers (BM25F) can derive valid
+                   per-block upper bounds for ANY query-time weights,
+                   which the impact-based blockmax (computed under fixed
+                   per-field stats) cannot provide
 
 All encode/decode is vectorized numpy (no per-int Python loops); this is
 the Python that earns its UDF slot. BLOCK_SIZE postings per block
@@ -134,6 +139,7 @@ def encode_postings(
         bm = np.maximum.reduceat(np.asarray(impacts, dtype=np.float64), starts)
     else:
         bm = np.zeros(n_blocks, dtype=np.float64)
+    bmtf = np.maximum.reduceat(tfs, starts)
 
     return {
         "n": n,
@@ -142,6 +148,7 @@ def encode_postings(
         "tfs": t_buf,
         "skips": skips.tobytes(),
         "blockmax": bm.tobytes(),
+        "blockmaxtf": bmtf.astype(np.int64).tobytes(),
         "max_impact": float(bm.max()) if impacts is not None else 0.0,
     }
 
@@ -152,6 +159,10 @@ def decode_skips(skips: bytes) -> np.ndarray:
 
 def decode_blockmax(blockmax: bytes) -> np.ndarray:
     return np.frombuffer(blockmax, dtype=np.float64)
+
+
+def decode_blockmaxtf(blockmaxtf: bytes) -> np.ndarray:
+    return np.frombuffer(blockmaxtf, dtype=np.int64)
 
 
 def decode_postings(

@@ -47,6 +47,7 @@ class _Cursor:
 
     __slots__ = (
         "term", "idf", "max_impact", "gaps", "tfs", "skips", "blockmax",
+        "blockmaxtf",
         "n", "block", "n_blocks", "block_size", "ids", "tf", "i", "exhausted",
     )
 
@@ -58,6 +59,15 @@ class _Cursor:
         self.tfs = bytes(row["tfs"])
         self.skips = decode_skips(bytes(row["skips"]))
         self.blockmax = decode_blockmax(bytes(row["blockmax"]))
+        # weight-free per-block max tf (BM25F block pruning); absent on
+        # indexes encoded before the column existed -> None disables it
+        try:
+            bmtf = row["blockmaxtf"]
+        except (KeyError, ValueError, IndexError):
+            bmtf = None
+        from .postings_codec import decode_blockmaxtf
+
+        self.blockmaxtf = decode_blockmaxtf(bytes(bmtf)) if bmtf is not None else None
         self.n = int(row["n"])
         try:
             self.block_size = int(row["block_size"])
@@ -102,6 +112,17 @@ class _Cursor:
             if b >= self.n_blocks:
                 return 0.0, 2**62
         return float(self.blockmax[b]), int(self.skips[b, 0])
+
+    def block_maxtf_at(self, target: int) -> Tuple[int, int]:
+        """(block-max tf, block last doc) of the block containing the
+        first doc >= target — the weight-free twin of :meth:`block_max_at`
+        for field-weighted scorers. Requires ``blockmaxtf`` metadata."""
+        b = self.block
+        if self.skips[b, 0] < target:
+            b = int(np.searchsorted(self.skips[:, 0], target, side="left"))
+            if b >= self.n_blocks:
+                return 0, 2**62
+        return int(self.blockmaxtf[b]), int(self.skips[b, 0])
 
     def next_doc(self) -> None:
         self.i += 1
@@ -275,15 +296,24 @@ def wand_topk(
                 end += 1
             prefix = live[:end]
             if use_blockmax and theta >= 0.0:
-                # tighter per-block bound, metadata only (no decode)
-                infos = [c.block_max_at(pivot_doc) for c in prefix]
-                bsum = sum(bm for bm, _ in infos)
-                if bsum < theta:
-                    boundary = min(last for _, last in infos)
-                    target = boundary + 1
+                # advance over bounded-out blocks on METADATA ALONE (skip
+                # pointers + blockmax lookups); only the final landing
+                # block is decoded — consecutive cold blocks cost zero
+                # decodes, not one decode per block boundary
+                target = pivot_doc
+                while True:
+                    infos = [c.block_max_at(target) for c in prefix]
+                    if sum(bm for bm, _ in infos) >= theta:
+                        break
+                    nt = min(last for _, last in infos) + 1
                     if end < len(live):
-                        target = min(target, live[end].doc)
-                    target = max(target, pivot_doc + 1)
+                        # past the next cursor's doc the prefix changes —
+                        # stop and let the outer loop re-pivot
+                        nt = min(nt, live[end].doc)
+                    if nt <= target:
+                        break
+                    target = nt
+                if target > pivot_doc:
                     for c in prefix:
                         c.seek(target)
                     live = [c for c in live if not c.exhausted]

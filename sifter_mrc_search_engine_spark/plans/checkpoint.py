@@ -209,3 +209,150 @@ def build_index_resumable(
         "docs_per_sec": docs_per_sec,
         "n_docs": n_docs,
     }
+
+
+def build_fielded_index_resumable(
+    docs: DataFrame,
+    fields: Sequence[str],
+    index_dir: str,
+    id_col: str = "doc_id",
+    buckets: int = TERM_BUCKETS,
+    max_buckets_this_run: int | None = None,
+) -> dict:
+    """Build (or resume) a FIELDED index (operators/fielded_index.py layout)
+    with the same per-bucket manifest protocol as :func:`build_index_resumable`.
+
+    Stages, each gated by its manifest line: ``doclens`` (per-field norms +
+    stats.json with per-field length sums), one line per term ``bucket``
+    (dynamic partition overwrite keeps completed buckets untouched), and
+    ``term_df`` (the union-df sidecar, written once every bucket has
+    landed). A fielded rebuild at 100 TB re-tokenizes every field of every
+    page — exactly the job a mid-run kill must not restart from zero.
+    """
+    from ..operators.compressed_index import encode_tf
+    from ..operators.fielded_index import (
+        fielded_tf,
+        write_fielded_doclens,
+        write_fielded_term_df,
+    )
+
+    spark = docs.sparkSession
+    manifest = read_manifest(index_dir)
+    done = {m["bucket"] for m in manifest if "bucket" in m}
+    have_doclens = any(m.get("kind") == "doclens" for m in manifest)
+    have_term_df = any(m.get("kind") == "term_df" for m in manifest)
+
+    t0 = time.monotonic()
+    fp = input_fingerprint(docs, id_col)
+    if not have_doclens:
+        stats = write_fielded_doclens(docs, fields, index_dir, id_col)
+        (Path(index_dir) / "stats.json").write_text(json.dumps(stats))
+        _append_manifest(
+            index_dir,
+            [
+                {
+                    "kind": "doclens",
+                    "input_fingerprint": fp,
+                    "n_docs": stats["n_docs"],
+                    "fields": stats["fields"],
+                    "wall_ms": int((time.monotonic() - t0) * 1000),
+                    "completed_utc_ms": int(time.time() * 1000),
+                }
+            ],
+        )
+    else:
+        stats = json.loads((Path(index_dir) / "stats.json").read_text())
+        if sorted(stats["fields"]) != sorted(fields):
+            raise ValueError(
+                f"manifest at {index_dir} was built for fields "
+                f"{stats['fields']}, not {sorted(fields)}; refusing to mix"
+            )
+
+    stale = [m for m in manifest if m.get("input_fingerprint") not in (None, fp)]
+    if stale:
+        raise ValueError(
+            f"manifest at {index_dir} was built from different input "
+            f"({stale[0]['input_fingerprint']} != {fp}); refusing to mix"
+        )
+    n_docs = int(stats["n_docs"])
+    avg_any = (sum(stats["len_sums"].values()) / max(n_docs, 1)) or 1.0
+
+    missing = [b for b in range(buckets) if b not in done]
+    if max_buckets_this_run is not None:
+        missing = missing[:max_buckets_this_run]
+    finishes_postings = set(done) | set(missing) == set(range(buckets))
+    if not missing and have_term_df:
+        return {"resumed": True, "built_buckets": [], "skipped": len(done)}
+
+    from pyspark import StorageLevel
+
+    tf = fielded_tf(docs, fields, id_col)
+    # persist only when tf has two consumers this run (encode + sidecar)
+    persisted = bool(missing) and finishes_postings and not have_term_df
+    if persisted:
+        tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        wall_ms = 0
+        if missing:
+            t1 = time.monotonic()
+            idx = encode_tf(tf, n_docs, max(avg_any, 1e-9), buckets=buckets)
+            (
+                idx.filter(F.col("bucket").isin(missing))
+                .repartition("bucket")
+                .sortWithinPartitions("term", "segment")
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("bucket")
+                .parquet(f"{index_dir}/postings")
+            )
+            wall_ms = int((time.monotonic() - t1) * 1000)
+            per_bucket = {
+                r["bucket"]: r
+                for r in spark.read.parquet(f"{index_dir}/postings")
+                .filter(F.col("bucket").isin(missing))
+                .groupBy("bucket")
+                .agg(F.count(F.lit(1)).alias("terms"), F.sum("n").alias("postings"))
+                .collect()
+            }
+            share = max(len(missing), 1)
+            now = int(time.time() * 1000)
+            docs_per_sec = n_docs / max(wall_ms / 1000.0, 1e-9)
+            _append_manifest(
+                index_dir,
+                [
+                    {
+                        "bucket": b,
+                        "input_fingerprint": fp,
+                        "terms": int(per_bucket[b]["terms"]) if b in per_bucket else 0,
+                        "postings": int(per_bucket[b]["postings"]) if b in per_bucket else 0,
+                        "wall_ms": wall_ms // share,
+                        "docs_per_sec": round(docs_per_sec / share, 3),
+                        "completed_utc_ms": now,
+                    }
+                    for b in missing
+                ],
+            )
+        if finishes_postings and not have_term_df:
+            t2 = time.monotonic()
+            write_fielded_term_df(tf, f"{index_dir}/term_df")
+            _append_manifest(
+                index_dir,
+                [
+                    {
+                        "kind": "term_df",
+                        "input_fingerprint": fp,
+                        "wall_ms": int((time.monotonic() - t2) * 1000),
+                        "completed_utc_ms": int(time.time() * 1000),
+                    }
+                ],
+            )
+    finally:
+        if persisted:
+            tf.unpersist()
+    return {
+        "resumed": bool(done),
+        "built_buckets": missing,
+        "skipped": len(done),
+        "wall_ms": wall_ms,
+        "n_docs": n_docs,
+    }

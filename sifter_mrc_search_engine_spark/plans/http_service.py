@@ -109,6 +109,10 @@ def make_handler(service: InferenceService):
                     params = json.loads(raw or b"{}")
                 except json.JSONDecodeError:
                     return self._send(400, {"detail": "invalid JSON body"})
+                if not isinstance(params, dict):
+                    # valid JSON that is not an object ([1], "x") would hit
+                    # params.get and drop the connection with AttributeError
+                    return self._send(400, {"detail": "JSON body must be an object"})
                 return self._run_inference(params)
             if url.path == "/inference/file":
                 ctype = self.headers.get("Content-Type", "")

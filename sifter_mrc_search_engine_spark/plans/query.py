@@ -100,22 +100,42 @@ class IndexSearcher:
         index_dir: str,
         buckets: int = TERM_BUCKETS,
         preload: bool = False,
+        norms: str = "preload",
     ):
         """``preload=True`` pulls the postings table into a driver-side
         term->rows dict — the low-latency serving mode (sub-ms routing, no
         Spark job per query). Appropriate while the hot index fits driver
         memory; at 10^12 docs serving runs against the bucket-pruned scan
-        (default) or an external KV tier."""
+        (default) or an external KV tier.
+
+        ``norms``: 'preload' loads the doclens sidecar into driver memory
+        on first use (lowest latency; bounded by the norms table fitting
+        the serving head). 'join' never materializes norms on the driver —
+        every query scores through the in-plan doclen join
+        (:meth:`search_many_relational`'s shape), the mode that holds at
+        10^12 docs where the norms table itself is cluster-resident."""
+        if norms not in ("preload", "join"):
+            raise ValueError(f"unknown norms mode {norms!r}")
         self.spark = spark
         self.index_dir = index_dir
         self.buckets = buckets
+        self.norms_mode = norms
         self.postings = spark.read.parquet(f"{index_dir}/postings")
-        self.doclen, self.n_docs, self.avgdl = _load_norms(spark, index_dir)
+        stats = json.loads((Path(index_dir) / "stats.json").read_text())
+        self.n_docs, self.avgdl = int(stats["n_docs"]), float(stats["avgdl"])
+        self._doclen = None  # lazy: join-mode never touches it
         self._mem: dict[str, list] | None = None
         if preload:
             self._mem = {}
             for r in self.postings.collect():
                 self._mem.setdefault(r["term"], []).append(r)
+
+    @property
+    def doclen(self):
+        """Driver-resident norms, loaded lazily (preload mode only)."""
+        if self._doclen is None:
+            self._doclen, _, _ = _load_norms(self.spark, self.index_dir)
+        return self._doclen
 
     def candidate_rows(self, terms: Sequence[str]) -> list:
         """Postings fetch for a term set.
@@ -144,6 +164,12 @@ class IndexSearcher:
         (score desc, doc_id asc). ``clamp=False`` lifts the ceiling for
         internal deep retrieval (domain over-fetch)."""
         top_k = max(1, min(int(top_k), MAX_TOP_K) if clamp else int(top_k))
+        if self.norms_mode == "join":
+            # zero driver-resident norm state: score through the in-plan
+            # doclen join (one Spark job; doc lengths ride the rows)
+            out = self.search_many_relational([question], top_k=top_k, clamp=False)
+            rows = sorted(out.collect(), key=lambda r: r["rank"])
+            return [(int(r["doc_id"]), float(r["score"])) for r in rows]
         terms = analyze(question)
         rows = self.candidate_rows(terms)
         return wand_topk(rows, terms, self.doclen, self.n_docs, self.avgdl, top_k=top_k)
@@ -258,7 +284,7 @@ class IndexSearcher:
         return joined.groupBy("query_id").applyInPandas(score_group, out_schema)
 
     def search_many_relational(
-        self, questions: Sequence[str], top_k: int = DEFAULT_TOP_K
+        self, questions: Sequence[str], top_k: int = DEFAULT_TOP_K, clamp: bool = True
     ) -> DataFrame:
         """Batch scoring as ONE relational plan over the compressed index.
 
@@ -278,7 +304,7 @@ class IndexSearcher:
         from ..constants import BM25_B, BM25_K1
         from ..operators.bm25 import idf_expr
 
-        top_k = max(1, min(int(top_k), MAX_TOP_K))
+        top_k = max(1, min(int(top_k), MAX_TOP_K) if clamp else int(top_k))
         q_terms = {i: analyze(q) for i, q in enumerate(questions)}
         pairs = [(i, t) for i, ts in q_terms.items() for t in sorted(set(ts))]
         if not pairs:

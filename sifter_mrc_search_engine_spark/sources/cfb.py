@@ -118,6 +118,10 @@ class CfbReader:
     def _read_mini_chain(self, start: int, size: int) -> bytes:
         out, s = [], start
         while s != ENDOFCHAIN:
+            if s == FREESECT or s >= len(self.minifat):
+                # mirror _chain: a malformed mini-FAT next-pointer must
+                # fail loudly, not IndexError / silently append nothing
+                raise CfbError(f"mini FAT chain references out-of-range sector {s}")
             out.append(self.mini_stream[MINI_SECT * s : MINI_SECT * (s + 1)])
             s = self.minifat[s]
             if len(out) > len(self.minifat) + 1:

@@ -126,7 +126,10 @@ def parse_hwp_buffer(buf: bytes) -> list[str]:
             i += 4 + length
         text += section_text + "\n"
     content = text.replace("\n", "").replace("\r", "").replace(_HWP_CTRL_SEQ, "")
-    return [p for p in [content] if len(p) > MIN_PARAGRAPH_LEN]
+    # NO length gate: the reference's HwpParser.parse() returns [content]
+    # unfiltered (hwp_parser.py:64-67), unlike the TEXT/PDF/DOCX parsers —
+    # a short HWP upload must answer, not 404
+    return [content]
 
 
 def hwp_record(tag: int, payload: bytes, level: int = 0) -> bytes:

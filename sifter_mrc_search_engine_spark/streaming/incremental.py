@@ -115,14 +115,27 @@ class MultiSegmentSearcher:
     by comparing the summed per-segment doc counts to the distinct
     doclen keys — cheap, the doclen dict is built anyway)."""
 
-    def __init__(self, spark: SparkSession, index_dir: str, buckets: int = TERM_BUCKETS):
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        buckets: int = TERM_BUCKETS,
+        norms: str = "preload",
+    ):
+        """``norms='preload'`` collects every segment's doclens into a
+        driver dict (lowest latency; bounded by driver memory).
+        ``norms='join'`` keeps norms cluster-resident — queries score
+        through an in-plan doclen join over the lazy unioned sidecars —
+        the mode that holds at 10^12 docs."""
+        if norms not in ("preload", "join"):
+            raise ValueError(f"unknown norms mode {norms!r}")
         self.spark = spark
         self.buckets = buckets
+        self.norms_mode = norms
         self.segments = list_segments(index_dir)
         if not self.segments:
             raise ValueError(f"no committed segments under {index_dir}")
         n, s = 0, 0
-        self.doclen: dict[int, int] = {}
         for seg in self.segments:
             st = json.loads((Path(seg) / "stats.json").read_text())
             n += st["n_docs"]
@@ -131,12 +144,18 @@ class MultiSegmentSearcher:
         for seg in self.segments:
             d = spark.read.parquet(f"{seg}/doclens")
             dl = d if dl is None else dl.unionByName(d)
-        for r in dl.collect():
-            self.doclen[r["doc_id"]] = r["doc_len"]
-        if len(self.doclen) != n:
+        self.doclens_df = dl  # lazy union; never collected in join mode
+        self.doclen: dict[int, int] = {}
+        if norms == "preload":
+            for r in dl.collect():
+                self.doclen[r["doc_id"]] = r["doc_len"]
+            distinct = len(self.doclen)
+        else:
+            distinct = dl.select(F.countDistinct("doc_id")).collect()[0][0]
+        if distinct != n:
             raise ValueError(
                 f"doc_ids overlap across segments ({n} segment docs, "
-                f"{len(self.doclen)} distinct) — segments require "
+                f"{distinct} distinct) — segments require "
                 "exactly-once ingest; run compact_segments to dedupe "
                 "keep-latest"
             )
@@ -149,25 +168,27 @@ class MultiSegmentSearcher:
             post = p if post is None else post.unionByName(p)
         self.postings = post
 
+    def _pruned(self, tset: list[str]) -> DataFrame:
+        from ..functions.xxhash import term_bucket
+
+        # driver-side bucket routing (bit-identical to JVM xxhash64) ->
+        # the pruned unioned scan is the only Spark job this query pays
+        bks = sorted({term_bucket(t, self.buckets) for t in tset})
+        return self.postings.filter(F.col("bucket").isin(bks)).filter(
+            F.col("term").isin(tset)
+        )
+
     def search(self, question: str, top_k: int = DEFAULT_TOP_K, clamp: bool = True):
         import numpy as np
-
-        from ..functions.xxhash import term_bucket
 
         top_k = max(1, min(int(top_k), MAX_TOP_K) if clamp else int(top_k))
         terms = analyze(question)
         if not terms:
             return []
         tset = sorted(set(terms))
-        # driver-side bucket routing (bit-identical to JVM xxhash64) ->
-        # the pruned unioned scan is the only Spark job this query pays
-        bks = sorted({term_bucket(t, self.buckets) for t in tset})
-        rows = [
-            r.asDict()
-            for r in self.postings.filter(F.col("bucket").isin(bks))
-            .filter(F.col("term").isin(tset))
-            .collect()
-        ]
+        if self.norms_mode == "join":
+            return self._search_join(tset, top_k)
+        rows = [r.asDict() for r in self._pruned(tset).collect()]
         # merged df per term; stale segment bounds -> safe UB idf*(k1+1)
         df_tot: dict[str, int] = {}
         for r in rows:
@@ -185,6 +206,43 @@ class MultiSegmentSearcher:
             fixed, terms, self.doclen, self.n_docs, self.avgdl,
             top_k=top_k, use_blockmax=False,
         )
+
+    def _search_join(self, tset: list[str], top_k: int):
+        """Distributed scoring with zero driver-resident norms: decode the
+        pruned unioned scan executor-side, join the merged df (sum of
+        per-segment n — exact, doc_ids are segment-disjoint) and the lazy
+        doclens union in-plan, fold contributions in ascending-term
+        float64 order, top-k. Same scores as the preload path (pinned by
+        pytest)."""
+        from ..constants import BM25_B
+        from ..operators.bm25 import idf_expr
+        from ..operators.compressed_index import decode_index_df
+
+        cand = self._pruned(tset)
+        dfs = cand.groupBy("term").agg(F.sum("n").alias("df"))
+        decoded = decode_index_df(cand, keep_cols=("term",)).join(
+            F.broadcast(dfs), "term"
+        )
+        joined = decoded.join(self.doclens_df, "doc_id")
+        tf_d = F.col("tf").cast("double")
+        norm = tf_d + F.lit(BM25_K1) * (
+            F.lit(1.0) - F.lit(BM25_B)
+            + F.lit(BM25_B) * F.col("doc_len") / F.lit(self.avgdl)
+        )
+        contrib = idf_expr("df", F.lit(self.n_docs)) * tf_d * F.lit(BM25_K1 + 1.0) / norm
+        scored = (
+            joined.select("doc_id", "term", contrib.alias("contrib"))
+            .groupBy("doc_id")
+            .agg(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("term", "contrib"))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["contrib"],
+                ).alias("score")
+            )
+        )
+        rows = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(top_k).collect()
+        return [(int(r["doc_id"]), float(r["score"])) for r in rows]
 
 
 def compact_segments(

@@ -66,6 +66,26 @@ def test_hwp_validation_and_scrub():
     assert parse_hwp_buffer(hwp) == ["line oneline twotail"]
 
 
+def test_cfb_malformed_minifat_chain_raises_cfberror():
+    """A garbage mini-FAT next-pointer must raise CfbError (like _chain),
+    not IndexError or a silently truncated stream."""
+    from sifter_mrc_search_engine_spark.sources.cfb import FREESECT, CfbError
+
+    buf = cfb_write({("Mini",): b"m" * 300})  # <4096 -> mini stream
+    r = CfbReader(buf)
+    for bad in (FREESECT, len(r.minifat) + 7):
+        r.minifat = list(r.minifat)
+        r.minifat[0] = bad
+        with pytest.raises(CfbError, match="mini FAT"):
+            r._read_mini_chain(0, 300)
+
+
+def test_hwp_short_content_is_not_length_gated():
+    """Reference HwpParser.parse() returns [content] with NO length filter
+    (hwp_parser.py:64-67) — a short HWP must answer, not vanish."""
+    assert parse_hwp_buffer(synthesize_hwp([["ab"]])) == ["ab"]
+
+
 def test_hwp_through_spark_dispatch(spark, tmp_path):
     """binaryFile scan -> extension dispatch -> HWP decode inside the
     pandas UDF -> exploded paragraphs (the reference's POST /inference/file

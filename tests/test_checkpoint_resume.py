@@ -134,6 +134,29 @@ def test_top_k_clamped_to_reference_ceiling(searcher):
     assert len(searcher.search(VOCAB[0], top_k=0)) == 1
 
 
+def test_join_norms_serves_without_driver_doclens(spark, docs, searcher, tmp_path_factory):
+    """norms='join' must answer single queries with NO doclens collect —
+    `_DOCLEN_CACHE` stays empty for the index — and results identical to
+    the preload path (the 10^12-doc serving shape: norms stay
+    cluster-resident and ride the in-plan join)."""
+    from sifter_mrc_search_engine_spark.plans import query as query_mod
+
+    d = str(tmp_path_factory.mktemp("idx_join"))
+    build_index_resumable(docs, d, buckets=BUCKETS)
+    query_mod.invalidate_norms_cache()
+    s = IndexSearcher(spark, d, buckets=BUCKETS, norms="join")
+    for q in QUERIES:
+        got = s.search(q, top_k=10)
+        exp = searcher.search(q, top_k=10)
+        assert [d_ for d_, _ in got] == [d_ for d_, _ in exp], q
+        for (_, gs), (_, es) in zip(got, exp):
+            # JVM Math.log vs libm np.log in idf: allow exactly 1 ulp
+            assert gs == pytest.approx(es, rel=1e-12, abs=1e-12)
+    assert not any(k[0] == d for k in query_mod._DOCLEN_CACHE), (
+        "join mode collected doclens to the driver"
+    )
+
+
 def test_search_many_local_matches_search(searcher):
     batch = searcher.search_many_local(QUERIES, top_k=10)
     for q, got in zip(QUERIES, batch):

@@ -119,6 +119,153 @@ def test_fielded_wand_vs_exhaustive(spark, corpus, fielded_dir, method):
             assert gs == pytest.approx(es, rel=1e-12, abs=1e-12)
 
 
+@pytest.mark.parametrize("method", ["wand", "exhaustive"])
+def test_fielded_wand_subset_weights(spark, corpus, fielded_dir, method):
+    """Weights covering a SUBSET of the indexed fields must still match
+    brute force: the term_df sidecar (union df over ALL fields) is not
+    the right idf then — WAND must derive the union df over the queried
+    fields from the fetched rows."""
+    from sifter_mrc_search_engine_spark.operators.fielded_index import FieldedSearcher
+
+    s = FieldedSearcher(spark, fielded_dir, buckets=16, preload=True)
+    w = {"title": 3.0}  # subset of ["content", "title"]
+    for q in QUESTIONS:
+        exp = [
+            (r["doc_id"], r["score"])
+            for r in bm25f_brute_force(corpus, q, w, top_k=5).collect()
+        ]
+        got = s.search(q, w, top_k=5, method=method)
+        assert [d for d, _ in got] == [d for d, _ in exp], (q, method)
+        for (gd, gs), (_, es) in zip(got, exp):
+            assert gs == pytest.approx(es, rel=1e-12, abs=1e-12)
+
+
+def test_fielded_wand_skips_blocks():
+    """The weight-free per-block max-tf metadata must let multi-field
+    WAND skip decoding blocks. Scenario where TERM-level bounds cannot
+    prune but BLOCK-level ones do: every term is flat tf=1 except a
+    coinciding tf=50 spike at doc 7, so the global max tf keeps every
+    term's UB above the threshold while every post-spike block's max tf
+    of 1 bounds it below."""
+    import numpy as np
+
+    from sifter_mrc_search_engine_spark.operators import wand as wand_mod
+    from sifter_mrc_search_engine_spark.operators.fielded_index import (
+        FIELD_SEP,
+        bm25f_wand_topk,
+    )
+    from sifter_mrc_search_engine_spark.operators.postings_codec import encode_postings
+
+    n, bs = 20_000, 128
+    ids = np.arange(n, dtype=np.int64)
+
+    def tfs_with_spike():
+        t = np.ones(n, dtype=np.int64)
+        t[7] = 50
+        return t
+
+    def row(field, term, tfs):
+        e = encode_postings(ids, tfs, impacts=None, block_size=bs)
+        return {
+            "term": f"{field}{FIELD_SEP}{term}", "segment": 0, "df": n,
+            "n": e["n"], "block_size": bs, "min_doc": 0,
+            "max_doc": n - 1, "max_impact": 0.0, "gaps": e["gaps"],
+            "tfs": e["tfs"], "skips": e["skips"], "blockmax": e["blockmax"],
+            "blockmaxtf": e["blockmaxtf"],
+        }
+
+    rows = [
+        row("body", "alpha", tfs_with_spike()),
+        row("title", "alpha", tfs_with_spike()),
+        row("body", "beta", tfs_with_spike()),
+    ]
+    flen = {
+        "body": {int(d): 100 for d in ids},
+        "title": {int(d): 10 for d in ids},
+    }
+    df_by_term = {"alpha": n, "beta": n}
+    weights = {"body": 1.0, "title": 2.0}
+    avg_wdl = 1.0 * 100 + 2.0 * 10
+
+    loads = {"n": 0}
+    orig = wand_mod._Cursor._load_block
+
+    def counting(self, blk):
+        loads["n"] += 1
+        return orig(self, blk)
+
+    wand_mod._Cursor._load_block = counting
+    try:
+        got = bm25f_wand_topk(rows, weights, flen, n, avg_wdl, df_by_term, top_k=1)
+    finally:
+        wand_mod._Cursor._load_block = orig
+    assert [d for d, _ in got] == [7]
+    total_blocks = 3 * ((n + bs - 1) // bs)
+    assert loads["n"] <= 12, (
+        f"{loads['n']} block loads of {total_blocks} — block-max-tf "
+        "pruning is not skipping"
+    )
+
+
+def test_fielded_interrupted_then_resumed_equals_uninterrupted(
+    spark, corpus, tmp_path_factory
+):
+    """Kill/resume identity for the FIELDED build: a run truncated to 3 of
+    16 buckets plus a resume must produce byte-identical postings, the
+    same term_df sidecar, and the same stats as a one-shot build."""
+    from sifter_mrc_search_engine_spark.plans.checkpoint import (
+        build_fielded_index_resumable,
+        read_manifest,
+    )
+
+    full_dir = str(tmp_path_factory.mktemp("fidx_full"))
+    part_dir = str(tmp_path_factory.mktemp("fidx_part"))
+    fields = ["title", "content"]
+
+    r_full = build_fielded_index_resumable(corpus, fields, full_dir, buckets=16)
+    assert sorted(r_full["built_buckets"]) == list(range(16))
+
+    r1 = build_fielded_index_resumable(
+        corpus, fields, part_dir, buckets=16, max_buckets_this_run=3
+    )
+    assert len(r1["built_buckets"]) == 3
+    kinds = {m.get("kind") for m in read_manifest(part_dir)}
+    assert "doclens" in kinds and "term_df" not in kinds  # sidecar waits
+
+    r2 = build_fielded_index_resumable(corpus, fields, part_dir, buckets=16)
+    assert r2["resumed"] and r2["skipped"] == 3
+    assert set(r1["built_buckets"]).isdisjoint(r2["built_buckets"])
+    assert "term_df" in {m.get("kind") for m in read_manifest(part_dir)}
+
+    def sig(d):
+        rows = spark.read.parquet(f"{d}/postings").collect()
+        return sorted(
+            (r["term"], r["segment"], r["bucket"], r["df"], r["n"],
+             bytes(r["gaps"]), bytes(r["tfs"]), bytes(r["skips"]),
+             bytes(r["blockmax"]), bytes(r["blockmaxtf"]))
+            for r in rows
+        )
+
+    assert sig(part_dir) == sig(full_dir)
+    tdf = lambda d: sorted(
+        (r["term"], r["df"]) for r in spark.read.parquet(f"{d}/term_df").collect()
+    )
+    assert tdf(part_dir) == tdf(full_dir)
+
+    # third run is a no-op; served results match brute force
+    r3 = build_fielded_index_resumable(corpus, fields, part_dir, buckets=16)
+    assert r3["built_buckets"] == [] and r3["skipped"] == 16
+    exp = [
+        (r["doc_id"], r["score"])
+        for r in bm25f_brute_force(corpus, "the fast query", WEIGHTS, top_k=5).collect()
+    ]
+    got = [
+        (r["doc_id"], r["score"])
+        for r in search_bm25f(spark, part_dir, "the fast query", WEIGHTS, top_k=5, buckets=16).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in exp]
+
+
 def test_fielded_term_df_sidecar_is_union_df(spark, corpus, fielded_dir):
     """term_df must be the UNION df (docs containing the term in ANY
     field) — the idf driving both kernels and the oracle."""

@@ -79,6 +79,14 @@ def test_post_inference_json_body(door):
     assert code == 200 and len(out["answers"]) <= 2
 
 
+def test_post_inference_non_object_json_is_400(door):
+    """Valid JSON that is not an object must be a 400, not a dropped
+    connection (params.get on a list raised AttributeError)."""
+    for body in (b"[1]", b'"x"', b"3"):
+        code, out = _post(door, "/inference", body, {"Content-Type": "application/json"})
+        assert code == 400 and "object" in out["detail"], body
+
+
 def test_post_inference_file_multipart(door):
     boundary = uuid.uuid4().hex
     text = (

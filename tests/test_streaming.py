@@ -39,6 +39,20 @@ def test_segments_created(spark, streamed):
 QUERIES = [VOCAB[0], f"{VOCAB[0]} {VOCAB[40]}", f"{VOCAB[2]} {VOCAB[7]} {VOCAB[100]}"]
 
 
+def test_multisegment_join_norms_no_driver_state(spark, streamed):
+    """norms='join' must serve identical results with ZERO doclens on the
+    driver — the 10^12-doc serving shape."""
+    docs, idx_dir = streamed
+    pre = MultiSegmentSearcher(spark, idx_dir, buckets=8)
+    joined = MultiSegmentSearcher(spark, idx_dir, buckets=8, norms="join")
+    assert joined.doclen == {}  # nothing collected
+    for q in QUERIES + ["zzznotaterm"]:
+        a, b = pre.search(q, top_k=10), joined.search(q, top_k=10)
+        assert [d for d, _ in a] == [d for d, _ in b], q
+        for (_, sa), (_, sb) in zip(a, b):
+            assert sb == pytest.approx(sa, rel=1e-12, abs=1e-12)
+
+
 @pytest.mark.parametrize("q", QUERIES)
 def test_multisegment_search_equals_batch_oracle(spark, streamed, q):
     docs, idx_dir = streamed

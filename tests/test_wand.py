@@ -100,3 +100,50 @@ def test_blockmax_pruning_equals_exhaustive(corpus):
         a = wand_topk(index, terms, doclen, n_docs, avgdl, use_blockmax=True, method="wand")
         b = wand_topk(index, terms, doclen, n_docs, avgdl, use_blockmax=False, method="wand")
         assert a == b, q
+
+
+def test_blockmax_skips_block_decodes():
+    """Bounded-out blocks must never be DECODED: the skip walk runs on
+    metadata alone. Flat tf=1 postings with an early coinciding spike
+    mean term-level UBs can't prune but per-block bounds rule out every
+    post-spike block."""
+    from sifter_mrc_search_engine_spark.operators import wand as wand_mod
+    from sifter_mrc_search_engine_spark.operators.postings_codec import encode_postings
+    from sifter_mrc_search_engine_spark.constants import BM25_B, BM25_K1
+
+    n, bs = 20_000, 128
+    ids = np.arange(n, dtype=np.int64)
+    doclen = np.full(n, 100, dtype=np.int64)
+    avgdl = 100.0
+
+    def row(term):
+        tfs = np.ones(n, dtype=np.int64)
+        tfs[7] = 50
+        idf = float(np.log(1.0 + (n - n + 0.5) / (n + 0.5)))
+        tf_f = tfs.astype(np.float64)
+        impacts = idf * tf_f * (BM25_K1 + 1.0) / (
+            tf_f + BM25_K1 * ((1.0 - BM25_B) + BM25_B * 100.0 / avgdl)
+        )
+        e = encode_postings(ids, tfs, impacts, block_size=bs)
+        return {
+            "term": term, "segment": 0, "df": n, "n": e["n"], "block_size": bs,
+            "min_doc": 0, "max_doc": n - 1, "max_impact": e["max_impact"],
+            "gaps": e["gaps"], "tfs": e["tfs"], "skips": e["skips"],
+            "blockmax": e["blockmax"], "blockmaxtf": e["blockmaxtf"],
+        }
+
+    index = [row("alpha"), row("beta")]
+    loads = {"n": 0}
+    orig = wand_mod._Cursor._load_block
+
+    def counting(self, blk):
+        loads["n"] += 1
+        return orig(self, blk)
+
+    wand_mod._Cursor._load_block = counting
+    try:
+        got = wand_topk(index, ["alpha", "beta"], doclen, n, avgdl, top_k=1, method="wand")
+    finally:
+        wand_mod._Cursor._load_block = orig
+    assert [d for d, _ in got] == [7]
+    assert loads["n"] <= 8, f"{loads['n']} block loads — skip walk is decoding"
