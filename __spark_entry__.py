@@ -214,6 +214,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_lsh_topk": lambda s, d: _sim.ann_topk(
             s.read.parquet(f"{d}/embeddings.parquet"), 0, k=10, n_planes=4
         ),
+        "sim_ann_multiprobe_topk": lambda s, d: _sim.ann_topk_multi(
+            s.read.parquet(f"{d}/embeddings.parquet"), 0, k=10, n_planes=6, n_tables=4
+        ),
         # rows-only (non-SQL-expressible) pipeline operators
         "pipeline_prepare_corpus": _q_prepare_corpus,
         "pipeline_nsp_pairs": _q_nsp_pairs,
@@ -334,6 +337,9 @@ def oracle_sql() -> dict[str, str]:
         # seed-fixed hyperplanes inlined as float64 literals -> the LSH
         # probe is fully SQL-expressible after all
         "sim_ann_lsh_topk": _sim.sql_ann_topk(0, k=10, n_planes=4),
+        # multi-table LSH (recall lever): every table's planes inlined the
+        # same way; candidate filter = OR over per-table Hamming balls
+        "sim_ann_multiprobe_topk": _sim.sql_ann_topk_multi(0, k=10, n_planes=6, n_tables=4),
         # one-pass audit: input / quality-gate survivors / exact-dedup
         # keepers are all plain aggregates over the documents view
         "pipeline_prepare_corpus": """

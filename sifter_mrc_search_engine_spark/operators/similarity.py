@@ -267,6 +267,150 @@ def write_bucketed_embeddings(
     ).parquet(path)
 
 
+def _probe_set(qb: int, n_planes: int, hamming: int) -> list[int]:
+    """Query bucket plus all buckets within the given Hamming distance."""
+    import itertools
+
+    out = {qb}
+    for r in range(1, hamming + 1):
+        for combo in itertools.combinations(range(n_planes), r):
+            x = qb
+            for j in combo:
+                x ^= 1 << j
+            out.add(x)
+    return sorted(out)
+
+
+def multi_table_bucket_ids(
+    embeddings: DataFrame, n_planes: int = 6, n_tables: int = 8, seed: int = 42
+) -> DataFrame:
+    """``(vec_id, embedding, buckets: array<int>)`` — element ``t`` is the
+    sign-projection bucket under table ``t``'s hyperplanes (seed + t).
+
+    ONE vectorized pandas UDF computes every table's bits in a single
+    ``(batch, dim) @ (dim, n_tables*n_planes)`` matmul per Arrow batch.
+    """
+    first = embeddings.select(F.size("embedding").alias("d")).first()
+    dim = int(first["d"])
+    all_planes = np.concatenate(
+        [_planes(dim, n_planes, seed + t) for t in range(n_tables)], axis=0
+    )  # (n_tables*n_planes, dim)
+    weights = 1 << np.arange(n_planes)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def buckets_of(emb: pd.Series) -> pd.Series:
+        m = np.stack(emb.to_numpy()).astype(np.float64)
+        bits = (m @ all_planes.T) > 0  # (batch, n_tables*n_planes)
+        per_table = bits.reshape(m.shape[0], n_tables, n_planes)
+        bk = (per_table * weights).sum(axis=2).astype(np.int32)
+        return pd.Series(list(bk))
+
+    return embeddings.select("vec_id", "embedding", buckets_of("embedding").alias("buckets"))
+
+
+def ann_topk_multi(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    n_planes: int = 6,
+    n_tables: int = 8,
+    hamming: int = 1,
+    seed: int = 42,
+    round_to: int = 4,
+) -> DataFrame:
+    """Multi-table multi-probe LSH ANN: a row is a candidate when ANY of
+    the ``n_tables`` independent hash tables places it within Hamming
+    distance ``hamming`` of the query's bucket; only candidates are
+    exact-scored. Recall behaves as 1-(1-p)^L for per-table hit rate p —
+    the standard lever when a single table's recall is not enough (e.g.
+    weakly clustered embeddings). At 10^12 rows each table is its own
+    bucket-partitioned copy of the id space (the classic LSH memory/
+    recall trade); here all tables ride one scan as an array column.
+    """
+    b = multi_table_bucket_ids(embeddings, n_planes, n_tables, seed)
+    qrow = b.filter(F.col("vec_id") == query_vec_id).select("buckets", "embedding").first()
+    probes = [
+        _probe_set(int(qrow["buckets"][t]), n_planes, hamming) for t in range(n_tables)
+    ]
+    cond = None
+    for t in range(n_tables):
+        c = F.element_at("buckets", t + 1).isin(probes[t])
+        cond = c if cond is None else (cond | c)
+    q_emb = F.array(*[F.lit(float(x)) for x in qrow["embedding"]])
+    return (
+        b.filter(cond)
+        .filter(F.col("vec_id") != query_vec_id)
+        .select(
+            "vec_id",
+            F.round(cosine_expr(F.col("embedding"), q_emb), round_to).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def sql_ann_topk_multi(
+    query_vec_id: int,
+    k: int = 10,
+    n_planes: int = 6,
+    n_tables: int = 8,
+    hamming: int = 1,
+    seed: int = 42,
+    dim: int = 64,
+    table: str = "embeddings",
+    round_to: int = 4,
+) -> str:
+    """DuckDB twin of :func:`ann_topk_multi`: per-table hyperplanes are
+    inlined as ``%.17g`` literals, each row's per-table bucket is
+    re-derived with the same float64 math, and the candidate OR-filter
+    probes every table's Hamming ball around the query's bucket."""
+
+    def lit(p: np.ndarray) -> str:
+        return "[" + ", ".join(f"{c:.17g}" for c in p) + "]"
+
+    plane_cols, bucket_exprs = [], []
+    for t in range(n_tables):
+        planes = _planes(dim, n_planes, seed + t)
+        for j in range(n_planes):
+            plane_cols.append(f"{lit(planes[j])} AS p{t}_{j}")
+        bucket_exprs.append(
+            " + ".join(
+                f"(CASE WHEN list_sum(list_transform(range(1, {dim} + 1), "
+                f"i -> CAST(e.embedding[i] AS DOUBLE) * p.p{t}_{j}[i])) > 0 "
+                f"THEN {1 << j} ELSE 0 END)"
+                for j in range(n_planes)
+            )
+        )
+    bucket_sel = ", ".join(f"{ex} AS bucket_{t}" for t, ex in enumerate(bucket_exprs))
+
+    # probe masks: bucket_t must be within the Hamming ball of q.bucket_t;
+    # enumerate the xor deltas (identical for every query bucket)
+    deltas = [x ^ 0 for x in _probe_set(0, n_planes, hamming)]
+    ors = " OR ".join(
+        "b.bucket_%d IN (%s)" % (t, ", ".join(f"xor(q.qb_{t}, {d})" for d in deltas))
+        for t in range(n_tables)
+    )
+    q_sel = ", ".join(f"bucket_{t} AS qb_{t}" for t in range(n_tables))
+    return f"""
+WITH p AS (SELECT {", ".join(plane_cols)}),
+b AS (SELECT e.vec_id, e.embedding, {bucket_sel} FROM {table} e CROSS JOIN p),
+q AS (SELECT {q_sel}, embedding AS q_emb FROM b WHERE vec_id = {query_vec_id}),
+scored AS (
+  SELECT b.vec_id,
+         list_sum(list_transform(range(1, {dim} + 1),
+                  i -> CAST(b.embedding[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE))) AS dot,
+         sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS na,
+         sqrt(list_sum(list_transform(q.q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nb
+  FROM b CROSS JOIN q
+  WHERE ({ors}) AND b.vec_id != {query_vec_id}
+)
+SELECT vec_id, round(dot / (na * nb), {round_to}) AS cos
+FROM scored ORDER BY dot / (na * nb) DESC, vec_id ASC LIMIT {k}
+"""
+
+
 def ann_topk(
     embeddings: DataFrame,
     query_vec_id: int,

@@ -64,14 +64,58 @@ def parse_pdf_buffer(buf: bytes) -> list[str]:
     return [p for p in text.split("\n\n") if len(p) > MIN_PARAGRAPH_LEN]
 
 
+_W_NS = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
+_A_NS = "{http://schemas.openxmlformats.org/drawingml/2006/main}"
+
+
+def _docx_xml2text(xml_bytes: bytes) -> str:
+    """docx2txt.xml2text twin over stdlib ElementTree: preorder walk where
+    ``w:p`` contributes "\\n\\n" (BEFORE its runs — docx2txt's iter()
+    order), ``w:t`` its text, ``w:tab`` a tab, ``w:br``/``w:cr`` a
+    newline."""
+    import xml.etree.ElementTree as ET
+
+    text = ""
+    for child in ET.fromstring(xml_bytes).iter():
+        if child.tag == f"{_W_NS}t":
+            text += child.text or ""
+        elif child.tag == f"{_W_NS}tab":
+            text += "\t"
+        elif child.tag in (f"{_W_NS}br", f"{_W_NS}cr"):
+            text += "\n"
+        elif child.tag == f"{_W_NS}p":
+            text += "\n\n"
+    return text
+
+
+def _docx_process_stdlib(buf: bytes) -> str:
+    """docx2txt.process twin: DOCX is zip+XML, so the stdlib reads it —
+    headers, then word/document.xml, then footers, stripped."""
+    import re as _re
+    import zipfile
+
+    with zipfile.ZipFile(io.BytesIO(buf)) as z:
+        names = set(z.namelist())
+        headers = sorted(n for n in names if _re.fullmatch(r"word/header\d*\.xml", n))
+        footers = sorted(n for n in names if _re.fullmatch(r"word/footer\d*\.xml", n))
+        text = ""
+        for name in headers + ["word/document.xml"] + footers:
+            if name in names:
+                text += _docx_xml2text(z.read(name))
+    return text.strip()
+
+
 def parse_docx_buffer(buf: bytes) -> list[str]:
-    """DOCX: docx2txt over BytesIO, split on triple newline
-    (docx_parser.py:7-20)."""
+    """DOCX: paragraph text, split on triple newline, length-gated
+    (docx_parser.py:7-20). Uses docx2txt when installed; otherwise the
+    stdlib zip+XML twin (:func:`_docx_process_stdlib`) with the same
+    output shape."""
     try:
         import docx2txt  # type: ignore
+
+        text = docx2txt.process(io.BytesIO(buf))
     except ImportError:
-        return _missing("docx2txt", "DOCX")(buf)
-    text = docx2txt.process(io.BytesIO(buf))
+        text = _docx_process_stdlib(buf)
     return [p for p in text.split("\n\n\n") if len(p) > MIN_PARAGRAPH_LEN]
 
 
@@ -164,13 +208,104 @@ def synthesize_hwp(sections: list[list[str]], compressed: bool = True) -> bytes:
     return cfb_write(streams)
 
 
+def _pptx_paragraphs_stdlib(buf: bytes) -> list[str]:
+    """python-pptx twin over stdlib zip+XML: slides in numeric order,
+    ``a:p`` paragraphs in shape-tree document order, each paragraph the
+    concatenation of its ``a:t`` runs (``a:br`` -> "\\v", python-pptx's
+    line-break convention)."""
+    import re as _re
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    out: list[str] = []
+    with zipfile.ZipFile(io.BytesIO(buf)) as z:
+        slides = sorted(
+            (n for n in z.namelist() if _re.fullmatch(r"ppt/slides/slide\d+\.xml", n)),
+            key=lambda n: int(_re.search(r"slide(\d+)\.xml", n).group(1)),
+        )
+        for name in slides:
+            for p in ET.fromstring(z.read(name)).iter(f"{_A_NS}p"):
+                buf_parts = []
+                for node in p.iter():
+                    if node.tag == f"{_A_NS}t":
+                        buf_parts.append(node.text or "")
+                    elif node.tag == f"{_A_NS}br":
+                        buf_parts.append("\v")
+                out.append("".join(buf_parts))
+    return out
+
+
+def synthesize_docx(paragraphs: list[str], headers: list[str] | None = None) -> bytes:
+    """Deterministic minimal DOCX fixture: word/document.xml (plus
+    optional word/header1.xml) with one ``w:p``/``w:r``/``w:t`` per
+    paragraph — enough structure for both docx2txt and the stdlib twin."""
+    import zipfile
+
+    def esc(t: str) -> str:
+        return t.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+    def doc_xml(paras: list[str]) -> str:
+        body = "".join(f"<w:p><w:r><w:t>{esc(p)}</w:t></w:r></w:p>" for p in paras)
+        return (
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            f'<w:document xmlns:w="{_W_NS[1:-1]}"><w:body>{body}</w:body></w:document>'
+        )
+
+    out = io.BytesIO()
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr(
+            "[Content_Types].xml",
+            '<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/'
+            'package/2006/content-types"/>',
+        )
+        if headers:
+            z.writestr(
+                "word/header1.xml",
+                doc_xml(headers).replace("w:document", "w:hdr").replace("<w:body>", "").replace("</w:body>", ""),
+            )
+        z.writestr("word/document.xml", doc_xml(paragraphs))
+    return out.getvalue()
+
+
+def synthesize_pptx(slides: list[list[str]]) -> bytes:
+    """Deterministic minimal PPTX fixture: one ppt/slides/slideN.xml per
+    slide, each paragraph an ``a:p`` with one ``a:r``/``a:t`` run."""
+    import zipfile
+
+    def esc(t: str) -> str:
+        return t.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+    out = io.BytesIO()
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr(
+            "[Content_Types].xml",
+            '<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/'
+            'package/2006/content-types"/>',
+        )
+        for i, paras in enumerate(slides, start=1):
+            body = "".join(
+                f"<a:p><a:r><a:t>{esc(p)}</a:t></a:r></a:p>" for p in paras
+            )
+            z.writestr(
+                f"ppt/slides/slide{i}.xml",
+                '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+                f'<p:sld xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/main" '
+                f'xmlns:a="{_A_NS[1:-1]}"><p:cSld><p:spTree>'
+                f"<p:sp><p:txBody>{body}</p:txBody></p:sp>"
+                "</p:spTree></p:cSld></p:sld>",
+            )
+    return out.getvalue()
+
+
 def parse_pptx_buffer(buf: bytes) -> list[str]:
     """PPTX: slide -> shape -> paragraph text, min length 5
-    (ppt_parser.py:7-23)."""
+    (ppt_parser.py:7-23). Uses python-pptx when installed; otherwise the
+    stdlib zip+XML twin."""
     try:
         from pptx import Presentation  # type: ignore
     except ImportError:
-        return _missing("python-pptx", "PPTX")(buf)
+        paras = _pptx_paragraphs_stdlib(buf)
+        return [t for t in paras if len(t) > MIN_PARAGRAPH_LEN_PPTX]
     prs = Presentation(io.BytesIO(buf))
     out = []
     for slide in prs.slides:

@@ -127,6 +127,124 @@ def test_ann_lsh_duckdb_oracle_parity(emb, con):
     assert got == [(v, c) for v, c in exp]
 
 
+def test_ann_multi_table_duckdb_oracle_parity(emb, con):
+    # multi-table multi-probe: every table's hyperplanes inlined as
+    # float64 literals; the OR-of-Hamming-balls candidate filter and the
+    # exact scoring reproduce in pure SQL
+    got = [
+        (r["vec_id"], r["cos"])
+        for r in S.ann_topk_multi(emb, 0, k=10, n_planes=6, n_tables=4).collect()
+    ]
+    exp = con.execute(S.sql_ann_topk_multi(0, k=10, n_planes=6, n_tables=4)).fetchall()
+    assert got == [(v, c) for v, c in exp]
+
+
+def _numpy_multi_recall(M, ids, n_planes, n_tables, hamming, seed, n_queries=50):
+    """Emulate ann_topk_multi's candidate generation + exact scoring in
+    numpy over all queries (running 50 Spark jobs would dominate the
+    suite); Spark parity for the same math is pinned separately."""
+    import numpy as np
+
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    sims = Mn @ Mn.T
+    np.fill_diagonal(sims, -2)
+    tables = []
+    for t in range(n_tables):
+        planes = S._planes(M.shape[1], n_planes, seed + t)
+        bits = (M @ planes.T) > 0
+        tables.append((bits * (1 << np.arange(n_planes))).sum(axis=1))
+    recalls, fracs = [], []
+    for qi in range(min(n_queries, M.shape[0])):
+        exact = set(ids[np.lexsort((ids, -sims[qi]))[:10]])
+        mask = np.zeros(M.shape[0], bool)
+        for B in tables:
+            probe = S._probe_set(int(B[qi]), n_planes, hamming)
+            mask |= np.isin(B, probe)
+        mask[qi] = False
+        cand = np.flatnonzero(mask)
+        fracs.append(cand.size / M.shape[0])
+        if cand.size == 0:
+            recalls.append(0.0)
+            continue
+        top = cand[np.lexsort((ids[cand], -sims[qi][cand]))[:10]]
+        recalls.append(len(exact & set(ids[top])) / 10)
+    import numpy as np
+
+    return float(np.mean(recalls)), float(np.mean(fracs))
+
+
+def test_ann_multi_recall_floor(emb):
+    """Pin the recall@10 floor of the multi-table config over 50 queries.
+
+    Measured tradeoff curve on the sf0.01 synthetic embeddings (near-
+    random vectors — the HARD case for sign-projection LSH; clustered
+    real embeddings scan far less for the same recall, see the clustered
+    test below):
+        1 table,  4 planes, H1: recall 0.44 @ 32% scanned
+        4 tables, 8 planes, H1: recall 0.33 @ 14%
+        8 tables, 6 planes, H1: recall 0.88 @ 59%
+        8 tables, 10 planes, H2: recall 0.75 @ 37%
+    """
+    import numpy as np
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    M = np.stack([r["embedding"] for r in rows]).astype(np.float64)
+    recall, frac = _numpy_multi_recall(M, ids, n_planes=6, n_tables=8, hamming=1, seed=42)
+    assert recall >= 0.8, (recall, frac)
+
+
+def test_ann_multi_recall_clustered_embeddings():
+    """On CLUSTERED embeddings (what trained encoders produce) the same
+    operator reaches high recall while scanning a small fraction — the
+    property that makes LSH ANN the 100 TB path."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    centers = rng.standard_normal((25, 64)) * 3.0
+    assign = rng.randint(0, 25, size=600)
+    M = centers[assign] + rng.standard_normal((600, 64)) * 0.3
+    ids = np.arange(600)
+    recall, frac = _numpy_multi_recall(M, ids, n_planes=8, n_tables=4, hamming=1, seed=42)
+    assert recall >= 0.9, (recall, frac)
+    assert frac <= 0.35, (recall, frac)
+
+
+def test_ann_multi_spark_matches_numpy_emulation(emb):
+    """The Spark operator's result == the numpy emulation used by the
+    recall tests, for several query ids — ties the measured curve to the
+    shipped operator."""
+    import numpy as np
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    M = np.stack([r["embedding"] for r in rows]).astype(np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    sims = Mn @ Mn.T
+    np.fill_diagonal(sims, -2)
+    row_of = {int(v): i for i, v in enumerate(ids)}
+    n_planes, n_tables = 6, 4
+    tables = []
+    for t in range(n_tables):
+        planes = S._planes(64, n_planes, 42 + t)
+        bits = (M @ planes.T) > 0
+        tables.append((bits * (1 << np.arange(n_planes))).sum(axis=1))
+    for qv in (0, 7, 123):
+        qi = row_of[qv]
+        mask = np.zeros(M.shape[0], bool)
+        for B in tables:
+            mask |= np.isin(B, S._probe_set(int(B[qi]), n_planes, 1))
+        mask[qi] = False
+        cand = np.flatnonzero(mask)
+        top = cand[np.lexsort((ids[cand], -sims[qi][cand]))[:10]]
+        exp = [int(ids[i]) for i in top]
+        got = [
+            r["vec_id"]
+            for r in S.ann_topk_multi(emb, qv, k=10, n_planes=n_planes, n_tables=n_tables).collect()
+        ]
+        assert got == exp, qv
+
+
 def test_ann_bucketed_table_path(emb, spark, tmp_path):
     # persisted bucket-partitioned table == on-the-fly buckets, and the
     # stored table is physically partitioned by bucket (partition pruning)

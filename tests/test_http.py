@@ -113,6 +113,34 @@ def test_post_inference_file_multipart(door):
     assert all("pasta" not in a["raw_answer"] for a in answers[:1])
 
 
+def test_post_inference_file_docx_and_pptx(door):
+    """DOCX/PPTX uploads answer over HTTP via the stdlib zip+XML parsers
+    (no 501 — the formats no longer need external libs)."""
+    from sifter_mrc_search_engine_spark.sources.parsers import (
+        synthesize_docx,
+        synthesize_pptx,
+    )
+
+    payloads = {
+        "up.docx": synthesize_docx(["the quick brown fox paragraph about spark engines"]),
+        "up.pptx": synthesize_pptx([["the quick brown fox paragraph about spark engines"]]),
+    }
+    for fname, payload in payloads.items():
+        boundary = uuid.uuid4().hex
+        parts = (
+            f"--{boundary}\r\nContent-Disposition: form-data; name=\"question\"\r\n\r\n"
+            f"spark fox\r\n"
+            f"--{boundary}\r\nContent-Disposition: form-data; name=\"file\"; "
+            f"filename=\"{fname}\"\r\nContent-Type: application/octet-stream\r\n\r\n"
+        ).encode() + payload + f"\r\n--{boundary}--\r\n".encode()
+        code, out = _post(
+            door, "/inference/file", parts,
+            {"Content-Type": f"multipart/form-data; boundary={boundary}"},
+        )
+        assert code == 200, (fname, out)
+        assert "fox" in out["answers"][0]["raw_answer"], fname
+
+
 def test_post_file_unsupported_extension(door):
     boundary = uuid.uuid4().hex
     parts = (

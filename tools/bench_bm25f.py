@@ -1,0 +1,98 @@
+"""BM25F / fielded-index benchmark: build throughput + serving p50 per
+method (exhaustive vs block-pruned WAND), on the synthesized pages corpus
+split into title/content fields. Prints one JSON line.
+
+Usage: SPARK_GRAFT_PAGES_DOCS=120000 python tools/bench_bm25f.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from pyspark.sql import functions as F
+
+from sifter_mrc_search_engine_spark.session import get_spark
+from sifter_mrc_search_engine_spark.operators.fielded_index import (
+    FieldedSearcher,
+    build_fielded_index,
+)
+from sifter_mrc_search_engine_spark.sources.pages import VOCAB, synthesize_pages
+
+N_DOCS = int(os.environ.get("SPARK_GRAFT_PAGES_DOCS", "120000"))
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+WEIGHTS = {"title": 2.0, "content": 1.0}
+
+# Zipf head (dense postings), mid, tail (selective), and mixes
+QUERIES = {
+    "head2": f"{VOCAB[0]} {VOCAB[1]}",
+    "head_mid": f"{VOCAB[2]} {VOCAB[200]}",
+    "mid2": f"{VOCAB[300]} {VOCAB[500]}",
+    "tail2": f"{VOCAB[1500]} {VOCAB[1900]}",
+    "head_tail": f"{VOCAB[0]} {VOCAB[1900]}",
+}
+
+
+def p50(fn, reps=9):
+    lats = []
+    for _ in range(reps):
+        t0 = time.monotonic()
+        fn()
+        lats.append(time.monotonic() - t0)
+    lats.sort()
+    return lats[len(lats) // 2]
+
+
+def main() -> None:
+    spark = get_spark("bm25f-bench", master=f"local[{CPUS}]", shuffle_partitions=2 * CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    corpus_dir = tempfile.mkdtemp(prefix="bm25f_corpus_")
+    out: dict = {"n_docs": N_DOCS, "cpus": CPUS}
+    try:
+        synthesize_pages(spark, N_DOCS, partitions=max(2 * CPUS, 8)).selectExpr(
+            "cast(split(url, '/')[4] as long) as doc_id", "text"
+        ).write.mode("overwrite").parquet(corpus_dir)
+        pages = spark.read.parquet(corpus_dir).select(
+            "doc_id",
+            F.concat_ws(" ", F.slice(F.split("text", " "), 1, 8)).alias("title"),
+            F.col("text").alias("content"),
+        )
+
+        # warm-up (JIT + daemon spawn), then min-of-2 measured builds
+        warm = tempfile.mkdtemp(prefix="bm25f_warm_")
+        build_fielded_index(pages.limit(N_DOCS // 6), ["title", "content"], warm)
+        shutil.rmtree(warm, ignore_errors=True)
+        builds = []
+        idx_dir = None
+        for _ in range(2):
+            if idx_dir:
+                shutil.rmtree(idx_dir, ignore_errors=True)
+            idx_dir = tempfile.mkdtemp(prefix="bm25f_idx_")
+            t0 = time.monotonic()
+            build_fielded_index(pages, ["title", "content"], idx_dir)
+            builds.append(time.monotonic() - t0)
+        out["fielded_build_sec"] = [round(b, 3) for b in builds]
+        out["fielded_build_docs_per_sec"] = round(N_DOCS / min(builds), 1)
+
+        s = FieldedSearcher(spark, idx_dir, preload=True)
+        for name, q in QUERIES.items():
+            for method in ("exhaustive", "wand"):
+                ms = p50(lambda: s.search(q, WEIGHTS, top_k=10, method=method)) * 1000
+                out[f"p50_ms_{name}_{method}"] = round(ms, 2)
+    finally:
+        shutil.rmtree(corpus_dir, ignore_errors=True)
+        if idx_dir:
+            shutil.rmtree(idx_dir, ignore_errors=True)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
