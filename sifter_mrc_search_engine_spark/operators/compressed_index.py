@@ -152,6 +152,7 @@ def encode_tf(
     k1: float = BM25_K1,
     b: float = BM25_B,
     block_size: int = BLOCK_SIZE,
+    with_impacts: bool = True,
 ) -> DataFrame:
     """Encode a ``(term, doc_id, tf, doc_len)`` aggregate into the
     compressed index (INDEX_SCHEMA). Shared by the batch builder and the
@@ -162,6 +163,12 @@ def encode_tf(
     JVM-side (``array_sort(collect_list(struct(...)))`` + ``transform``)
     so Arrow ships three plain int arrays per (term, segment) row to ONE
     scalar pandas UDF that does only the numpy codec work.
+
+    ``with_impacts=False`` skips the per-posting BM25 impact math AND the
+    doc_len column entirely (tf may omit it): blockmax/max_impact are
+    stored as zeros. Fielded (BM25F) indexes use this — their pruning
+    runs on the weight-free ``blockmaxtf``, impact bounds under fixed
+    per-field stats would be dead weight in the shuffle and the UDF.
     """
     spark = tf.sparkSession
 
@@ -190,18 +197,20 @@ def encode_tf(
         seg = F.lit(0)
     tf_seg = tf.withColumn("segment", seg)
 
+    post_struct = (
+        F.struct("doc_id", "tf", "doc_len") if with_impacts else F.struct("doc_id", "tf")
+    )
     grouped = tf_seg.groupBy("term", "segment").agg(
         F.count(F.lit(1)).alias("df_local"),
-        F.array_sort(F.collect_list(F.struct("doc_id", "tf", "doc_len"))).alias("posts"),
+        F.array_sort(F.collect_list(post_struct)).alias("posts"),
     )
-    arrays = grouped.select(
-        "term",
-        "segment",
-        "df_local",
+    array_cols = [
         F.transform("posts", lambda s: s["doc_id"]).alias("doc_ids"),
         F.transform("posts", lambda s: s["tf"]).alias("tf_arr"),
-        F.transform("posts", lambda s: s["doc_len"]).alias("dl_arr"),
-    )
+    ]
+    if with_impacts:
+        array_cols.append(F.transform("posts", lambda s: s["doc_len"]).alias("dl_arr"))
+    arrays = grouped.select("term", "segment", "df_local", *array_cols)
 
     enc_type = StructType(
         [
@@ -217,32 +226,50 @@ def encode_tf(
 
     from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf(enc_type)
-    def enc_udf(
-        terms: pd.Series, doc_ids: pd.Series, tf_arr: pd.Series,
-        dl_arr: pd.Series, df_local: pd.Series,
-    ) -> pd.DataFrame:
-        out = []
-        for term, ids, tfs, dls, dfl in zip(terms, doc_ids, tf_arr, dl_arr, df_local):
-            ids = np.asarray(ids, dtype=np.int64)
-            tfs_np = np.asarray(tfs, dtype=np.int64)
-            dls_np = np.asarray(dls, dtype=np.float64)
-            # segment-local df <= true df -> idf here >= true idf, so the
-            # stored impact bounds remain valid upper bounds for WAND;
-            # the exact df for SCORING is the window sum applied below
-            df_total = int(dfl)
-            idf = np.log(1.0 + (n_docs - df_total + 0.5) / (df_total + 0.5))
-            tf_f = tfs_np.astype(np.float64)
-            impacts = idf * tf_f * (k1 + 1.0) / (tf_f + k1 * ((1.0 - b) + (b * dls_np) / avgdl))
-            e = encode_postings(ids, tfs_np, impacts, block_size)
-            out.append(
-                (e["n"], e["max_impact"], e["gaps"], e["tfs"], e["skips"],
-                 e["blockmax"], e["blockmaxtf"])
-            )
-        return pd.DataFrame(
-            out,
-            columns=["n", "max_impact", "gaps", "tfs", "skips", "blockmax", "blockmaxtf"],
-        )
+    cols = ["n", "max_impact", "gaps", "tfs", "skips", "blockmax", "blockmaxtf"]
+
+    if with_impacts:
+
+        @pandas_udf(enc_type)
+        def enc_udf(
+            terms: pd.Series, doc_ids: pd.Series, tf_arr: pd.Series,
+            dl_arr: pd.Series, df_local: pd.Series,
+        ) -> pd.DataFrame:
+            out = []
+            for term, ids, tfs, dls, dfl in zip(terms, doc_ids, tf_arr, dl_arr, df_local):
+                ids = np.asarray(ids, dtype=np.int64)
+                tfs_np = np.asarray(tfs, dtype=np.int64)
+                dls_np = np.asarray(dls, dtype=np.float64)
+                # segment-local df <= true df -> idf here >= true idf, so the
+                # stored impact bounds remain valid upper bounds for WAND;
+                # the exact df for SCORING is the window sum applied below
+                df_total = int(dfl)
+                idf = np.log(1.0 + (n_docs - df_total + 0.5) / (df_total + 0.5))
+                tf_f = tfs_np.astype(np.float64)
+                impacts = idf * tf_f * (k1 + 1.0) / (tf_f + k1 * ((1.0 - b) + (b * dls_np) / avgdl))
+                e = encode_postings(ids, tfs_np, impacts, block_size)
+                out.append(tuple(e[c] for c in cols))
+            return pd.DataFrame(out, columns=cols)
+
+        enc_col = enc_udf("term", "doc_ids", "tf_arr", "dl_arr", "df_local")
+    else:
+
+        @pandas_udf(enc_type)
+        def enc_udf_plain(
+            doc_ids: pd.Series, tf_arr: pd.Series
+        ) -> pd.DataFrame:
+            out = []
+            for ids, tfs in zip(doc_ids, tf_arr):
+                e = encode_postings(
+                    np.asarray(ids, dtype=np.int64),
+                    np.asarray(tfs, dtype=np.int64),
+                    impacts=None,
+                    block_size=block_size,
+                )
+                out.append(tuple(e[c] for c in cols))
+            return pd.DataFrame(out, columns=cols)
+
+        enc_col = enc_udf_plain("doc_ids", "tf_arr")
 
     encoded = arrays.select(
         "term",
@@ -250,7 +277,7 @@ def encode_tf(
         "df_local",
         F.element_at("doc_ids", 1).alias("min_doc"),
         F.element_at("doc_ids", -1).alias("max_doc"),
-        enc_udf("term", "doc_ids", "tf_arr", "dl_arr", "df_local").alias("e"),
+        enc_col.alias("e"),
     )
     # exact df = total postings across a term's salted segments (window
     # sum over the few-thousand encoded rows — negligible)

@@ -60,10 +60,15 @@ def _toks(field: str):
     return F.coalesce(tokenize_expr(field), F.array().cast("array<string>"))
 
 
-def fielded_tf(docs: DataFrame, fields: Sequence[str], id_col: str = "doc_id") -> DataFrame:
-    """``(term="field\\x1fterm", doc_id, tf, doc_len)`` in ONE scan —
-    doc_len is the FIELD's token length, riding the tokenize explode
-    exactly like tf_doclen does for the single-field build."""
+def fielded_grouped_tf(
+    docs: DataFrame, fields: Sequence[str], id_col: str = "doc_id"
+) -> DataFrame:
+    """``(term, doc_id, tf__<field>..., dl__<field>...)`` — ONE row per
+    (BASE term, doc) with per-field conditional counts, in one scan + one
+    shuffle. This shape serves BOTH fielded-build consumers without a
+    distinct: the union-df sidecar is a plain ``groupBy(term).count()``
+    (rows are already unique per (term, doc)) and the encoder input
+    unpivots per field with zero extra shuffle."""
     field_toks = F.array(
         *[
             F.struct(F.lit(f).alias("field"), _toks(f).alias("toks"))
@@ -79,52 +84,101 @@ def fielded_tf(docs: DataFrame, fields: Sequence[str], id_col: str = "doc_id") -
             F.explode("ft.toks").alias("term"),
         )
     )
-    return tok.groupBy("field", "term", "doc_id").agg(
-        F.count(F.lit(1)).alias("tf"), F.first("doc_len").alias("doc_len")
-    ).select(
-        F.concat_ws(FIELD_SEP, "field", "term").alias("term"),
-        "doc_id",
-        "tf",
-        "doc_len",
+    aggs = []
+    for f in sorted(fields):
+        aggs.append(
+            F.count(F.when(F.col("field") == f, F.lit(1))).alias(f"tf__{f}")
+        )
+        aggs.append(
+            F.max(F.when(F.col("field") == f, F.col("doc_len"))).alias(f"dl__{f}")
+        )
+    return tok.groupBy("term", "doc_id").agg(*aggs)
+
+
+def explode_grouped_tf(
+    grouped: DataFrame, fields: Sequence[str], with_doc_len: bool = True
+) -> DataFrame:
+    """Unpivot :func:`fielded_grouped_tf` rows back to the encoder's
+    ``(term="field\\x1fterm", doc_id, tf[, doc_len])`` shape — pure
+    codegen (array + filter + explode), no shuffle."""
+    parts = []
+    for f in sorted(fields):
+        fieldvals = [
+            F.lit(f).alias("field"),
+            F.col(f"tf__{f}").alias("tf"),
+        ]
+        if with_doc_len:
+            fieldvals.append(F.col(f"dl__{f}").alias("doc_len"))
+        parts.append(F.struct(*fieldvals))
+    keep = [F.col("p.tf").alias("tf")]
+    if with_doc_len:
+        keep.append(F.col("p.doc_len").alias("doc_len"))
+    return (
+        grouped.select(
+            "term",
+            "doc_id",
+            F.explode(
+                F.filter(F.array(*parts), lambda s: s["tf"] > 0)
+            ).alias("p"),
+        )
+        .select(
+            F.concat_ws(FIELD_SEP, F.col("p.field"), F.col("term")).alias("term"),
+            "doc_id",
+            *keep,
+        )
     )
 
 
+def fielded_tf(docs: DataFrame, fields: Sequence[str], id_col: str = "doc_id") -> DataFrame:
+    """``(term="field\\x1fterm", doc_id, tf, doc_len)`` in ONE scan —
+    doc_len is the FIELD's token length, riding the tokenize explode
+    exactly like tf_doclen does for the single-field build."""
+    return explode_grouped_tf(fielded_grouped_tf(docs, fields, id_col), fields)
+
+
 def write_fielded_doclens(
-    docs: DataFrame, fields: Sequence[str], index_dir: str, id_col: str = "doc_id"
+    grouped: DataFrame, n_docs: int, fields: Sequence[str], index_dir: str
 ) -> dict:
-    """Write the per-field norms sidecar and return the build stats:
+    """Write the per-field norms sidecar FROM the grouped tf aggregate (no
+    second tokenize scan of the input — at 100 TB the raw corpus is read
+    exactly once per build) and return the build stats:
     ``{"n_docs", "fields", "len_sums": {field: Σ doc_len}}``.
+
+    A doc with zero tokens in a field gets length 0; a doc with zero
+    tokens in EVERY field has no doclens row at all — it can never be a
+    scoring candidate, contributes 0 to every length sum, and is counted
+    only in ``n_docs`` (passed in as the full corpus count, the same
+    count(*) the brute-force oracle uses for idf).
 
     ``len_sums`` make the weighted average doc length a query-time
     CONSTANT for any weights (avg_wdl = Σ_f w_f·sum_f / n_docs — exact,
     since the totals are integers summed exactly in both engines), so no
     serving path ever needs a full doclens aggregate."""
-    spark = docs.sparkSession
-    field_lens = F.array(
-        *[
-            F.struct(
-                F.lit(f).alias("field"),
-                F.size(_toks(f)).cast("long").alias("doc_len"),
-            )
-            for f in sorted(fields)
-        ]
+    spark = grouped.sparkSession
+    names = sorted(fields)
+    per_doc = grouped.groupBy("doc_id").agg(
+        *[F.max(f"dl__{f}").alias(f) for f in names]
     )
-    dl = docs.select(F.col(id_col).alias("doc_id"), F.explode(field_lens).alias("fl")).select(
+    parts = [
+        F.struct(
+            F.lit(f).alias("field"),
+            F.coalesce(F.col(f), F.lit(0)).cast("long").alias("doc_len"),
+        )
+        for f in names
+    ]
+    dl = per_doc.select("doc_id", F.explode(F.array(*parts)).alias("fl")).select(
         "doc_id", F.col("fl.field").alias("field"), F.col("fl.doc_len").alias("doc_len")
     )
     dl.write.mode("overwrite").parquet(f"{index_dir}/doclens")
     rows = (
         spark.read.parquet(f"{index_dir}/doclens")
         .groupBy("field")
-        .agg(F.sum("doc_len").alias("s"), F.countDistinct("doc_id").alias("n"))
+        .agg(F.sum("doc_len").alias("s"))
         .collect()
     )
-    n_docs = max((int(r["n"]) for r in rows), default=0)
-    return {
-        "n_docs": n_docs,
-        "fields": sorted(fields),
-        "len_sums": {r["field"]: int(r["s"] or 0) for r in rows},
-    }
+    len_sums = {f: 0 for f in names}
+    len_sums.update({r["field"]: int(r["s"] or 0) for r in rows})
+    return {"n_docs": int(n_docs), "fields": names, "len_sums": len_sums}
 
 
 def build_fielded_index(
@@ -134,39 +188,43 @@ def build_fielded_index(
     id_col: str = "doc_id",
     buckets: int = TERM_BUCKETS,
 ) -> dict:
-    """Build + persist the fielded index; returns stats."""
-    stats = write_fielded_doclens(docs, fields, index_dir, id_col)
-    n_docs = stats["n_docs"]
-    avg_any = (sum(stats["len_sums"].values()) / max(n_docs, 1)) or 1.0
+    """Build + persist the fielded index; returns stats.
+
+    The raw corpus is scanned ONCE (tokenize -> grouped tf aggregate);
+    doclens, postings, and the union-df sidecar are all derived from the
+    persisted aggregate. n_docs is a parquet-metadata count."""
+    n_docs = docs.count()
 
     from pyspark import StorageLevel
 
-    # tf feeds TWO consumers (encoder + union-df sidecar) — persist it so
-    # the sidecar doesn't replay the full tokenize+aggregate chain
-    # (unpersisted, the sidecar pass roughly doubled build wall time)
-    tf = fielded_tf(docs, fields, id_col).persist(StorageLevel.MEMORY_AND_DISK)
+    # the (base term, doc) aggregate feeds THREE consumers (doclens +
+    # encoder + union-df sidecar) — persist it so none replays the full
+    # tokenize+aggregate chain
+    g = fielded_grouped_tf(docs, fields, id_col).persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        # impact bounds stored by encode_tf are per-field artifacts, unused
-        # by the BM25F scorer (see module doc) — any positive avgdl is fine
-        idx = encode_tf(tf, n_docs, max(avg_any, 1e-9), buckets=buckets)
+        stats = write_fielded_doclens(g, n_docs, fields, index_dir)
+        # with_impacts=False: BM25F pruning runs on the weight-free
+        # blockmaxtf; per-field impact bounds would be dead weight in the
+        # encode shuffle (avgdl is unused on this path)
+        tf = explode_grouped_tf(g, fields, with_doc_len=False)
+        idx = encode_tf(tf, n_docs, 1.0, buckets=buckets, with_impacts=False)
         write_index(idx, f"{index_dir}/postings")
-        write_fielded_term_df(tf, f"{index_dir}/term_df")
+        write_fielded_term_df(g, f"{index_dir}/term_df")
     finally:
-        tf.unpersist()
+        g.unpersist()
     (Path(index_dir) / "stats.json").write_text(json.dumps(stats))
     return stats
 
 
-def write_fielded_term_df(tf: DataFrame, path: str) -> None:
+def write_fielded_term_df(grouped: DataFrame, path: str) -> None:
     """Per-BASE-term union df (docs containing the term in ANY field):
     idf is weight-independent, so this small sidecar gives query-time
-    WAND the exact idf per term WITHOUT decoding. One distinct-aggregate
-    over the already-aggregated tf rows (map-side partial aggregation
-    keeps the shuffle at |distinct (term, doc)| rows)."""
+    WAND the exact idf per term WITHOUT decoding. Over the
+    :func:`fielded_grouped_tf` rows (unique per (term, doc)) this is a
+    PLAIN count — no distinct aggregate, one partial-agg shuffle."""
     (
-        tf.select(F.substring_index("term", FIELD_SEP, -1).alias("term"), "doc_id")
-        .groupBy("term")
-        .agg(F.countDistinct("doc_id").alias("df"))
+        grouped.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
         .write.mode("overwrite")
         .parquet(path)
     )
@@ -434,7 +492,10 @@ class FieldedSearcher:
                 float(w) * self._len_sum.get(f, 0)
                 for f, w in sorted(weights.items())
             )
-            self._avg_wdl_memo[key] = total / max(len(self._doc_ids), 1)
+            # divide by the FULL corpus count (the brute-force oracle's
+            # count(*)), not the doclens row count — all-empty docs have
+            # no doclens rows but still count toward the mean
+            self._avg_wdl_memo[key] = total / max(self.n_docs, 1)
         return self._avg_wdl_memo[key]
 
     def _rows_for(self, fterms: list[str]) -> list:

@@ -231,7 +231,8 @@ def build_fielded_index_resumable(
     """
     from ..operators.compressed_index import encode_tf
     from ..operators.fielded_index import (
-        fielded_tf,
+        explode_grouped_tf,
+        fielded_grouped_tf,
         write_fielded_doclens,
         write_fielded_term_df,
     )
@@ -242,60 +243,66 @@ def build_fielded_index_resumable(
     have_doclens = any(m.get("kind") == "doclens" for m in manifest)
     have_term_df = any(m.get("kind") == "term_df" for m in manifest)
 
-    t0 = time.monotonic()
     fp = input_fingerprint(docs, id_col)
-    if not have_doclens:
-        stats = write_fielded_doclens(docs, fields, index_dir, id_col)
-        (Path(index_dir) / "stats.json").write_text(json.dumps(stats))
-        _append_manifest(
-            index_dir,
-            [
-                {
-                    "kind": "doclens",
-                    "input_fingerprint": fp,
-                    "n_docs": stats["n_docs"],
-                    "fields": stats["fields"],
-                    "wall_ms": int((time.monotonic() - t0) * 1000),
-                    "completed_utc_ms": int(time.time() * 1000),
-                }
-            ],
-        )
-    else:
-        stats = json.loads((Path(index_dir) / "stats.json").read_text())
-        if sorted(stats["fields"]) != sorted(fields):
-            raise ValueError(
-                f"manifest at {index_dir} was built for fields "
-                f"{stats['fields']}, not {sorted(fields)}; refusing to mix"
-            )
-
     stale = [m for m in manifest if m.get("input_fingerprint") not in (None, fp)]
     if stale:
         raise ValueError(
             f"manifest at {index_dir} was built from different input "
             f"({stale[0]['input_fingerprint']} != {fp}); refusing to mix"
         )
-    n_docs = int(stats["n_docs"])
-    avg_any = (sum(stats["len_sums"].values()) / max(n_docs, 1)) or 1.0
 
     missing = [b for b in range(buckets) if b not in done]
     if max_buckets_this_run is not None:
         missing = missing[:max_buckets_this_run]
     finishes_postings = set(done) | set(missing) == set(range(buckets))
-    if not missing and have_term_df:
+    if have_doclens and not missing and have_term_df:
         return {"resumed": True, "built_buckets": [], "skipped": len(done)}
 
     from pyspark import StorageLevel
 
-    tf = fielded_tf(docs, fields, id_col)
-    # persist only when tf has two consumers this run (encode + sidecar)
-    persisted = bool(missing) and finishes_postings and not have_term_df
+    g = fielded_grouped_tf(docs, fields, id_col)
+    # persist only when the aggregate has 2+ consumers this run
+    # (doclens stage, encode stage, term_df sidecar)
+    n_consumers = (
+        int(not have_doclens)
+        + int(bool(missing))
+        + int(finishes_postings and not have_term_df)
+    )
+    persisted = n_consumers >= 2
     if persisted:
-        tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
+        g = g.persist(StorageLevel.MEMORY_AND_DISK)
     try:
+        t0 = time.monotonic()
+        if not have_doclens:
+            stats = write_fielded_doclens(g, docs.count(), fields, index_dir)
+            (Path(index_dir) / "stats.json").write_text(json.dumps(stats))
+            _append_manifest(
+                index_dir,
+                [
+                    {
+                        "kind": "doclens",
+                        "input_fingerprint": fp,
+                        "n_docs": stats["n_docs"],
+                        "fields": stats["fields"],
+                        "wall_ms": int((time.monotonic() - t0) * 1000),
+                        "completed_utc_ms": int(time.time() * 1000),
+                    }
+                ],
+            )
+        else:
+            stats = json.loads((Path(index_dir) / "stats.json").read_text())
+            if sorted(stats["fields"]) != sorted(fields):
+                raise ValueError(
+                    f"manifest at {index_dir} was built for fields "
+                    f"{stats['fields']}, not {sorted(fields)}; refusing to mix"
+                )
+        n_docs = int(stats["n_docs"])
+
         wall_ms = 0
         if missing:
             t1 = time.monotonic()
-            idx = encode_tf(tf, n_docs, max(avg_any, 1e-9), buckets=buckets)
+            tf = explode_grouped_tf(g, fields, with_doc_len=False)
+            idx = encode_tf(tf, n_docs, 1.0, buckets=buckets, with_impacts=False)
             (
                 idx.filter(F.col("bucket").isin(missing))
                 .repartition("bucket")
@@ -334,7 +341,7 @@ def build_fielded_index_resumable(
             )
         if finishes_postings and not have_term_df:
             t2 = time.monotonic()
-            write_fielded_term_df(tf, f"{index_dir}/term_df")
+            write_fielded_term_df(g, f"{index_dir}/term_df")
             _append_manifest(
                 index_dir,
                 [
@@ -348,7 +355,7 @@ def build_fielded_index_resumable(
             )
     finally:
         if persisted:
-            tf.unpersist()
+            g.unpersist()
     return {
         "resumed": bool(done),
         "built_buckets": missing,
