@@ -449,19 +449,28 @@ class FieldedSearcher:
         index_dir: str,
         buckets: int = TERM_BUCKETS,
         preload: bool = False,
+        norms: str = "preload",
     ):
+        """``norms='join'`` keeps per-field doclens cluster-resident —
+        queries route through :func:`search_bm25f`'s in-plan doclen join
+        with zero driver norm state (the 10^12-doc shape); 'preload'
+        collects them once for the low-latency driver kernels."""
         import numpy as np
 
+        if norms not in ("preload", "join"):
+            raise ValueError(f"unknown norms mode {norms!r}")
         self.spark = spark
         self.index_dir = index_dir
         self.buckets = buckets
+        self.norms_mode = norms
         stats = json.loads((Path(index_dir) / "stats.json").read_text())
         self.n_docs = int(stats["n_docs"])
         self.fields = list(stats["fields"])
         self.postings = spark.read.parquet(f"{index_dir}/postings")
         self._flen: dict[str, dict[int, int]] = {f: {} for f in self.fields}
-        for r in spark.read.parquet(f"{index_dir}/doclens").collect():
-            self._flen[r["field"]][r["doc_id"]] = r["doc_len"]
+        if norms == "preload":
+            for r in spark.read.parquet(f"{index_dir}/doclens").collect():
+                self._flen[r["field"]][r["doc_id"]] = r["doc_len"]
         self._doc_ids = sorted({d for m in self._flen.values() for d in m})
         # per-field length totals (exact ints) make avg_wdl O(fields) per
         # weights tuple instead of a Python loop over every doc_id
@@ -532,10 +541,18 @@ class FieldedSearcher:
         qterms = sorted(set(analyze(question)))
         if not qterms:
             return []
-        fterms = [f"{f}{FIELD_SEP}{t}" for f in names for t in qterms]
-        rows = self._rows_for(fterms)
         if method not in ("auto", "wand", "exhaustive"):
             raise ValueError(f"unknown method {method!r}")
+        if self.norms_mode == "join":
+            # zero driver-resident norms: the full in-plan query (pruned
+            # scan -> decode -> candidate-restricted doclen join)
+            rows2 = search_bm25f(
+                self.spark, self.index_dir, question, weights,
+                top_k=top_k, buckets=self.buckets, k1=k1, b=b,
+            ).collect()
+            return [(int(r["doc_id"]), float(r["score"])) for r in rows2]
+        fterms = [f"{f}{FIELD_SEP}{t}" for f in names for t in qterms]
+        rows = self._rows_for(fterms)
         if method == "wand":
             if set(names) == set(self.fields) and self._term_df:
                 # sidecar df IS the union df when every field is queried

@@ -69,6 +69,19 @@ def test_stored_terms_are_field_prefixed(spark, fielded_dir):
     assert rows and all(FIELD_SEP in r["term"] for r in rows)
 
 
+def test_search_bm25f_no_full_doclens_aggregate(spark, fielded_dir):
+    """avg_wdl must be a build-time literal (stats.json length sums), not
+    a per-query aggregate over the whole doclens table — the r2 plan had
+    an avg(wdl) over ALL docs in every query."""
+    plan = (
+        search_bm25f(spark, fielded_dir, "the fast query", WEIGHTS, top_k=10, buckets=16)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "avg(" not in plan.lower(), plan[:2000]
+
+
 def test_pruned_scan_shape(spark, fielded_dir):
     """The fielded query touches only the query terms' buckets — partition
     filters appear in the physical scan."""
@@ -117,6 +130,22 @@ def test_fielded_wand_vs_exhaustive(spark, corpus, fielded_dir, method):
         assert [d for d, _ in got] == [d for d, _ in exp], (q, method)
         for (gd, gs), (_, es) in zip(got, exp):
             assert gs == pytest.approx(es, rel=1e-12, abs=1e-12)
+
+
+def test_fielded_join_norms_no_driver_state(spark, corpus, fielded_dir):
+    """FieldedSearcher(norms='join') serves without collecting any
+    per-field doclens to the driver — results match the preload kernel."""
+    from sifter_mrc_search_engine_spark.operators.fielded_index import FieldedSearcher
+
+    pre = FieldedSearcher(spark, fielded_dir, buckets=16, preload=True)
+    joined = FieldedSearcher(spark, fielded_dir, buckets=16, norms="join")
+    assert all(not m for m in joined._flen.values())  # nothing collected
+    for q in QUESTIONS:
+        a = pre.search(q, WEIGHTS, top_k=5)
+        b = joined.search(q, WEIGHTS, top_k=5)
+        assert [d for d, _ in a] == [d for d, _ in b], q
+        for (_, sa), (_, sb) in zip(a, b):
+            assert sb == pytest.approx(sa, rel=1e-12, abs=1e-12)
 
 
 @pytest.mark.parametrize("method", ["wand", "exhaustive"])

@@ -133,6 +133,14 @@ def main() -> None:
 
     out = REPO / "BENCH" / "BASELINE.md"
     out.parent.mkdir(exist_ok=True)
+    # regenerate only the measured-scaling header block; every manually
+    # maintained section (first "## " heading onward) is preserved
+    tail = ""
+    if out.exists():
+        txt = out.read_text()
+        i = txt.find("\n## ")
+        if i != -1:
+            tail = txt[i:]
     rows = "\n".join(
         f"| local[{c}] | {results[c]['build_s']} | {results[c]['docs_per_sec']} | {results[c]['all_s']} |"
         for c in LEVELS
@@ -157,6 +165,7 @@ def main() -> None:
         f"ceiling the engine reaches {summary['hw_normalized_eff_8_to_32']:.3f} of the hardware's\n"
         f"available 8→32 scaling.\n\n"
         f"Raw: `{json.dumps(summary)}`\n"
+        + tail
     )
     import shutil
 
