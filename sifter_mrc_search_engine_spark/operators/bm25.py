@@ -41,6 +41,41 @@ def idf_expr(df_col, n_docs_col):
     return F.log(F.lit(1.0) + (n - df_ + F.lit(0.5)) / (df_ + F.lit(0.5)))
 
 
+def bm25_contrib_expr(x, df_col, dlen, n_docs, avgdl, k1=BM25_K1, b=BM25_B):
+    """The BM25 per-(doc, term) contribution as a Catalyst Column:
+
+        idf(df, N) * x * (k1+1) / (x + k1 * (1 - b + b * dlen/avgdl))
+
+    ``x`` is raw tf for single-field BM25 or the weighted tf sum for
+    BM25F; ``dlen`` likewise plain/weighted doc length. Shared by every
+    relational scoring plan (plans/query.py, streaming/incremental.py,
+    operators/fielded_index.py) so the bit-parity-critical float64
+    expression exists exactly once."""
+    x = F.col(x) if isinstance(x, str) else x
+    dlen = F.col(dlen) if isinstance(dlen, str) else dlen
+    x = x.cast("double")
+    norm = x + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * dlen / F.lit(float(avgdl))
+    )
+    return idf_expr(df_col, F.lit(n_docs)) * x * F.lit(k1 + 1.0) / norm
+
+
+def score_fold(contribs: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Fold per-term ``contrib`` rows into a ``score`` per key group by
+    summing in ASCENDING-TERM float64 order (array_sort on (term,
+    contrib) structs, then a deterministic fold) — the order the
+    brute-force oracle uses, making engine scores bit-identical rather
+    than shuffle-order-dependent. Input needs columns (*keys, term,
+    contrib)."""
+    return contribs.groupBy(*keys).agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("term", "contrib"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["contrib"],
+        ).alias("score")
+    )
+
+
 def bm25_term_scores(
     tf: DataFrame,
     doclen: DataFrame,

@@ -45,7 +45,7 @@ from pyspark.sql import functions as F
 from ..constants import BM25_B, BM25_K1, DEFAULT_TOP_K, TERM_BUCKETS
 from ..functions.analyzer import analyze, tokenize_expr
 from ..functions.xxhash import term_bucket
-from .bm25 import idf_expr
+from .bm25 import bm25_contrib_expr, score_fold
 from .compressed_index import decode_index_df, encode_tf, write_index
 
 #: joins field and term in the stored term key; the analyzer's token
@@ -464,9 +464,13 @@ class FieldedSearcher:
         self.buckets = buckets
         self.norms_mode = norms
         stats = json.loads((Path(index_dir) / "stats.json").read_text())
+        self._stats = stats
         self.n_docs = int(stats["n_docs"])
         self.fields = list(stats["fields"])
         self.postings = spark.read.parquet(f"{index_dir}/postings")
+        # lazy relation, bound once; join-mode queries reuse it instead of
+        # re-instantiating a parquet relation per call
+        self.doclens_df = spark.read.parquet(f"{index_dir}/doclens")
         self._flen: dict[str, dict[int, int]] = {f: {} for f in self.fields}
         if norms == "preload":
             for r in spark.read.parquet(f"{index_dir}/doclens").collect():
@@ -532,7 +536,10 @@ class FieldedSearcher:
         wins when candidate lists are disk-backed/selective so skipped
         blocks are never decoded; measured SLOWER in-memory on Zipf-head
         queries where the doc-at-a-time Python loop can't prune), or
-        'auto' (exhaustive). Both produce IDENTICAL results."""
+        'auto' (exhaustive). Both produce IDENTICAL results. Under
+        ``norms='join'`` the distributed relational plan always runs
+        ('auto'/'exhaustive'; 'wand' raises — no driver norms to prune
+        with)."""
         import numpy as np
 
         from .postings_codec import decode_postings
@@ -545,10 +552,22 @@ class FieldedSearcher:
             raise ValueError(f"unknown method {method!r}")
         if self.norms_mode == "join":
             # zero driver-resident norms: the full in-plan query (pruned
-            # scan -> decode -> candidate-restricted doclen join)
+            # scan -> decode -> candidate-restricted doclen join), reusing
+            # the relations/stats bound at construction. The driver WAND
+            # kernel needs preloaded norms, so an explicit method='wand'
+            # cannot be honored here — fail loudly rather than silently
+            # running a different execution strategy.
+            if method == "wand":
+                raise ValueError(
+                    "method='wand' requires norms='preload' (driver "
+                    "kernel); norms='join' always runs the distributed "
+                    "relational plan"
+                )
             rows2 = search_bm25f(
                 self.spark, self.index_dir, question, weights,
                 top_k=top_k, buckets=self.buckets, k1=k1, b=b,
+                postings=self.postings, doclens=self.doclens_df,
+                stats=self._stats,
             ).collect()
             return [(int(r["doc_id"]), float(r["score"])) for r in rows2]
         fterms = [f"{f}{FIELD_SEP}{t}" for f in names for t in qterms]
@@ -627,11 +646,21 @@ def search_bm25f(
     buckets: int = TERM_BUCKETS,
     k1: float = BM25_K1,
     b: float = BM25_B,
+    postings: DataFrame | None = None,
+    doclens: DataFrame | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Top-k ``(doc_id, score)`` under BM25F from the persisted index —
     rank- and score-identical to ``bm25f_brute_force`` over the same
-    corpus (pinned by pytest)."""
-    stats = json.loads((Path(index_dir) / "stats.json").read_text())
+    corpus (pinned by pytest).
+
+    ``postings``/``doclens``/``stats`` let a serving head (e.g.
+    ``FieldedSearcher``) pass its already-bound relations and parsed
+    stats so repeated queries skip the per-call stats.json read and
+    parquet relation instantiation; defaults load from ``index_dir``.
+    """
+    if stats is None:
+        stats = json.loads((Path(index_dir) / "stats.json").read_text())
     n_docs = int(stats["n_docs"])
     names = sorted(weights)
     qterms = sorted(set(analyze(question)))
@@ -640,7 +669,9 @@ def search_bm25f(
     fterms = [f"{f}{FIELD_SEP}{t}" for f in names for t in qterms]
     bks = sorted({term_bucket(ft, buckets) for ft in fterms})
 
-    post = spark.read.parquet(f"{index_dir}/postings")
+    post = postings if postings is not None else spark.read.parquet(
+        f"{index_dir}/postings"
+    )
     cand = post.filter(F.col("bucket").isin(bks)).filter(F.col("term").isin(fterms))
     dec = decode_index_df(cand, keep_cols=("term",))
     parts = dec.select(
@@ -658,16 +689,18 @@ def search_bm25f(
     # avg_wdl is a build-time CONSTANT (Σ_f w_f·len_sum_f / n_docs, exact
     # integer totals in stats.json) — no full-doclens aggregate per query;
     # doclens are joined only for the candidate doc_ids
+    dl = doclens if doclens is not None else spark.read.parquet(
+        f"{index_dir}/doclens"
+    )
     len_sums = stats.get("len_sums")
     if len_sums is None:  # pre-len_sums index layout: one-time fallback
-        dl_all = spark.read.parquet(f"{index_dir}/doclens")
+        dl_all = dl
         len_sums = {
             r["field"]: int(r["s"])
             for r in dl_all.groupBy("field").agg(F.sum("doc_len").alias("s")).collect()
         }
     avg_wdl = sum(float(weights[f]) * len_sums.get(f, 0) for f in names) / max(n_docs, 1)
 
-    dl = spark.read.parquet(f"{index_dir}/doclens")
     cand_ids = wtf.select("doc_id").distinct()
     wdl = (
         dl.join(cand_ids, "doc_id")
@@ -676,19 +709,10 @@ def search_bm25f(
     )
 
     joined = wtf.join(wdl, "doc_id")
-    norm = F.col("wtf") + F.lit(k1) * (
-        F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("wdl") / F.lit(avg_wdl)
+    contrib = bm25_contrib_expr(
+        "wtf", "df", "wdl", n_docs, avg_wdl, k1=k1, b=b
     )
-    contrib = idf_expr("df", F.lit(n_docs)) * F.col("wtf") * F.lit(k1 + 1.0) / norm
-    scored = (
-        joined.select("doc_id", "term", contrib.alias("contrib"))
-        .groupBy("doc_id")
-        .agg(
-            F.aggregate(
-                F.array_sort(F.collect_list(F.struct("term", "contrib"))),
-                F.lit(0.0),
-                lambda acc, x: acc + x["contrib"],
-            ).alias("score")
-        )
+    scored = score_fold(
+        joined.select("doc_id", "term", contrib.alias("contrib")), ["doc_id"]
     )
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(top_k)

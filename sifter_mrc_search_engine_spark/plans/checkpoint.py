@@ -149,7 +149,16 @@ def build_index_resumable(
     if max_buckets_this_run is not None:
         missing = missing[:max_buckets_this_run]
     if not missing:
-        return {"resumed": True, "built_buckets": [], "skipped": len(done)}
+        # same shape as the build return so idempotent re-runs can read
+        # result["n_docs"] / ["wall_ms"] without a KeyError
+        return {
+            "resumed": True,
+            "built_buckets": [],
+            "skipped": len(done),
+            "wall_ms": 0,
+            "docs_per_sec": 0.0,
+            "n_docs": n_docs,
+        }
 
     t1 = time.monotonic()
     idx = build_compressed_index(
@@ -256,7 +265,14 @@ def build_fielded_index_resumable(
         missing = missing[:max_buckets_this_run]
     finishes_postings = set(done) | set(missing) == set(range(buckets))
     if have_doclens and not missing and have_term_df:
-        return {"resumed": True, "built_buckets": [], "skipped": len(done)}
+        stats = json.loads((Path(index_dir) / "stats.json").read_text())
+        return {
+            "resumed": True,
+            "built_buckets": [],
+            "skipped": len(done),
+            "wall_ms": 0,
+            "n_docs": int(stats["n_docs"]),
+        }
 
     from pyspark import StorageLevel
 

@@ -301,8 +301,7 @@ class IndexSearcher:
         """
         from pyspark.sql import Window
 
-        from ..constants import BM25_B, BM25_K1
-        from ..operators.bm25 import idf_expr
+        from ..operators.bm25 import bm25_contrib_expr, score_fold
 
         top_k = max(1, min(int(top_k), MAX_TOP_K) if clamp else int(top_k))
         q_terms = {i: analyze(q) for i, q in enumerate(questions)}
@@ -320,23 +319,12 @@ class IndexSearcher:
             decoded.join(F.broadcast(qdf), "term")
             .join(dl, "doc_id")
         )
-        tf_d = F.col("tf").cast("double")
-        norm = tf_d + F.lit(BM25_K1) * (
-            F.lit(1.0) - F.lit(BM25_B) + F.lit(BM25_B) * F.col("doc_len") / F.lit(self.avgdl)
+        contrib = bm25_contrib_expr(
+            "tf", "df", "doc_len", self.n_docs, self.avgdl
         )
-        contrib = (
-            idf_expr("df", F.lit(self.n_docs)) * tf_d * F.lit(BM25_K1 + 1.0) / norm
-        )
-        scored = (
-            joined.select("query_id", "doc_id", "term", contrib.alias("contrib"))
-            .groupBy("query_id", "doc_id")
-            .agg(
-                F.aggregate(
-                    F.array_sort(F.collect_list(F.struct("term", "contrib"))),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x["contrib"],
-                ).alias("score")
-            )
+        scored = score_fold(
+            joined.select("query_id", "doc_id", "term", contrib.alias("contrib")),
+            ["query_id", "doc_id"],
         )
         w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
         return (

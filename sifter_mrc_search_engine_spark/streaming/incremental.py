@@ -165,7 +165,13 @@ class MultiSegmentSearcher:
         post = None
         for seg in self.segments:
             p = spark.read.parquet(f"{seg}/postings")
-            post = p if post is None else post.unionByName(p)
+            # allowMissingColumns: segments written before the blockmaxtf
+            # codec column lack it; old rows surface null, which the WAND
+            # cursor treats as "no block metadata" and decodes eagerly
+            post = (
+                p if post is None
+                else post.unionByName(p, allowMissingColumns=True)
+            )
         self.postings = post
 
     def _pruned(self, tset: list[str]) -> DataFrame:
@@ -214,8 +220,7 @@ class MultiSegmentSearcher:
         doclens union in-plan, fold contributions in ascending-term
         float64 order, top-k. Same scores as the preload path (pinned by
         pytest)."""
-        from ..constants import BM25_B
-        from ..operators.bm25 import idf_expr
+        from ..operators.bm25 import bm25_contrib_expr, score_fold
         from ..operators.compressed_index import decode_index_df
 
         cand = self._pruned(tset)
@@ -224,22 +229,12 @@ class MultiSegmentSearcher:
             F.broadcast(dfs), "term"
         )
         joined = decoded.join(self.doclens_df, "doc_id")
-        tf_d = F.col("tf").cast("double")
-        norm = tf_d + F.lit(BM25_K1) * (
-            F.lit(1.0) - F.lit(BM25_B)
-            + F.lit(BM25_B) * F.col("doc_len") / F.lit(self.avgdl)
+        contrib = bm25_contrib_expr(
+            "tf", "df", "doc_len", self.n_docs, self.avgdl
         )
-        contrib = idf_expr("df", F.lit(self.n_docs)) * tf_d * F.lit(BM25_K1 + 1.0) / norm
-        scored = (
-            joined.select("doc_id", "term", contrib.alias("contrib"))
-            .groupBy("doc_id")
-            .agg(
-                F.aggregate(
-                    F.array_sort(F.collect_list(F.struct("term", "contrib"))),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x["contrib"],
-                ).alias("score")
-            )
+        scored = score_fold(
+            joined.select("doc_id", "term", contrib.alias("contrib")),
+            ["doc_id"],
         )
         rows = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(top_k).collect()
         return [(int(r["doc_id"]), float(r["score"])) for r in rows]
@@ -268,7 +263,12 @@ def compact_segments(
         p = spark.read.parquet(f"{seg}/postings").withColumn(
             "_seg", F.lit(seg_ids[seg])
         )
-        post = p if post is None else post.unionByName(p)
+        # allowMissingColumns: tolerate pre-blockmaxtf segments (re-encode
+        # below rebuilds full metadata anyway)
+        post = (
+            p if post is None
+            else post.unionByName(p, allowMissingColumns=True)
+        )
         d = spark.read.parquet(f"{seg}/doclens").withColumn("_seg", F.lit(seg_ids[seg]))
         dl = d if dl is None else dl.unionByName(d)
     # keep-latest per doc_id (identity when segments are disjoint)

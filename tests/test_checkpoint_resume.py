@@ -63,9 +63,11 @@ def test_interrupted_then_resumed_equals_uninterrupted(spark, docs, tmp_path_fac
     # identical final index, byte for byte
     assert _index_signature(spark, part_dir) == _index_signature(spark, full_dir)
 
-    # third run is a no-op
+    # third run is a no-op — and returns the SAME shape as a real build
+    # (idempotent callers read n_docs/wall_ms without a KeyError)
     r3 = build_index_resumable(docs, part_dir, buckets=BUCKETS)
     assert r3["built_buckets"] == [] and r3["skipped"] == BUCKETS
+    assert r3["n_docs"] == r_full["n_docs"] and r3["wall_ms"] == 0
 
 
 def test_manifest_lineage_fields(spark, docs, tmp_path_factory):

@@ -146,6 +146,10 @@ def test_fielded_join_norms_no_driver_state(spark, corpus, fielded_dir):
         assert [d for d, _ in a] == [d for d, _ in b], q
         for (_, sa), (_, sb) in zip(a, b):
             assert sb == pytest.approx(sa, rel=1e-12, abs=1e-12)
+    # join mode cannot honor the driver WAND kernel — must fail loudly,
+    # not silently run a different execution strategy
+    with pytest.raises(ValueError, match="wand"):
+        joined.search(QUESTIONS[0], WEIGHTS, top_k=5, method="wand")
 
 
 @pytest.mark.parametrize("method", ["wand", "exhaustive"])
@@ -284,6 +288,8 @@ def test_fielded_interrupted_then_resumed_equals_uninterrupted(
     # third run is a no-op; served results match brute force
     r3 = build_fielded_index_resumable(corpus, fields, part_dir, buckets=16)
     assert r3["built_buckets"] == [] and r3["skipped"] == 16
+    # same return shape as a real build (no KeyError on idempotent re-run)
+    assert r3["n_docs"] == r_full["n_docs"] and r3["wall_ms"] == 0
     exp = [
         (r["doc_id"], r["score"])
         for r in bm25f_brute_force(corpus, "the fast query", WEIGHTS, top_k=5).collect()

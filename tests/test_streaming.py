@@ -204,3 +204,56 @@ def test_segment_order_numeric_past_ten(spark, tmp_path):
     # the batch-10 content must win: 'beta' finds doc 7, 'alpha' does not
     assert [d for d, _ in s.search("beta", top_k=5)] == [7]
     assert [d for d, _ in s.search("alpha", top_k=5)] == []
+
+
+def test_mixed_schema_segments_search_and_compact(spark, tmp_path):
+    """A segment written BEFORE the blockmaxtf codec column existed (old
+    on-disk layout) must still union with post-upgrade segments: search
+    and compaction run, and scores match the batch oracle. Simulates the
+    old layout by dropping blockmaxtf from one segment's postings."""
+    from sifter_mrc_search_engine_spark.plans.query import IndexSearcher
+    from sifter_mrc_search_engine_spark.streaming.incremental import _write_segment
+
+    idx_dir = str(tmp_path / "idx")
+    seg0 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma")], "doc_id long, text string"
+    )
+    seg1 = spark.createDataFrame(
+        [(3, "alpha delta"), (4, "gamma delta epsilon")],
+        "doc_id long, text string",
+    )
+    _write_segment(seg0, f"{idx_dir}/segments/seg=0", buckets=4)
+    _write_segment(seg1, f"{idx_dir}/segments/seg=1", buckets=4)
+    # rewrite seg=0's postings without the blockmaxtf column (old layout)
+    old = spark.read.parquet(f"{idx_dir}/segments/seg=0/postings")
+    stripped = old.drop("blockmaxtf").collect()
+    schema = old.drop("blockmaxtf").schema
+    spark.createDataFrame(stripped, schema).write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(f"{idx_dir}/segments/seg=0/postings")
+
+    full = seg0.unionByName(seg1)
+    from sifter_mrc_search_engine_spark.operators.bm25 import bm25_brute_force
+
+    for norms in ("preload", "join"):
+        s = MultiSegmentSearcher(spark, idx_dir, buckets=4, norms=norms)
+        for q in ["alpha", "gamma delta"]:
+            expected = [
+                (r["doc_id"], r["score"])
+                for r in bm25_brute_force(full, q, top_k=10).collect()
+            ]
+            got = s.search(q, top_k=10)
+            assert [d for d, _ in got] == [d for d, _ in expected], (norms, q)
+            for (_, gs), (_, es) in zip(got, expected):
+                assert gs == pytest.approx(es, rel=1e-12, abs=1e-12)
+
+    # compaction re-encodes (restoring blockmaxtf for every term)
+    compact_dir = compact_segments(spark, idx_dir, buckets=4)
+    assert "blockmaxtf" in spark.read.parquet(f"{compact_dir}/postings").columns
+    s2 = IndexSearcher(spark, compact_dir, buckets=4)
+    got = s2.search("alpha", top_k=10)
+    expected = [
+        (r["doc_id"], r["score"])
+        for r in bm25_brute_force(full, "alpha", top_k=10).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in expected]

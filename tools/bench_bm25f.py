@@ -55,6 +55,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     corpus_dir = tempfile.mkdtemp(prefix="bm25f_corpus_")
     out: dict = {"n_docs": N_DOCS, "cpus": CPUS}
+    idx_dir = None
     try:
         synthesize_pages(spark, N_DOCS, partitions=max(2 * CPUS, 8)).selectExpr(
             "cast(split(url, '/')[4] as long) as doc_id", "text"
@@ -70,7 +71,6 @@ def main() -> None:
         build_fielded_index(pages.limit(N_DOCS // 6), ["title", "content"], warm)
         shutil.rmtree(warm, ignore_errors=True)
         builds = []
-        idx_dir = None
         for _ in range(2):
             if idx_dir:
                 shutil.rmtree(idx_dir, ignore_errors=True)
