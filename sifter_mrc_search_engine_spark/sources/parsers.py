@@ -42,25 +42,19 @@ def parse_text_buffer(buf: bytes) -> list[str]:
     return [p for p in parts if len(p) > MIN_PARAGRAPH_LEN]
 
 
-def _missing(lib: str, fmt: str) -> Callable[[bytes], list]:
-    def stub(buf: bytes) -> list:
-        raise NotImplementedError(
-            f"{fmt} parsing requires '{lib}', which is not installed in this "
-            f"environment; the Spark plumbing (dispatch/schema/explode) is "
-            f"exercised via the TEXT path"
-        )
-
-    return stub
-
-
 def parse_pdf_buffer(buf: bytes) -> list[str]:
-    """PDF: pdfminer page-interpreter text, split on double newline
-    (pdf_parser.py:12-33)."""
+    """PDF: page-interpreter text, split on double newline, length-gated
+    (pdf_parser.py:12-33). Uses pdfminer when installed; otherwise the
+    stdlib reader (:mod:`.pdf` — body-scan object parse, FlateDecode,
+    BT/ET text operators) with the same output shape."""
     try:
         from pdfminer.high_level import extract_text  # type: ignore
+
+        text = extract_text(io.BytesIO(buf))
     except ImportError:
-        return _missing("pdfminer.six", "PDF")(buf)
-    text = extract_text(io.BytesIO(buf))
+        from .pdf import extract_pdf_text
+
+        text = extract_pdf_text(buf)
     return [p for p in text.split("\n\n") if len(p) > MIN_PARAGRAPH_LEN]
 
 

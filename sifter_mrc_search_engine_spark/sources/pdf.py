@@ -1,0 +1,497 @@
+"""Minimal PDF reader/writer on the stdlib — the PDF sibling of
+``sources/cfb.py`` (which plays the same role for HWP's CFB container).
+
+The reference extracts PDF text with pdfminer's page interpreter and
+splits paragraphs on blank lines (reference:
+modules/mrc_service/file_parser/pdf_parser.py:12-33). pdfminer is not
+installed in this environment, so this module implements the subset of
+ISO 32000 needed to extract text from ordinary text-bearing PDFs, built
+only on ``re``/``zlib``:
+
+* **Body-scan parsing**: indirect objects are parsed SEQUENTIALLY
+  (``N G obj`` … ``endobj``), so damaged or absent cross-reference
+  tables don't matter (pdfminer is similarly xref-tolerant). PDF 1.5+
+  compressed object streams (``/Type /ObjStm``) are NOT supported and
+  raise :class:`PdfError` — a paginated classic-xref writer covers the
+  vast majority of text documents.
+* **Stream filters**: none, ``/FlateDecode`` (zlib), or a filter array
+  containing only FlateDecode. Anything else (DCT, LZW, ASCII85…)
+  raises :class:`PdfError` rather than silently dropping text.
+* **Page order** follows the document catalog (``/Root → /Pages →
+  /Kids``, depth-first); object-number order is the fallback when no
+  trailer/catalog is present.
+* **Text operators** inside ``BT``/``ET``: ``Tj``, ``'``, ``"`` and
+  ``TJ`` show strings; ``Td``, ``TD``, ``T*``, ``'``, ``"`` break
+  lines (emitted as ``"\\n"``); ``TJ`` kerning numbers are ignored.
+* **String decoding**: UTF-16BE when the ``\\xfe\\xff`` BOM is present,
+  else Latin-1 (which equals PDFDocEncoding over the printable ASCII
+  range). ``/ToUnicode`` CMaps and subset-font re-encoding are NOT
+  interpreted — glyph-remapped PDFs extract garbage text with simple
+  tools and are out of scope here.
+
+:func:`synthesize_pdf` writes deterministic classic-xref fixtures
+(valid for pdfminer too: pages carry a Helvetica resource) so tests
+exercise the reader without binary fixtures in the repo.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+__all__ = ["PdfError", "extract_pdf_text", "synthesize_pdf"]
+
+
+class PdfError(ValueError):
+    """Malformed or unsupported PDF (maps to HTTP 400 at the front door)."""
+
+
+class _Name(str):
+    """A PDF name object (/Foo) — distinct from a decoded string."""
+
+
+class _Ref(tuple):
+    """Indirect reference (object number, generation)."""
+
+    __slots__ = ()
+
+
+class _Keyword(str):
+    """A bare keyword token (content-stream operator)."""
+
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+_OBJ_RE = re.compile(rb"(\d+)[\x00\t\n\x0c\r ]+(\d+)[\x00\t\n\x0c\r ]+obj\b")
+_NUM_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
+_KW_RE = re.compile(rb"[A-Za-z'\"*][A-Za-z0-9'\"*]*")
+
+
+def _skip_ws(data: bytes, pos: int) -> int:
+    n = len(data)
+    while pos < n:
+        c = data[pos]
+        if c in _WS:
+            pos += 1
+        elif c == 0x25:  # '%' comment runs to end of line
+            while pos < n and data[pos] not in b"\r\n":
+                pos += 1
+        else:
+            break
+    return pos
+
+
+def _parse_name(data: bytes, pos: int) -> tuple[_Name, int]:
+    # pos points AT '/'
+    pos += 1
+    start = pos
+    n = len(data)
+    while pos < n and data[pos] not in _WS and data[pos] not in _DELIM:
+        pos += 1
+    raw = data[start:pos]
+    # #xx hex escapes in names
+    if b"#" in raw:
+        raw = re.sub(rb"#([0-9A-Fa-f]{2})", lambda m: bytes([int(m.group(1), 16)]), raw)
+    return _Name(raw.decode("latin-1")), pos
+
+
+_ESCAPES = {
+    b"n"[0]: b"\n", b"r"[0]: b"\r", b"t"[0]: b"\t", b"b"[0]: b"\b",
+    b"f"[0]: b"\x0c", b"("[0]: b"(", b")"[0]: b")", b"\\"[0]: b"\\",
+}
+
+
+def _parse_literal_string(data: bytes, pos: int) -> tuple[bytes, int]:
+    # pos points AT '('
+    pos += 1
+    out = bytearray()
+    depth = 1
+    n = len(data)
+    while pos < n:
+        c = data[pos]
+        if c == 0x5C:  # backslash
+            pos += 1
+            if pos >= n:
+                break
+            e = data[pos]
+            if e in _ESCAPES:
+                out += _ESCAPES[e]
+                pos += 1
+            elif 0x30 <= e <= 0x37:  # up to 3 octal digits
+                oct_digits = bytearray()
+                while pos < n and len(oct_digits) < 3 and 0x30 <= data[pos] <= 0x37:
+                    oct_digits.append(data[pos])
+                    pos += 1
+                out.append(int(oct_digits.decode(), 8) & 0xFF)
+            elif e in b"\r\n":  # line continuation
+                pos += 1
+                if e == 0x0D and pos < n and data[pos] == 0x0A:
+                    pos += 1
+            else:  # unknown escape: the char itself
+                out.append(e)
+                pos += 1
+        elif c == 0x28:
+            depth += 1
+            out.append(c)
+            pos += 1
+        elif c == 0x29:
+            depth -= 1
+            if depth == 0:
+                return bytes(out), pos + 1
+            out.append(c)
+            pos += 1
+        else:
+            out.append(c)
+            pos += 1
+    raise PdfError("unterminated literal string")
+
+
+def _parse_hex_string(data: bytes, pos: int) -> tuple[bytes, int]:
+    # pos points AT '<' (and data[pos+1] != '<')
+    end = data.find(b">", pos)
+    if end < 0:
+        raise PdfError("unterminated hex string")
+    hx = re.sub(rb"[^0-9A-Fa-f]", b"", data[pos + 1 : end])
+    if len(hx) % 2:
+        hx += b"0"
+    return bytes.fromhex(hx.decode()), end + 1
+
+
+def _parse_object(data: bytes, pos: int):
+    """Parse one PDF object at ``pos`` → (object, new_pos). Bare
+    keywords (content-stream operators, true/false/null) come back as
+    ``_Name`` so the content tokenizer can reuse this parser."""
+    pos = _skip_ws(data, pos)
+    if pos >= len(data):
+        raise PdfError("unexpected end of data")
+    c = data[pos]
+    if data.startswith(b"<<", pos):
+        pos += 2
+        d: dict = {}
+        while True:
+            pos = _skip_ws(data, pos)
+            if data.startswith(b">>", pos):
+                return d, pos + 2
+            if pos >= len(data):
+                raise PdfError("unterminated dictionary")
+            key, pos = _parse_name(data, pos)
+            val, pos = _parse_object(data, pos)
+            d[str(key)] = val
+    if c == 0x5B:  # '['
+        pos += 1
+        arr = []
+        while True:
+            pos = _skip_ws(data, pos)
+            if pos < len(data) and data[pos] == 0x5D:
+                return arr, pos + 1
+            if pos >= len(data):
+                raise PdfError("unterminated array")
+            val, pos = _parse_object(data, pos)
+            arr.append(val)
+    if c == 0x2F:  # '/'
+        return _parse_name(data, pos)
+    if c == 0x28:  # '('
+        return _parse_literal_string(data, pos)
+    if c == 0x3C:  # '<' hex string (not '<<', handled above)
+        return _parse_hex_string(data, pos)
+    m = _NUM_RE.match(data, pos)
+    if m:
+        txt = m.group()
+        pos2 = m.end()
+        # lookahead for an indirect reference: INT INT R
+        if b"." not in txt:
+            look = _skip_ws(data, pos2)
+            m2 = _NUM_RE.match(data, look)
+            if m2 and b"." not in m2.group():
+                look2 = _skip_ws(data, m2.end())
+                if data.startswith(b"R", look2) and (
+                    look2 + 1 >= len(data)
+                    or data[look2 + 1] in _WS
+                    or data[look2 + 1] in _DELIM
+                ):
+                    return _Ref((int(txt), int(m2.group()))), look2 + 1
+            return int(txt), pos2
+        return float(txt), pos2
+    m = _KW_RE.match(data, pos)
+    if m:
+        kw = m.group()
+        if kw == b"true":
+            return True, m.end()
+        if kw == b"false":
+            return False, m.end()
+        if kw == b"null":
+            return None, m.end()
+        return _Keyword(kw.decode("latin-1")), m.end()
+    raise PdfError(f"cannot parse object at byte {pos} ({data[pos:pos+8]!r})")
+
+
+class _Document:
+    """Parsed object table + trailer of one PDF file."""
+
+    def __init__(self, data: bytes):
+        if not data.startswith(b"%PDF-"):
+            raise PdfError("missing %PDF- header")
+        self.objects: dict[int, object] = {}
+        self.streams: dict[int, bytes] = {}
+        pos = 0
+        while True:
+            m = _OBJ_RE.search(data, pos)
+            if not m:
+                break
+            num = int(m.group(1))
+            try:
+                obj, p = _parse_object(data, m.end())
+            except PdfError:
+                pos = m.end()
+                continue
+            p = _skip_ws(data, p)
+            if data.startswith(b"stream", p):
+                p += len(b"stream")
+                if data.startswith(b"\r\n", p):
+                    p += 2
+                elif data.startswith(b"\n", p):
+                    p += 1
+                length = obj.get("Length") if isinstance(obj, dict) else None
+                if isinstance(length, int):
+                    raw = data[p : p + length]
+                    p += length
+                    end = data.find(b"endstream", p)
+                else:
+                    # indirect /Length (may reference a later object):
+                    # delimit by the endstream keyword instead
+                    end = data.find(b"endstream", p)
+                    if end < 0:
+                        raise PdfError("unterminated stream")
+                    raw = data[p:end]
+                    if raw.endswith(b"\r\n"):
+                        raw = raw[:-2]
+                    elif raw.endswith(b"\n") or raw.endswith(b"\r"):
+                        raw = raw[:-1]
+                if end < 0:
+                    raise PdfError("unterminated stream")
+                p = end + len(b"endstream")
+                if isinstance(obj, dict) and obj.get("Type") == "ObjStm":
+                    raise PdfError("compressed object streams (ObjStm) unsupported")
+                self.streams[num] = raw
+            self.objects[num] = obj
+            e = data.find(b"endobj", p)
+            pos = e + len(b"endobj") if e >= 0 else p
+        if not self.objects:
+            raise PdfError("no indirect objects found")
+        self.trailer: dict = {}
+        for m in re.finditer(rb"trailer\b", data):
+            try:
+                t, _ = _parse_object(data, m.end())
+            except PdfError:
+                continue
+            if isinstance(t, dict):
+                self.trailer.update(t)
+
+    def resolve(self, obj):
+        seen = set()
+        while isinstance(obj, _Ref):
+            if obj in seen:
+                raise PdfError("circular object reference")
+            seen.add(obj)
+            obj = self.objects.get(obj[0])
+        return obj
+
+    def stream_data(self, num: int) -> bytes:
+        """Decoded bytes of stream object ``num``."""
+        raw = self.streams.get(num, b"")
+        info = self.resolve(self.objects.get(num))
+        filt = self.resolve(info.get("Filter")) if isinstance(info, dict) else None
+        filters = [filt] if isinstance(filt, (str, _Name)) else (filt or [])
+        out = raw
+        for f in filters:
+            f = self.resolve(f)
+            if str(f) == "FlateDecode":
+                try:
+                    out = zlib.decompress(out)
+                except zlib.error as e:
+                    raise PdfError(f"bad FlateDecode stream: {e}") from e
+            else:
+                raise PdfError(f"unsupported stream filter /{f}")
+        return out
+
+    def page_object_numbers(self) -> list[int]:
+        """Page objects in catalog order (fallback: object-number order)."""
+        root = self.resolve(self.trailer.get("Root"))
+        order: list[int] = []
+
+        def walk(ref):
+            node = self.resolve(ref)
+            if not isinstance(node, dict):
+                return
+            t = node.get("Type")
+            if t == "Page":
+                if isinstance(ref, _Ref):
+                    order.append(ref[0])
+            elif t == "Pages" or "Kids" in node:
+                for kid in self.resolve(node.get("Kids")) or []:
+                    walk(kid)
+
+        if isinstance(root, dict) and "Pages" in root:
+            walk(root["Pages"])
+        if not order:
+            order = sorted(
+                n
+                for n, o in self.objects.items()
+                if isinstance(o, dict) and o.get("Type") == "Page"
+            )
+        return order
+
+    def page_content(self, page_num: int) -> bytes:
+        page = self.resolve(self.objects.get(page_num))
+        if not isinstance(page, dict):
+            return b""
+        contents = page.get("Contents")
+        refs = contents if isinstance(contents, list) else [contents]
+        parts = []
+        for r in refs:
+            r = r if isinstance(r, _Ref) else None
+            if r is not None and r[0] in self.streams:
+                parts.append(self.stream_data(r[0]))
+        return b"\n".join(parts)
+
+
+def _decode_pdf_string(raw: bytes) -> str:
+    if raw.startswith(b"\xfe\xff"):
+        return raw[2:].decode("utf-16-be", errors="replace")
+    return raw.decode("latin-1")
+
+
+_SHOW_OPS = {"Tj", "'", '"'}
+_NEWLINE_OPS = {"Td", "TD", "T*", "'", '"'}
+
+
+def _text_from_content(content: bytes) -> str:
+    """Walk a content stream's operand/operator sequence, collecting the
+    text-showing operators (pdfminer's interpreter does the same walk;
+    we skip glyph metrics/positioning beyond line breaks)."""
+    out: list[str] = []
+    stack: list = []
+    pos = 0
+    n = len(content)
+    in_text = False
+    while True:
+        pos = _skip_ws(content, pos)
+        if pos >= n:
+            break
+        try:
+            obj, pos = _parse_object(content, pos)
+        except PdfError:
+            pos += 1  # inline images etc.: resync byte-by-byte
+            continue
+        if not isinstance(obj, _Keyword):
+            stack.append(obj)  # operand (value or /Name)
+            continue
+        op = str(obj)
+        if op == "BT":
+            in_text = True
+        elif op == "ET":
+            in_text = False
+        elif in_text:
+            if op in _NEWLINE_OPS and out:
+                out.append("\n")
+            if op in _SHOW_OPS:
+                s = stack[-1] if stack else b""
+                if isinstance(s, bytes):
+                    out.append(_decode_pdf_string(s))
+            elif op == "TJ":
+                arr = stack[-1] if stack else []
+                if isinstance(arr, list):
+                    for el in arr:
+                        if isinstance(el, bytes):
+                            out.append(_decode_pdf_string(el))
+        stack.clear()
+    return "".join(out)
+
+
+def extract_pdf_text(buf: bytes) -> str:
+    """All page text, pages joined with a blank line — the same output
+    shape pdfminer's TextConverter gives the reference parser, whose
+    ``parse`` splits on ``"\\n\\n"`` (pdf_parser.py:23-26)."""
+    doc = _Document(bytes(buf))
+    pages = []
+    for num in doc.page_object_numbers():
+        t = _text_from_content(doc.page_content(num)).strip("\n")
+        pages.append(t)
+    return "\n\n".join(pages)
+
+
+# ---------------------------------------------------------------------------
+# Fixture writer
+
+
+def _pdf_escape(s: str) -> bytes:
+    raw = s.encode("latin-1", errors="strict")
+    return raw.replace(b"\\", b"\\\\").replace(b"(", b"\\(").replace(b")", b"\\)")
+
+
+def synthesize_pdf(
+    pages: list[list[str]],
+    compress: bool = True,
+    hex_strings: bool = False,
+    utf16: bool = False,
+) -> bytes:
+    """Deterministic classic-xref PDF fixture: one content stream per
+    page, each paragraph shown with ``Tj`` and separated by two ``T*``
+    line breaks (→ the ``"\\n\\n"`` the reference splits on). Pages
+    carry a Helvetica font resource so pdfminer (when installed) can
+    interpret the same bytes. ``hex_strings`` shows paragraphs as hex
+    strings, ``utf16`` as BOM-prefixed UTF-16BE (stdlib-reader path;
+    simple-font viewers would need /ToUnicode for these)."""
+    objs: dict[int, bytes] = {}
+    n_pages = len(pages)
+    font_num = 3 + 2 * n_pages
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
+    objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    objs[2] = (
+        f"<< /Type /Pages /Count {n_pages} /Kids [{kids}] >>".encode()
+    )
+    for i, paras in enumerate(pages):
+        page_num, cont_num = 3 + 2 * i, 4 + 2 * i
+        objs[page_num] = (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Resources << /Font << /F1 {font_num} 0 R >> >> "
+            f"/Contents {cont_num} 0 R >>"
+        ).encode()
+        body = bytearray(b"BT /F1 12 Tf 14 TL 72 720 Td\n")
+        for j, p in enumerate(paras):
+            if j:
+                body += b"T* T*\n"
+            if utf16:
+                enc = b"\xfe\xff" + p.encode("utf-16-be")
+                body += b"<" + enc.hex().encode() + b"> Tj\n"
+            elif hex_strings:
+                body += b"<" + p.encode("latin-1").hex().encode() + b"> Tj\n"
+            else:
+                body += b"(" + _pdf_escape(p) + b") Tj\n"
+        body += b"ET"
+        data = zlib.compress(bytes(body)) if compress else bytes(body)
+        filt = b"/Filter /FlateDecode " if compress else b""
+        objs[cont_num] = (
+            b"<< " + filt + f"/Length {len(data)} >>".encode()
+            + b"\nstream\n" + data + b"\nendstream"
+        )
+    objs[font_num] = (
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    )
+
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    for num in sorted(objs):
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + objs[num] + b"\nendobj\n"
+    xref_at = len(out)
+    size = max(objs) + 1
+    out += f"xref\n0 {size}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for num in range(1, size):
+        out += f"{offsets[num]:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {size} /Root 1 0 R >>\n"
+        f"startxref\n{xref_at}\n%%EOF\n"
+    ).encode()
+    return bytes(out)

@@ -121,9 +121,12 @@ def test_post_inference_file_docx_and_pptx(door):
         synthesize_pptx,
     )
 
+    from sifter_mrc_search_engine_spark.sources.pdf import synthesize_pdf
+
     payloads = {
         "up.docx": synthesize_docx(["the quick brown fox paragraph about spark engines"]),
         "up.pptx": synthesize_pptx([["the quick brown fox paragraph about spark engines"]]),
+        "up.pdf": synthesize_pdf([["the quick brown fox paragraph about spark engines"]]),
     }
     for fname, payload in payloads.items():
         boundary = uuid.uuid4().hex
@@ -171,7 +174,8 @@ def test_malformed_params_and_uploads_return_4xx(door):
         {"Content-Type": f"multipart/form-data; boundary={boundary}"},
     )
     assert code == 400 and "magic" in out["detail"]
-    # import-gated format: 501 naming the missing library
+    # malformed PDF: 400 (PdfError is a ValueError), not a dropped
+    # connection — PDF parses natively now (sources/pdf.py), no 501
     parts = (
         f"--{boundary}\r\nContent-Disposition: form-data; name=\"question\"\r\n\r\nq\r\n"
         f"--{boundary}\r\nContent-Disposition: form-data; name=\"file\"; "
@@ -181,4 +185,4 @@ def test_malformed_params_and_uploads_return_4xx(door):
         door, "/inference/file", parts,
         {"Content-Type": f"multipart/form-data; boundary={boundary}"},
     )
-    assert code == 501 and "pdfminer" in out["detail"]
+    assert code == 400 and "object" in out["detail"]

@@ -49,10 +49,12 @@ def test_unsupported_extension_raises(spark, tmp_path):
         parse_files(files).collect()
 
 
-def test_stubbed_formats_raise_not_implemented(spark, tmp_path):
+def test_malformed_pdf_raises_through_spark(spark, tmp_path):
+    # PDF parses natively now (sources/pdf.py) — a malformed buffer
+    # surfaces a PdfError from the executor, not a pdfminer import stub
     (tmp_path / "d.pdf").write_bytes(b"%PDF-fake")
     files = read_files(spark, str(tmp_path), "*.pdf")
-    with pytest.raises(Exception, match="pdfminer"):
+    with pytest.raises(Exception, match="no indirect objects"):
         parse_files(files).collect()
 
 

@@ -1,0 +1,147 @@
+"""Stdlib PDF reader (S7): sources/pdf.py implements the text-bearing
+subset of ISO 32000 (body-scan object parse, FlateDecode, BT/ET text
+operators) the way sources/cfb.py implements [MS-CFB] for HWP —
+reference semantics from pdf_parser.py:12-33 (pdfminer page text,
+paragraphs split on "\n\n", length gate)."""
+
+import zlib
+
+import pytest
+
+from sifter_mrc_search_engine_spark.sources.parsers import (
+    PARSERS,
+    parse_files,
+    parse_pdf_buffer,
+    read_files,
+)
+from sifter_mrc_search_engine_spark.sources.pdf import (
+    PdfError,
+    extract_pdf_text,
+    synthesize_pdf,
+)
+
+P1 = "The first paragraph has plenty of words in it."
+P2 = "Second paragraph also long enough to keep."
+P3 = "Third paragraph on page two of the document."
+
+
+@pytest.mark.parametrize("compress", [True, False])
+def test_roundtrip_pages_and_paragraphs(compress):
+    pdf = synthesize_pdf([[P1, P2], [P3]], compress=compress)
+    # page boundary and in-page paragraph breaks both surface as "\n\n"
+    assert extract_pdf_text(pdf) == f"{P1}\n\n{P2}\n\n{P3}"
+    assert parse_pdf_buffer(pdf) == [P1, P2, P3]
+
+
+def test_length_gate_matches_reference():
+    # pdf_parser.py:25 keeps len(p) > length only
+    pdf = synthesize_pdf([[P1, "tiny", P2]])
+    assert parse_pdf_buffer(pdf) == [P1, P2]
+    assert parse_pdf_buffer(synthesize_pdf([["short"]])) == []
+
+
+def test_hex_strings_and_utf16():
+    pdf = synthesize_pdf([[P1]], hex_strings=True)
+    assert extract_pdf_text(pdf) == P1
+    uni = "Unicode dash — and mu μ inside the paragraph"
+    pdf = synthesize_pdf([[uni]], utf16=True)
+    assert extract_pdf_text(pdf) == uni
+
+
+def test_literal_string_escapes():
+    tricky = "parens (nested) and \\ backslash\ttab"
+    pdf = synthesize_pdf([[tricky]])
+    assert extract_pdf_text(pdf) == tricky
+    # octal escape and line continuation, hand-built content
+    body = b"BT (ab\\056cd\\\nef) Tj ET"
+    pdf2 = _wrap_content(body)
+    assert extract_pdf_text(pdf2) == "ab.cdef"
+
+
+def _wrap_content(body: bytes, filt: bytes = b"", length: bytes | None = None) -> bytes:
+    """Minimal single-page PDF around a raw content stream body."""
+    ln = str(len(body)).encode() if length is None else length
+    out = bytearray(b"%PDF-1.4\n")
+    out += b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+    out += b"2 0 obj\n<< /Type /Pages /Count 1 /Kids [3 0 R] >>\nendobj\n"
+    out += b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+    out += (
+        b"4 0 obj\n<< " + filt + b"/Length " + ln + b" >>\nstream\n"
+        + body + b"\nendstream\nendobj\n"
+    )
+    out += b"trailer\n<< /Size 5 /Root 1 0 R >>\n%%EOF\n"
+    return bytes(out)
+
+
+def test_indirect_length_and_no_trailer_fallback():
+    # /Length as an indirect ref to an object defined LATER than the
+    # stream — the reader delimits by the endstream keyword
+    body = b"BT (indirect length paragraph text) Tj ET"
+    pdf = bytearray(b"%PDF-1.4\n")
+    pdf += b"3 0 obj\n<< /Type /Page /Contents 4 0 R >>\nendobj\n"
+    pdf += b"4 0 obj\n<< /Length 5 0 R >>\nstream\n" + body + b"\nendstream\nendobj\n"
+    pdf += b"5 0 obj\n" + str(len(body)).encode() + b"\nendobj\n"
+    # no trailer/catalog: falls back to object-number page order
+    assert extract_pdf_text(bytes(pdf)) == "indirect length paragraph text"
+
+
+def test_catalog_page_order_beats_object_order():
+    # Kids list order [5, 3] must override ascending object numbers
+    out = bytearray(b"%PDF-1.4\n")
+    out += b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+    out += b"2 0 obj\n<< /Type /Pages /Count 2 /Kids [5 0 R 3 0 R] >>\nendobj\n"
+    out += b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+    b1 = b"BT (second in reading order) Tj ET"
+    out += b"4 0 obj\n<< /Length " + str(len(b1)).encode() + b" >>\nstream\n" + b1 + b"\nendstream\nendobj\n"
+    out += b"5 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 6 0 R >>\nendobj\n"
+    b2 = b"BT (first in reading order) Tj ET"
+    out += b"6 0 obj\n<< /Length " + str(len(b2)).encode() + b" >>\nstream\n" + b2 + b"\nendstream\nendobj\n"
+    out += b"trailer\n<< /Size 7 /Root 1 0 R >>\n%%EOF\n"
+    assert extract_pdf_text(bytes(out)) == (
+        "first in reading order\n\nsecond in reading order"
+    )
+
+
+def test_tj_array_and_quote_operators():
+    body = (
+        b"BT [(Hello) -250 ( world)] TJ (next line shown) ' ET"
+    )
+    pdf = _wrap_content(body)
+    # TJ concatenates strings (kerning numbers ignored); ' breaks line
+    assert extract_pdf_text(pdf) == "Hello world\nnext line shown"
+
+
+def test_unsupported_filter_and_malformed_raise():
+    body = zlib.compress(b"BT (x) Tj ET")
+    pdf = _wrap_content(body, filt=b"/Filter /LZWDecode ")
+    with pytest.raises(PdfError, match="filter"):
+        extract_pdf_text(pdf)
+    with pytest.raises(PdfError):
+        extract_pdf_text(b"%PDF-1.4\njunk with no objects")
+    with pytest.raises(PdfError):
+        extract_pdf_text(b"not a pdf")
+    # corrupt flate payload
+    pdf = _wrap_content(b"\x00\x01broken", filt=b"/Filter /FlateDecode ")
+    with pytest.raises(PdfError, match="Flate"):
+        extract_pdf_text(pdf)
+
+
+def test_objstm_rejected_not_silently_empty():
+    data = zlib.compress(b"whatever")
+    body = (
+        b"1 0 obj\n<< /Type /ObjStm /N 1 /First 5 /Filter /FlateDecode /Length "
+        + str(len(data)).encode() + b" >>\nstream\n" + data + b"\nendstream\nendobj\n"
+    )
+    with pytest.raises(PdfError, match="ObjStm"):
+        extract_pdf_text(b"%PDF-1.5\n" + body)
+
+
+def test_dispatch_routes_pdf():
+    pdf = synthesize_pdf([[P1]])
+    assert PARSERS["pdf"](pdf) == [P1]
+
+
+def test_pdf_through_spark_dispatch(spark, tmp_path):
+    (tmp_path / "doc.pdf").write_bytes(synthesize_pdf([[P1], [P3]]))
+    rows = parse_files(read_files(spark, str(tmp_path))).collect()
+    assert sorted(r["paragraph"] for r in rows) == sorted([P1, P3])

@@ -80,3 +80,31 @@ def test_real_pdfminer_parse():
     text = "a pdf paragraph long enough to clear the ten character gate"
     got = parse_pdf_buffer(_minimal_pdf(text))
     assert any(text.split()[0] in p for p in got), got
+
+
+@pytest.mark.skipif(not pdfminer_available, reason="pdfminer not installed")
+def test_pdfminer_vs_stdlib_reader_same_paragraphs():
+    """When pdfminer IS present, parse_pdf_buffer prefers it — pin that
+    the stdlib reader (sources/pdf.py) recovers the same paragraph list
+    from the same fixture bytes, so the two code paths stay
+    interchangeable."""
+    from sifter_mrc_search_engine_spark.constants import MIN_PARAGRAPH_LEN
+    from sifter_mrc_search_engine_spark.sources.parsers import parse_pdf_buffer
+    from sifter_mrc_search_engine_spark.sources.pdf import (
+        extract_pdf_text,
+        synthesize_pdf,
+    )
+
+    pages = [
+        ["a first paragraph long enough to clear the gate",
+         "a second paragraph equally comfortably long"],
+        ["page two paragraph with more than ten characters"],
+    ]
+    buf = synthesize_pdf(pages)
+    via_lib = parse_pdf_buffer(buf)
+    via_stdlib = [
+        p for p in extract_pdf_text(buf).split("\n\n") if len(p) > MIN_PARAGRAPH_LEN
+    ]
+    # pdfminer layout analysis may fold whitespace differently; compare
+    # word sequences, the signal the index actually consumes
+    assert [p.split() for p in via_lib] == [p.split() for p in via_stdlib]
