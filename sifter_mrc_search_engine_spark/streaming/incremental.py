@@ -30,7 +30,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..constants import BM25_K1, DEFAULT_TOP_K, MAX_TOP_K, TERM_BUCKETS
+from ..constants import BM25_B, BM25_K1, DEFAULT_TOP_K, MAX_TOP_K, TERM_BUCKETS
 from ..functions.analyzer import analyze, tokenize_expr
 from ..operators.compressed_index import build_compressed_index
 from ..operators.wand import wand_topk
@@ -291,3 +291,239 @@ def compact_segments(
     )
     (Path(index_dir) / "compacted" / "stats.json").write_text(json.dumps(stats))
     return f"{index_dir}/compacted"
+
+
+# ---------------------------------------------------------------------------
+# Fielded (BM25F) streaming: per-batch fielded segments
+
+
+def stream_build_fielded_index(
+    spark: SparkSession,
+    input_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    fields: list[str],
+    buckets: int = TERM_BUCKETS,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Stream pages into per-batch FIELDED segments (operators/
+    fielded_index.py layout per segment: field-prefixed postings,
+    per-field doclens, stats.json with len_sums, term_df sidecar).
+    ``max_files_per_trigger`` bounds each micro-batch (availableNow
+    respects it), giving one segment per chunk instead of one giant
+    drain batch.
+
+    Exactness across segments needs no stale-bound tricks at all: the
+    relational BM25F plan derives df from the candidate rows themselves
+    (exact over a union of doc-disjoint segments), and n_docs/len_sums
+    merge additively — see :class:`FieldedMultiSegmentSearcher`.
+    """
+    from ..operators.fielded_index import build_fielded_index
+
+    ddl = "doc_id long, " + ", ".join(f"{f} string" for f in sorted(fields))
+    reader = spark.readStream.schema(ddl)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        seg_dir = f"{index_dir}/segments/seg={batch_id}"
+        build_fielded_index(batch_df, fields, seg_dir, buckets=buckets)
+        (Path(seg_dir) / "_SEGMENT_COMMITTED").write_text(
+            str(int(time.time() * 1000))
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()
+
+
+class FieldedMultiSegmentSearcher:
+    """Exact BM25F top-k across all committed fielded segments.
+
+    Per-segment stats merge additively (``n_docs`` sums; per-field
+    ``len_sums`` sum elementwise), postings/doclens union lazily, and
+    the relational plan (:func:`..operators.fielded_index.search_bm25f`
+    with the merged relations passed in) recomputes df from the unioned
+    candidate rows — exact when doc_ids are segment-disjoint, which is
+    validated at init exactly like :class:`MultiSegmentSearcher`.
+    Norms stay cluster-resident (the ``norms='join'`` posture); there is
+    no driver doclen state at any corpus size.
+
+    Caveat shared with the batch fielded build: a doc with zero tokens
+    in EVERY field has no doclens row (it counts in n_docs but can never
+    match), so such a doc re-delivered across segments is undetectable —
+    the same class of doc is invisible to the reference pipeline too.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        buckets: int = TERM_BUCKETS,
+    ):
+        self.spark = spark
+        self.buckets = buckets
+        self.segments = list_segments(index_dir)
+        if not self.segments:
+            raise ValueError(f"no committed segments under {index_dir}")
+        n = 0
+        len_sums: dict[str, int] = {}
+        fields: list[str] | None = None
+        for seg in self.segments:
+            st = json.loads((Path(seg) / "stats.json").read_text())
+            if fields is None:
+                fields = list(st["fields"])
+            elif list(st["fields"]) != fields:
+                raise ValueError(
+                    f"segment {seg} indexes fields {st['fields']}, "
+                    f"expected {fields} — mixed-field segment stores "
+                    "cannot merge"
+                )
+            n += int(st["n_docs"])
+            for f, s in st.get("len_sums", {}).items():
+                len_sums[f] = len_sums.get(f, 0) + int(s)
+        self.fields = fields or []
+        self.stats = {"n_docs": n, "fields": self.fields, "len_sums": len_sums}
+        post = None
+        dl = None
+        for seg in self.segments:
+            p = self.spark.read.parquet(f"{seg}/postings")
+            post = (
+                p if post is None
+                else post.unionByName(p, allowMissingColumns=True)
+            )
+            d = self.spark.read.parquet(f"{seg}/doclens")
+            dl = d if dl is None else dl.unionByName(d)
+        self.postings = post
+        self.doclens = dl
+        distinct = dl.select(F.countDistinct("doc_id")).collect()[0][0]
+        per_seg = sum(
+            self.spark.read.parquet(f"{seg}/doclens")
+            .select(F.countDistinct("doc_id"))
+            .collect()[0][0]
+            for seg in self.segments
+        )
+        if distinct != per_seg:
+            raise ValueError(
+                f"doc_ids overlap across fielded segments ({per_seg} "
+                f"per-segment distinct vs {distinct} overall) — segments "
+                "require exactly-once ingest; run "
+                "compact_fielded_segments to dedupe keep-latest"
+            )
+
+    def search(
+        self,
+        question: str,
+        weights,
+        top_k: int = DEFAULT_TOP_K,
+        k1: float = BM25_K1,
+        b: float = BM25_B,
+    ) -> list[tuple[int, float]]:
+        from ..operators.fielded_index import search_bm25f
+
+        rows = search_bm25f(
+            self.spark, "", question, weights,
+            top_k=top_k, buckets=self.buckets, k1=k1, b=b,
+            postings=self.postings, doclens=self.doclens, stats=self.stats,
+        ).collect()
+        return [(int(r["doc_id"]), float(r["score"])) for r in rows]
+
+
+def compact_fielded_segments(
+    spark: SparkSession,
+    index_dir: str,
+    buckets: int = TERM_BUCKETS,
+) -> str:
+    """Merge all committed fielded segments into one, deduped
+    keep-latest by doc_id (later batch wins — at-least-once sources
+    compact to exactly-once state), fully distributed like
+    :func:`compact_segments`: postings decode executor-side, winners
+    come from a doclens groupBy, and the merged tf rows re-encode with
+    ``with_impacts=False`` (fielded pruning metadata — blockmaxtf — is
+    rebuilt by the encoder; impact bounds stay dead weight)."""
+    from ..operators.compressed_index import decode_index_df, encode_tf
+    from ..operators.fielded_index import FIELD_SEP
+
+    segs = list_segments(index_dir)
+    if not segs:
+        raise ValueError(f"no committed segments under {index_dir}")
+    seg_ids = {s: i for i, s in enumerate(segs)}  # list order = batch order
+    post = None
+    dl = None
+    n_docs_sum = 0
+    fields: list[str] | None = None
+    for seg in segs:
+        st = json.loads((Path(seg) / "stats.json").read_text())
+        n_docs_sum += int(st["n_docs"])
+        if fields is None:
+            fields = list(st["fields"])
+        p = spark.read.parquet(f"{seg}/postings").withColumn(
+            "_seg", F.lit(seg_ids[seg])
+        )
+        post = (
+            p if post is None
+            else post.unionByName(p, allowMissingColumns=True)
+        )
+        d = spark.read.parquet(f"{seg}/doclens").withColumn(
+            "_seg", F.lit(seg_ids[seg])
+        )
+        dl = d if dl is None else dl.unionByName(d)
+
+    winners = dl.groupBy("doc_id").agg(F.max("_seg").alias("_seg"))
+    dl_latest = dl.join(winners, ["doc_id", "_seg"]).select(
+        "doc_id", "field", "doc_len"
+    )
+    out_dir = f"{index_dir}/compacted"
+    dl_latest.write.mode("overwrite").parquet(f"{out_dir}/doclens")
+    dl_final = spark.read.parquet(f"{out_dir}/doclens")
+    len_rows = dl_final.groupBy("field").agg(F.sum("doc_len").alias("s")).collect()
+    # all-empty docs have no doclens rows in ANY segment: duplicates among
+    # them are undetectable, so compacted n_docs keeps their per-segment
+    # counts and dedupes only the visible doc_ids
+    visible_per_seg = (
+        dl.select("doc_id", "_seg").distinct().count()
+    )
+    visible = dl_final.select(F.countDistinct("doc_id")).collect()[0][0]
+    n_docs = n_docs_sum - (visible_per_seg - visible)
+    stats = {
+        "n_docs": int(n_docs),
+        "fields": fields or [],
+        "len_sums": {r["field"]: int(r["s"]) for r in len_rows},
+    }
+
+    tf = decode_index_df(post, keep_cols=("term", "_seg"))
+    tf = tf.join(winners, ["doc_id", "_seg"]).drop("_seg")
+    idx = encode_tf(tf, stats["n_docs"], 1.0, buckets=buckets, with_impacts=False)
+    idx.write.mode("overwrite").partitionBy("bucket").parquet(
+        f"{out_dir}/postings"
+    )
+    # rebuild the union-df sidecar from the compacted postings: rows per
+    # (prefixed term, doc) decode uniquely, so base-term df is a count
+    # over distinct (base term, doc) pairs
+    dec = decode_index_df(spark.read.parquet(f"{out_dir}/postings"), keep_cols=("term",))
+    (
+        dec.select(
+            F.substring_index("term", FIELD_SEP, 1).alias("field"),
+            F.substring_index("term", FIELD_SEP, -1).alias("base"),
+            "doc_id",
+        )
+        .select("base", "doc_id")
+        .distinct()
+        .groupBy("base")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .withColumnRenamed("base", "term")
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/term_df")
+    )
+    (Path(out_dir) / "stats.json").write_text(json.dumps(stats))
+    return out_dir
