@@ -179,11 +179,56 @@ def _q_bm25f_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.round("score", 4).alias("score"))
 
 
+#: per-sf memo of a 2-segment fielded store (split by doc_id parity)
+_FIELDED_SEG_MEMO: dict[str, str] = {}
+
+
+def _q_bm25f_multisegment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25F across TWO streamed-style fielded segments (docs split by
+    parity) served by FieldedMultiSegmentSearcher's merged relational
+    plan — must be score-identical to brute force over the FULL corpus
+    (stats merge additively; df re-derives from the unioned candidates),
+    so the single-table oracle doubles as the multi-segment oracle."""
+    import tempfile
+    from pathlib import Path
+
+    from sifter_mrc_search_engine_spark.operators.fielded_index import (
+        build_fielded_index,
+        search_bm25f,
+    )
+    from sifter_mrc_search_engine_spark.streaming.incremental import (
+        FieldedMultiSegmentSearcher,
+    )
+
+    if sf_dir not in _FIELDED_SEG_MEMO:
+        two_field = _docs(spark, sf_dir).select(
+            "doc_id",
+            F.concat_ws(" ", F.slice(F.split("text", " "), 1, 8)).alias("title"),
+            F.col("text").alias("content"),
+        )
+        d = tempfile.mkdtemp(prefix="entry_fseg_")
+        for par in (0, 1):
+            seg = f"{d}/segments/seg={par}"
+            build_fielded_index(
+                two_field.filter(F.col("doc_id") % 2 == par),
+                ["title", "content"], seg, buckets=16,
+            )
+            (Path(seg) / "_SEGMENT_COMMITTED").write_text("1")
+        _FIELDED_SEG_MEMO[sf_dir] = d
+    s = FieldedMultiSegmentSearcher(spark, _FIELDED_SEG_MEMO[sf_dir], buckets=16)
+    out = search_bm25f(
+        spark, "", FLAGSHIP_QUESTION, _BM25F_WEIGHTS, top_k=10, buckets=16,
+        postings=s.postings, doclens=s.doclens, stats=s.stats,
+    )
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "bm25_topk_flagship": _q_bm25(FLAGSHIP_QUESTION),
         "bm25f_topk": _q_bm25f,
         "bm25f_topk_indexed": _q_bm25f_indexed,
+        "bm25f_multisegment": _q_bm25f_multisegment,
         "bm25_topk_multi": _q_bm25("spark join merge table"),
         "bm25_topk_single": _q_bm25("window", 5),
         "bm25_topk_wand_compressed": _q_wand_compressed,
@@ -317,6 +362,9 @@ def oracle_sql() -> dict[str, str]:
             FLAGSHIP_QUESTION, _BM25F_SQL_FIELDS, _BM25F_WEIGHTS, top_k=10
         ),
         "bm25f_topk_indexed": bm25f_oracle_sql(
+            FLAGSHIP_QUESTION, _BM25F_SQL_FIELDS, _BM25F_WEIGHTS, top_k=10
+        ),
+        "bm25f_multisegment": bm25f_oracle_sql(
             FLAGSHIP_QUESTION, _BM25F_SQL_FIELDS, _BM25F_WEIGHTS, top_k=10
         ),
         "bm25_topk_wand_compressed": bm25.bm25_oracle_sql(FLAGSHIP_QUESTION, 10),
