@@ -232,7 +232,10 @@ class IndexSearcher:
         all_terms = sorted({t for _, t in pairs})
         decoded = self._decoded_candidates(all_terms)
         dl = self.spark.read.parquet(f"{self.index_dir}/doclens")
-        joined = decoded.join(F.broadcast(qdf), "term").join(dl, "doc_id")
+        # doclens join BEFORE the query fan-out: the broadcast qdf join
+        # multiplies rows by the term-sharing factor, so joining dl first
+        # shuffles each (term, doc) row once instead of once per query
+        joined = decoded.join(dl, "doc_id").join(F.broadcast(qdf), "term")
 
         n_docs, avgdl, k = self.n_docs, self.avgdl, top_k
         from ..constants import BM25_B, BM25_K1
@@ -315,15 +318,21 @@ class IndexSearcher:
         decoded = self._decoded_candidates(all_terms)
 
         dl = self.spark.read.parquet(f"{self.index_dir}/doclens")
-        joined = (
-            decoded.join(F.broadcast(qdf), "term")
-            .join(dl, "doc_id")
-        )
+        # term-major order: the BM25 contribution is query-INDEPENDENT, so
+        # join doclens and evaluate it once per (term, doc) row, THEN fan
+        # out to queries via the broadcast join — large batches that share
+        # terms pay the doclen shuffle and the float math once, not once
+        # per query
         contrib = bm25_contrib_expr(
             "tf", "df", "doc_len", self.n_docs, self.avgdl
         )
+        per_term_doc = decoded.join(dl, "doc_id").select(
+            "term", "doc_id", contrib.alias("contrib")
+        )
         scored = score_fold(
-            joined.select("query_id", "doc_id", "term", contrib.alias("contrib")),
+            per_term_doc.join(F.broadcast(qdf), "term").select(
+                "query_id", "doc_id", "term", "contrib"
+            ),
             ["query_id", "doc_id"],
         )
         w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
