@@ -247,6 +247,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": lambda s, d: _sim.embedding_near_dup_pairs(
             s.read.parquet(f"{d}/embeddings.parquet"), threshold=0.5, n_planes=4
         ),
+        "dedup_embedding_cosine_multiprobe": lambda s, d: _sim.embedding_near_dup_pairs(
+            s.read.parquet(f"{d}/embeddings.parquet"),
+            threshold=0.3, n_planes=6, hamming=1,
+        ),
         # text analysis
         "text_token_counts": lambda s, d: _ts.token_counts(_docs(s, d)),
         "text_quality_scores": lambda s, d: _ts.quality_scores(_docs(s, d)),
@@ -376,6 +380,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _dd.sql_simhash(),
         "dedup_embedding_cosine": _sim.sql_embedding_near_dup_pairs(
             threshold=0.5, n_planes=4
+        ),
+        "dedup_embedding_cosine_multiprobe": _sim.sql_embedding_near_dup_pairs(
+            threshold=0.3, n_planes=6, hamming=1
         ),
         "text_token_counts": _ts.sql_token_counts(),
         "text_quality_scores": _ts.sql_quality_scores(),

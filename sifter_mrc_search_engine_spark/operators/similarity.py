@@ -162,12 +162,28 @@ FROM scored ORDER BY dot / (na * nb) DESC, vec_id ASC LIMIT {k}
 """
 
 
+def _hamming_masks(n_planes: int, hamming: int) -> list[int]:
+    """All xor masks over ``n_planes`` bits with popcount <= hamming
+    (mask 0 first) — the Hamming-ball probe expansion."""
+    import itertools
+
+    masks = [0]
+    for r in range(1, hamming + 1):
+        for combo in itertools.combinations(range(n_planes), r):
+            m = 0
+            for j in combo:
+                m |= 1 << j
+            masks.append(m)
+    return masks
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.9,
     n_planes: int = 0,
     seed: int = 42,
     round_to: int = 4,
+    hamming: int = 0,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs:
     ``(vec_a, vec_b, cos)`` with ``vec_a < vec_b`` and cosine >= threshold.
@@ -177,7 +193,13 @@ def embedding_near_dup_pairs(
     LSH-bucketed — only SAME-bucKET pairs are scored, turning the
     self-join into a per-bucket equi-join (the 100 TB shape; recall
     trades against 2^n_planes like any sign-projection LSH).
-    """
+    ``hamming>0`` is the recall knob: side b explodes into its
+    Hamming-ball of buckets (1 + Σ C(n_planes, r) probes), so pairs
+    whose buckets differ in <= hamming sign bits are also scored —
+    candidate volume grows by the probe count, recall approaches exact
+    as hamming -> n_planes. Still a pure equi-join after the explode
+    (each (a, b) pair matches at most once: probe buckets per vec are
+    distinct)."""
     a = embeddings.select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")
     )
@@ -195,6 +217,16 @@ def embedding_near_dup_pairs(
             F.col("emb_a").alias("emb_b"),
             F.col("bkt_a").alias("bkt_b"),
         )
+        if hamming > 0:
+            masks = _hamming_masks(n_planes, hamming)
+            bb = bb.withColumn(
+                "bkt_b",
+                F.explode(
+                    F.array(
+                        *[F.col("bkt_b").bitwiseXOR(F.lit(m)) for m in masks]
+                    )
+                ),
+            )
         pairs = ba.join(bb, (ba["bkt_a"] == bb["bkt_b"]) & (ba["vec_a"] < bb["vec_b"]))
     else:
         pairs = a.join(b, a["vec_a"] < b["vec_b"])
@@ -213,10 +245,12 @@ def sql_embedding_near_dup_pairs(
     dim: int = 64,
     table: str = "embeddings",
     round_to: int = 4,
+    hamming: int = 0,
 ) -> str:
     """DuckDB twin of :func:`embedding_near_dup_pairs`; with n_planes>0
     the bucket derivation uses the same inlined hyperplane literals as
-    :func:`sql_ann_topk`."""
+    :func:`sql_ann_topk`, and ``hamming>0`` matches any probe in b's
+    Hamming ball via the same xor-mask list."""
     dot = (
         f"list_sum(list_transform(range(1, {dim} + 1), "
         "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
@@ -243,7 +277,14 @@ def sql_embedding_near_dup_pairs(
             f"src AS (SELECT e.vec_id, e.embedding, {bucket_terms} AS bucket "
             f"FROM {table} e CROSS JOIN p) "
         )
-        join_cond = "a.bucket = b.bucket AND a.vec_id < b.vec_id"
+        if hamming > 0:
+            masks = ", ".join(str(m) for m in _hamming_masks(n_planes, hamming))
+            join_cond = (
+                f"list_contains(list_transform([{masks}], "
+                "m -> xor(b.bucket, m)), a.bucket) AND a.vec_id < b.vec_id"
+            )
+        else:
+            join_cond = "a.bucket = b.bucket AND a.vec_id < b.vec_id"
         frm = "src a JOIN src b ON " + join_cond
     else:
         src = ""

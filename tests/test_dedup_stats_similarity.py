@@ -309,3 +309,64 @@ def test_lsh_bucket_cap_bounds_pathological_skew(spark, docs, con):
     # default path (max_bucket=None) still matches the DuckDB oracle
     got = _rows(D.lsh_candidate_pairs(docs))
     assert got == _sql_rows(con, D.sql_lsh_candidate_pairs())
+
+
+def test_embedding_near_dup_multiprobe_recall_and_parity(spark):
+    """hamming>0 is the recall knob: on clustered embeddings (where true
+    near-dup pairs straddle bucket boundaries) the Hamming-1 probe set
+    recovers strictly more of the exact pair set than same-bucket-only,
+    stays a subset of exact (no false positives), and matches its DuckDB
+    twin row for row."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    centers = rng.standard_normal((12, 64)) * 2.0
+    assign = rng.randint(0, 12, size=240)
+    M = (centers[assign] + rng.standard_normal((240, 64)) * 0.35).astype(np.float32)
+    df = spark.createDataFrame(
+        [(int(i), M[i].tolist()) for i in range(240)],
+        "vec_id long, embedding array<float>",
+    )
+
+    exact = set()
+    Mn = M.astype(np.float64)
+    Mn = Mn / np.linalg.norm(Mn, axis=1, keepdims=True)
+    sims = Mn @ Mn.T
+    for i in range(240):
+        for j in range(i + 1, 240):
+            if sims[i, j] >= 0.9:
+                exact.add((i, j))
+    assert len(exact) >= 30  # the fixture really has cross-vector dups
+
+    def pairs(h):
+        return {
+            (r["vec_a"], r["vec_b"])
+            for r in S.embedding_near_dup_pairs(
+                df, threshold=0.9, n_planes=6, hamming=h
+            ).collect()
+        }
+
+    p0, p1 = pairs(0), pairs(1)
+    assert p0 <= p1 <= exact  # monotone recall, never false positives
+    r0 = len(p0) / len(exact)
+    r1 = len(p1) / len(exact)
+    assert r1 > r0, (r0, r1)  # the knob actually moves recall
+    assert r1 >= 0.8, (r0, r1)  # Hamming-1 floor on clustered data
+
+    # DuckDB twin parity at hamming=1
+    import pandas as pd
+
+    c = duckdb.connect()
+    pdf = pd.DataFrame(
+        {"vec_id": list(range(240)), "embedding": [M[i].tolist() for i in range(240)]}
+    )
+    c.register("emb_clustered", pdf)
+    exp = {
+        (r[0], r[1])
+        for r in c.execute(
+            S.sql_embedding_near_dup_pairs(
+                threshold=0.9, n_planes=6, hamming=1, table="emb_clustered"
+            )
+        ).fetchall()
+    }
+    assert p1 == exp
