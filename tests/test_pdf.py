@@ -145,3 +145,33 @@ def test_pdf_through_spark_dispatch(spark, tmp_path):
     (tmp_path / "doc.pdf").write_bytes(synthesize_pdf([[P1], [P3]]))
     rows = parse_files(read_files(spark, str(tmp_path))).collect()
     assert sorted(r["paragraph"] for r in rows) == sorted([P1, P3])
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+# latin-1-encodable text with the PDF string delimiters/escapes well
+# represented; newlines excluded (the writer shows each paragraph as one
+# Tj, so embedded \n would be indistinguishable from a line-break op)
+_para = st.text(
+    alphabet=st.sampled_from(
+        list("abcdefgh ()\\\t") + ["\xe9", "\xfc", "%", "<", ">", "/"]
+    ),
+    min_size=1,
+    max_size=60,
+).map(lambda s: s.strip() or "x")
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    pages=st.lists(st.lists(_para, min_size=1, max_size=4), min_size=1, max_size=3),
+    compress=st.booleans(),
+    hex_strings=st.booleans(),
+)
+def test_roundtrip_property(pages, compress, hex_strings):
+    """synthesize -> extract recovers every paragraph byte-for-byte for
+    any latin-1 text including delimiters, escapes and comment chars."""
+    pdf = synthesize_pdf(pages, compress=compress, hex_strings=hex_strings)
+    assert extract_pdf_text(pdf) == "\n\n".join(
+        "\n\n".join(paras) for paras in pages
+    )

@@ -86,6 +86,12 @@ def main() -> None:
             for method in ("exhaustive", "wand"):
                 ms = p50(lambda: s.search(q, WEIGHTS, top_k=10, method=method)) * 1000
                 out[f"p50_ms_{name}_{method}"] = round(ms, 2)
+        # zero-driver-norms serving (the 10^12-doc posture): the full
+        # relational plan per query, relations bound once at construction
+        sj = FieldedSearcher(spark, idx_dir, norms="join")
+        for name, q in QUERIES.items():
+            ms = p50(lambda: sj.search(q, WEIGHTS, top_k=10), reps=5) * 1000
+            out[f"p50_ms_{name}_join"] = round(ms, 2)
     finally:
         shutil.rmtree(corpus_dir, ignore_errors=True)
         if idx_dir:
