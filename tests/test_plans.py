@@ -71,3 +71,28 @@ def test_term_filter_pushdown_in_tf(spark, corpus_on_disk):
     i_filter = plan.find("bababa")
     i_agg = plan.find("HashAggregate")
     assert i_filter != -1 and i_agg != -1
+
+
+def test_batch_scoring_joins_doclens_below_query_fanout(
+    spark, corpus_on_disk, tmp_path_factory
+):
+    """Term-major batch order: the doclens join (doc_id keys) must sit
+    BELOW the broadcast query fan-out (term keys) in the plan tree, so
+    the doclen shuffle and the contribution math are paid once per
+    (term, doc) row, not once per query sharing a term."""
+    from sifter_mrc_search_engine_spark.plans.query import IndexSearcher
+
+    idx = str(tmp_path_factory.mktemp("plan_idx_batch"))
+    docs = spark.read.parquet(corpus_on_disk)
+    build_index_resumable(docs, idx, buckets=16)
+    s = IndexSearcher(spark, idx, buckets=16)
+    q = s.search_many_relational(["bababa dabiba", "bababa gaga"], top_k=5)
+    plan = q._sc._jvm.PythonSQLUtils.explainString(q._jdf.queryExecution(), "simple")
+    import re
+
+    term_join = re.search(r"Join \[term#\d+\]|BroadcastHashJoin \[term#\d+\]", plan)
+    doc_join = re.search(r"Join \[doc_id#\d+L?\]|BroadcastHashJoin \[doc_id#\d+L?\]", plan)
+    assert term_join and doc_join, plan
+    # simple-mode explain prints preorder from the root: the fan-out
+    # (term keys) prints BEFORE its doclens-join child (doc_id keys)
+    assert term_join.start() < doc_join.start(), plan
