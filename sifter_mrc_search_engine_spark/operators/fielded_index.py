@@ -545,6 +545,12 @@ class FieldedSearcher:
         from .postings_codec import decode_postings
 
         names = sorted(weights)
+        unknown = [f for f in names if f not in self.fields]
+        if unknown:
+            raise ValueError(
+                f"weights name unindexed fields {unknown}; this index has "
+                f"{self.fields}"
+            )
         qterms = sorted(set(analyze(question)))
         if not qterms:
             return []
@@ -663,6 +669,12 @@ def search_bm25f(
         stats = json.loads((Path(index_dir) / "stats.json").read_text())
     n_docs = int(stats["n_docs"])
     names = sorted(weights)
+    indexed = list(stats.get("fields", names))
+    unknown = [f for f in names if f not in indexed]
+    if unknown:
+        raise ValueError(
+            f"weights name unindexed fields {unknown}; this index has {indexed}"
+        )
     qterms = sorted(set(analyze(question)))
     if not qterms:
         return spark.createDataFrame([], "doc_id long, score double")

@@ -328,3 +328,16 @@ def test_fielded_term_df_sidecar_is_union_df(spark, corpus, fielded_dir):
     )
     exp = {r["term"]: r["df"] for r in exp_df.collect()}
     assert got == exp
+
+
+def test_unknown_weight_field_raises(spark, corpus, fielded_dir):
+    from sifter_mrc_search_engine_spark.operators.fielded_index import FieldedSearcher
+
+    s = FieldedSearcher(spark, fielded_dir, buckets=16, preload=True)
+    with pytest.raises(ValueError, match="unindexed"):
+        s.search("the fast query", {"headline": 2.0}, top_k=5)
+    with pytest.raises(ValueError, match="unindexed"):
+        search_bm25f(
+            spark, fielded_dir, "the fast query", {"headline": 2.0},
+            top_k=5, buckets=16,
+        )
