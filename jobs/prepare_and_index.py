@@ -1,0 +1,74 @@
+"""spark-submit job: the full training-corpus pipeline in one submit —
+extract → quality gate → (lang filter) → exact dedup → (near-dup drop)
+→ resumable compressed-index build, with the per-stage audit and build
+lineage written next to the index.
+
+    spark-submit --py-files sifter_pkg.zip jobs/prepare_and_index.py \
+        --input  /path/to/pages_parquet \
+        --output /path/to/index_dir \
+        [--html] [--lang en] [--near-dup] [--buckets 64] \
+        [--id-col doc_id] [--text-col text] [--max-buckets N]
+
+The reference runs the analogous extract→clean→filter→train chain as
+single-process Python (modules/lm_post_training/train.py:49-70); here
+every stage is part of ONE declarative plan (plans/prepare.py), the
+audit is one aggregate over one input scan, and the index build resumes
+from the output dir's manifest if a previous run died mid-way. Output
+layout: ``<output>/postings`` + ``stats.json`` + ``manifest.jsonl``
+(build lineage) + ``prepare_audit.json`` (per-stage survivor counts).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+from pyspark.sql import SparkSession
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--html", action="store_true", help="extract from the html binary column")
+    ap.add_argument("--lang", default=None, help="keep only this predicted language")
+    ap.add_argument("--near-dup", action="store_true", help="drop MinHash-LSH near-dups")
+    ap.add_argument("--max-buckets", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    from sifter_mrc_search_engine_spark.plans.checkpoint import build_index_resumable
+    from sifter_mrc_search_engine_spark.plans.prepare import prepare_corpus
+
+    spark = SparkSession.builder.appName("sifter-prepare-and-index").getOrCreate()
+    pages = spark.read.parquet(args.input)
+
+    clean, audit = prepare_corpus(
+        pages,
+        html_col="html" if args.html else None,
+        lang=args.lang,
+        near_dup=args.near_dup,
+        id_col=args.id_col,
+        text_col=args.text_col,
+    )
+    audit_row = audit.collect()[0].asDict()
+
+    result = build_index_resumable(
+        clean,
+        args.output,
+        buckets=args.buckets,
+        max_buckets_this_run=args.max_buckets,
+    )
+    Path(args.output, "prepare_audit.json").write_text(json.dumps(audit_row))
+    print(json.dumps({"audit": audit_row, "build": {
+        k: result[k] for k in ("resumed", "skipped", "wall_ms", "n_docs")
+    } | {"built_buckets": len(result["built_buckets"])}}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
