@@ -179,8 +179,9 @@ def _q_bm25f_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.round("score", 4).alias("score"))
 
 
-#: per-sf memo of a 2-segment fielded store (split by doc_id parity)
-_FIELDED_SEG_MEMO: dict[str, str] = {}
+#: per-sf memo of the 2-segment searcher (split by doc_id parity) — the
+#: searcher's init validation jobs must not rerun per query invocation
+_FIELDED_SEG_MEMO: dict[str, object] = {}
 
 
 def _q_bm25f_multisegment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -214,8 +215,10 @@ def _q_bm25f_multisegment(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ["title", "content"], seg, buckets=16,
             )
             (Path(seg) / "_SEGMENT_COMMITTED").write_text("1")
-        _FIELDED_SEG_MEMO[sf_dir] = d
-    s = FieldedMultiSegmentSearcher(spark, _FIELDED_SEG_MEMO[sf_dir], buckets=16)
+        _FIELDED_SEG_MEMO[sf_dir] = FieldedMultiSegmentSearcher(
+            spark, d, buckets=16
+        )
+    s = _FIELDED_SEG_MEMO[sf_dir]
     out = search_bm25f(
         spark, "", FLAGSHIP_QUESTION, _BM25F_WEIGHTS, top_k=10, buckets=16,
         postings=s.postings, doclens=s.doclens, stats=s.stats,

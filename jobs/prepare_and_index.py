@@ -55,7 +55,18 @@ def main(argv=None) -> None:
         id_col=args.id_col,
         text_col=args.text_col,
     )
-    audit_row = audit.collect()[0].asDict()
+    # materialize the cleaned corpus ONCE: audit, doclens, and the index
+    # encode each consume it, and without this the extraction + dedup
+    # window + LSH join would replay per consumer (and again per resumed
+    # submit)
+    clean_dir = f"{args.output}/clean_corpus"
+    if not Path(clean_dir, "_SUCCESS").exists():  # resumed submits reuse it
+        clean.write.mode("overwrite").parquet(clean_dir)
+        audit_row = audit.collect()[0].asDict()
+        Path(args.output, "prepare_audit.json").write_text(json.dumps(audit_row))
+    else:
+        audit_row = json.loads(Path(args.output, "prepare_audit.json").read_text())
+    clean = spark.read.parquet(clean_dir)
 
     result = build_index_resumable(
         clean,
@@ -63,7 +74,6 @@ def main(argv=None) -> None:
         buckets=args.buckets,
         max_buckets_this_run=args.max_buckets,
     )
-    Path(args.output, "prepare_audit.json").write_text(json.dumps(audit_row))
     print(json.dumps({"audit": audit_row, "build": {
         k: result[k] for k in ("resumed", "skipped", "wall_ms", "n_docs")
     } | {"built_buckets": len(result["built_buckets"])}}))

@@ -473,7 +473,7 @@ class FieldedSearcher:
         self.doclens_df = spark.read.parquet(f"{index_dir}/doclens")
         self._flen: dict[str, dict[int, int]] = {f: {} for f in self.fields}
         if norms == "preload":
-            for r in spark.read.parquet(f"{index_dir}/doclens").collect():
+            for r in self.doclens_df.collect():
                 self._flen[r["field"]][r["doc_id"]] = r["doc_len"]
         self._doc_ids = sorted({d for m in self._flen.values() for d in m})
         # per-field length totals (exact ints) make avg_wdl O(fields) per

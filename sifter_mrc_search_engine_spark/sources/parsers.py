@@ -49,12 +49,15 @@ def parse_pdf_buffer(buf: bytes) -> list[str]:
     BT/ET text operators) with the same output shape."""
     try:
         from pdfminer.high_level import extract_text  # type: ignore
-
-        text = extract_text(io.BytesIO(buf))
     except ImportError:
+        # only the IMPORT is guarded: a runtime ImportError from inside
+        # pdfminer (e.g. missing 'cryptography' for an encrypted PDF)
+        # must surface, not silently reroute to the stdlib reader
         from .pdf import extract_pdf_text
 
         text = extract_pdf_text(buf)
+    else:
+        text = extract_text(io.BytesIO(buf))
     return [p for p in text.split("\n\n") if len(p) > MIN_PARAGRAPH_LEN]
 
 

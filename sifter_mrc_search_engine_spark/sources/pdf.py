@@ -346,6 +346,12 @@ class _Document:
         if not isinstance(page, dict):
             return b""
         contents = page.get("Contents")
+        # /Contents may be a stream ref, an array of stream refs, or an
+        # indirect ref TO such an array — resolve through the indirection
+        # (but keep direct stream refs unresolved: we need the object
+        # number to fetch its stream bytes)
+        if isinstance(contents, _Ref) and contents[0] not in self.streams:
+            contents = self.resolve(contents)
         refs = contents if isinstance(contents, list) else [contents]
         parts = []
         for r in refs:

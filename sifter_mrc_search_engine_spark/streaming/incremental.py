@@ -390,7 +390,17 @@ class FieldedMultiSegmentSearcher:
                     "cannot merge"
                 )
             n += int(st["n_docs"])
-            for f, s in st.get("len_sums", {}).items():
+            if "len_sums" not in st:
+                # a pre-len_sums segment merged as zero field lengths
+                # would silently corrupt avg_wdl (scores collapse or
+                # undercount) — refuse loudly instead
+                raise ValueError(
+                    f"segment {seg} has no len_sums in stats.json "
+                    "(pre-len_sums fielded layout); rebuild it or run "
+                    "compact_fielded_segments on a store built by the "
+                    "current encoder"
+                )
+            for f, s in st["len_sums"].items():
                 len_sums[f] = len_sums.get(f, 0) + int(s)
         self.fields = fields or []
         self.stats = {"n_docs": n, "fields": self.fields, "len_sums": len_sums}
@@ -406,13 +416,20 @@ class FieldedMultiSegmentSearcher:
             dl = d if dl is None else dl.unionByName(d)
         self.postings = post
         self.doclens = dl
-        distinct = dl.select(F.countDistinct("doc_id")).collect()[0][0]
-        per_seg = sum(
-            self.spark.read.parquet(f"{seg}/doclens")
-            .select(F.countDistinct("doc_id"))
-            .collect()[0][0]
-            for seg in self.segments
-        )
+        # ONE validation job over a seg-tagged union (not one job per
+        # segment): distinct (doc_id, seg) == distinct doc_id iff no doc
+        # appears in two segments
+        tagged = None
+        for i, seg in enumerate(self.segments):
+            d = self.spark.read.parquet(f"{seg}/doclens").select(
+                "doc_id", F.lit(i).alias("_seg")
+            )
+            tagged = d if tagged is None else tagged.unionByName(d)
+        r = tagged.agg(
+            F.countDistinct("doc_id").alias("docs"),
+            F.countDistinct("doc_id", "_seg").alias("doc_segs"),
+        ).collect()[0]
+        distinct, per_seg = int(r["docs"]), int(r["doc_segs"])
         if distinct != per_seg:
             raise ValueError(
                 f"doc_ids overlap across fielded segments ({per_seg} "
@@ -467,6 +484,13 @@ def compact_fielded_segments(
         n_docs_sum += int(st["n_docs"])
         if fields is None:
             fields = list(st["fields"])
+        elif list(st["fields"]) != fields:
+            # mirror FieldedMultiSegmentSearcher: a silently-merged
+            # mixed-field store would mislabel stats.json fields
+            raise ValueError(
+                f"segment {seg} indexes fields {st['fields']}, expected "
+                f"{fields} — mixed-field segment stores cannot compact"
+            )
         p = spark.read.parquet(f"{seg}/postings").withColumn(
             "_seg", F.lit(seg_ids[seg])
         )

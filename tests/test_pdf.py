@@ -175,3 +175,20 @@ def test_roundtrip_property(pages, compress, hex_strings):
     assert extract_pdf_text(pdf) == "\n\n".join(
         "\n\n".join(paras) for paras in pages
     )
+
+
+def test_indirect_contents_array():
+    """/Contents may be an indirect ref TO an array of stream refs — a
+    legal, common layout that must not silently extract empty text."""
+    body = b"BT (indirect contents array text) Tj ET"
+    pdf = bytearray(b"%PDF-1.4\n")
+    pdf += b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+    pdf += b"2 0 obj\n<< /Type /Pages /Count 1 /Kids [3 0 R] >>\nendobj\n"
+    pdf += b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>\nendobj\n"
+    pdf += (
+        b"4 0 obj\n<< /Length " + str(len(body)).encode()
+        + b" >>\nstream\n" + body + b"\nendstream\nendobj\n"
+    )
+    pdf += b"5 0 obj\n[4 0 R]\nendobj\n"
+    pdf += b"trailer\n<< /Size 6 /Root 1 0 R >>\n%%EOF\n"
+    assert extract_pdf_text(bytes(pdf)) == "indirect contents array text"
