@@ -153,6 +153,74 @@ def winnowing_fingerprint(
     )
 
 
+def gopher_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style document-quality signals (Rae et al. 2021 §A1.1 —
+    the standard web-corpus repetition/format filters), per doc:
+
+    ``(doc_id, n_words, mean_word_len, frac_alpha_words, symbol_ratio,
+    dup_line_frac, dup_line_char_frac, passes)``
+
+    * words = non-empty whitespace splits; mean length over them
+    * frac_alpha_words = words containing at least one letter
+    * symbol_ratio = ('#' chars + '...' occurrences) / words
+    * dup_line_frac / dup_line_char_frac = repeated non-empty lines as a
+      fraction of line count / of line characters (first occurrence is
+      not "duplicate"; array_distinct keeps firsts on both engines)
+    * passes = the Gopher gates: 50<=words<=100k, 3<=mean<=10,
+      alpha>=0.8, symbol<=0.1, dup lines<=0.3, dup chars<=0.2
+
+    Pure Catalyst (split/filter/aggregate/array_distinct — codegen, no
+    shuffle, no Python); the DuckDB twin mirrors every expression.
+    """
+    t = F.col(text_col)
+    words = F.filter(F.split(t, r"\s+"), lambda w: F.length(w) > 0)
+    n_words = F.size(words)
+    word_chars = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z가-힣]")))
+    hash_chars = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    ellipses = (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3
+    lines = F.filter(F.split(t, "\n"), lambda x: F.length(x) > 0)
+    n_lines = F.size(lines)
+    dlines = F.array_distinct(lines)
+    line_chars = F.aggregate(
+        lines, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    dline_chars = F.aggregate(
+        dlines, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+
+    nw = n_words.cast("double")
+    mean_wl = F.when(n_words > 0, word_chars / nw).otherwise(F.lit(0.0))
+    frac_alpha = F.when(n_words > 0, alpha_words / nw).otherwise(F.lit(0.0))
+    sym = F.when(n_words > 0, (hash_chars + ellipses) / nw).otherwise(F.lit(0.0))
+    dlf = F.when(
+        n_lines > 0, (n_lines - F.size(dlines)) / n_lines.cast("double")
+    ).otherwise(F.lit(0.0))
+    dlcf = F.when(
+        line_chars > 0, (line_chars - dline_chars) / line_chars.cast("double")
+    ).otherwise(F.lit(0.0))
+    passes = (
+        (n_words >= 50) & (n_words <= 100_000)
+        & (mean_wl >= 3.0) & (mean_wl <= 10.0)
+        & (frac_alpha >= 0.8)
+        & (sym <= 0.1)
+        & (dlf <= 0.3)
+        & (dlcf <= 0.2)
+    )
+    return docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_wl, 4).alias("mean_word_len"),
+        F.round(frac_alpha, 4).alias("frac_alpha_words"),
+        F.round(sym, 4).alias("symbol_ratio"),
+        F.round(dlf, 4).alias("dup_line_frac"),
+        F.round(dlcf, 4).alias("dup_line_char_frac"),
+        passes.alias("passes"),
+    )
+
+
 # --- SQL twins --------------------------------------------------------------
 
 _TOKS = "regexp_extract_all(lower(text), '[a-z0-9가-힣]+')"
@@ -201,6 +269,50 @@ def sql_lang_id(table: str = "documents") -> str:
 WITH h AS (SELECT doc_id, {hit_exprs}
            FROM (SELECT doc_id, {_TOKS} AS toks FROM {table}))
 SELECT doc_id, {case} AS pred_lang, {best} AS hits FROM h
+"""
+
+
+def sql_gopher_quality(table: str = "documents") -> str:
+    """DuckDB twin of :func:`gopher_quality` — identical expressions,
+    list_* in place of the Catalyst array functions."""
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), w -> length(w) > 0) AS words,
+         list_filter(string_split(text, chr(10)), x -> length(x) > 0) AS lines,
+         length(text) - length(replace(text, '#', '')) AS hash_chars,
+         (length(text) - length(replace(text, '...', ''))) / 3 AS ellipses
+  FROM {table}
+), agg AS (
+  SELECT doc_id, len(words) AS n_words,
+         CAST(coalesce(list_sum(list_transform(words, w -> length(w))), 0) AS DOUBLE) AS word_chars,
+         len(list_filter(words, w -> regexp_matches(w, '[A-Za-z가-힣]'))) AS alpha_words,
+         hash_chars, ellipses,
+         len(lines) AS n_lines,
+         len(list_distinct(lines)) AS n_dlines,
+         CAST(coalesce(list_sum(list_transform(lines, x -> length(x))), 0) AS DOUBLE) AS line_chars,
+         CAST(coalesce(list_sum(list_transform(list_distinct(lines), x -> length(x))), 0) AS DOUBLE) AS dline_chars
+  FROM base
+), m AS (
+  SELECT doc_id, n_words,
+         CASE WHEN n_words > 0 THEN word_chars / n_words ELSE 0.0 END AS mean_wl,
+         CASE WHEN n_words > 0 THEN CAST(alpha_words AS DOUBLE) / n_words ELSE 0.0 END AS frac_alpha,
+         CASE WHEN n_words > 0 THEN (hash_chars + ellipses) / n_words ELSE 0.0 END AS sym,
+         CASE WHEN n_lines > 0 THEN CAST(n_lines - n_dlines AS DOUBLE) / n_lines ELSE 0.0 END AS dlf,
+         CASE WHEN line_chars > 0 THEN (line_chars - dline_chars) / line_chars ELSE 0.0 END AS dlcf
+  FROM agg
+)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       round(mean_wl, 4) AS mean_word_len,
+       round(frac_alpha, 4) AS frac_alpha_words,
+       round(sym, 4) AS symbol_ratio,
+       round(dlf, 4) AS dup_line_frac,
+       round(dlcf, 4) AS dup_line_char_frac,
+       (n_words >= 50 AND n_words <= 100000
+        AND mean_wl >= 3.0 AND mean_wl <= 10.0
+        AND frac_alpha >= 0.8 AND sym <= 0.1
+        AND dlf <= 0.3 AND dlcf <= 0.2) AS passes
+FROM m
 """
 
 

@@ -370,3 +370,32 @@ def test_embedding_near_dup_multiprobe_recall_and_parity(spark):
         ).fetchall()
     }
     assert p1 == exp
+
+
+def test_gopher_quality_parity_and_gates(spark, docs, con):
+    got = _rows(TS.gopher_quality(docs))
+    exp = _sql_rows(con, TS.sql_gopher_quality())
+    assert got == exp
+
+    edge = spark.createDataFrame(
+        [
+            (1, ""),  # empty: all-zero features, fails gates
+            (2, "three short words"),  # < 50 words
+            (3, "line one\nline one\nline one\nother"),  # duplicate lines
+            (4, "#### ##### ... ... ... symbols " + "word " * 60),  # symbol ratio
+            (5, ("the quick brown fox jumps over the lazy dog " * 8).strip()),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in TS.gopher_quality(edge).collect()}
+    assert rows[1]["n_words"] == 0 and not rows[1]["passes"]
+    assert not rows[2]["passes"]  # word-count floor
+    assert rows[3]["dup_line_frac"] == pytest.approx(0.5)  # 2 of 4 repeat
+    assert not rows[4]["passes"] and rows[4]["symbol_ratio"] > 0.1
+    assert rows[5]["passes"]  # clean prose clears every gate
+    import pandas as pd
+
+    con2 = duckdb.connect()
+    con2.register("edge_docs", edge.toPandas())
+    exp2 = _sql_rows(con2, TS.sql_gopher_quality(table="edge_docs"))
+    assert _rows(TS.gopher_quality(edge)) == exp2
