@@ -247,6 +247,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_candidate_pairs": lambda s, d: _dd.lsh_candidate_pairs(_docs(s, d)),
         "dedup_ngram_jaccard": lambda s, d: _dd.ngram_jaccard_pairs(_docs(s, d), threshold=0.2),
         "dedup_simhash": lambda s, d: _dd.simhash(_docs(s, d)),
+        "dedup_benchmark_overlap": lambda s, d: _dd.benchmark_overlap(
+            _docs(s, d), _docs(s, d).filter("doc_id % 97 = 0"), k=8
+        ),
         "dedup_embedding_cosine": lambda s, d: _sim.embedding_near_dup_pairs(
             s.read.parquet(f"{d}/embeddings.parquet"), threshold=0.5, n_planes=4
         ),
@@ -382,6 +385,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_lsh_candidate_pairs": _dd.sql_lsh_candidate_pairs(),
         "dedup_ngram_jaccard": _dd.sql_ngram_jaccard_pairs(threshold=0.2),
         "dedup_simhash": _dd.sql_simhash(),
+        "dedup_benchmark_overlap": _dd.sql_benchmark_overlap(
+            bench_where="doc_id % 97 = 0", k=8
+        ),
         "dedup_embedding_cosine": _sim.sql_embedding_near_dup_pairs(
             threshold=0.5, n_planes=4
         ),

@@ -302,3 +302,67 @@ WITH tf AS (
 sums AS (SELECT doc_id, {sums} FROM tf GROUP BY doc_id)
 SELECT doc_id, CAST({sim} AS BIGINT) AS simhash FROM sums
 """
+
+
+def benchmark_overlap(
+    docs: DataFrame,
+    bench: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Test-set decontamination: flag corpus docs sharing any k-token
+    shingle with a benchmark/eval table —
+    ``(doc_id, n_overlapping_shingles, contaminated)``.
+
+    The benchmark side reduces to its DISTINCT shingle set and is
+    broadcast (a benchmark is small by definition — at 100 TB the corpus
+    side stays a map-side semi-join against a few MB of eval n-grams;
+    one shuffle total, the per-doc hit count). Every corpus doc appears
+    in the output (n=0, contaminated=false when clean), so the result
+    can drive a left-anti or a filter without a second pass.
+    """
+    doc_sh = shingles(docs, k, text_col=text_col)
+    bench_sh = shingles(bench, k, text_col=text_col).select("shingle").distinct()
+    hits = (
+        doc_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_overlapping_shingles"),
+            (F.coalesce(F.col("n"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def sql_benchmark_overlap(
+    table: str = "documents",
+    bench_table: str = "documents",
+    bench_where: str | None = None,
+    k: int = 8,
+) -> str:
+    """DuckDB twin of :func:`benchmark_overlap`. ``bench_where`` filters
+    ``bench_table`` into the benchmark subset (the typical oracle use:
+    the benchmark is a deterministic slice of the same corpus)."""
+    bench_src = (
+        f"(SELECT * FROM {bench_table} WHERE {bench_where}) b"
+        if bench_where
+        else bench_table
+    )
+    return f"""
+WITH doc_sh AS ({_sql_shingles(table, k)}),
+bench_sh AS (SELECT DISTINCT shingle FROM ({_sql_shingles(bench_src, k)})),
+hits AS (
+  SELECT doc_id, count(*) AS n
+  FROM doc_sh JOIN bench_sh USING (shingle)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(h.n, 0) AS BIGINT) AS n_overlapping_shingles,
+       coalesce(h.n, 0) > 0 AS contaminated
+FROM {table} d LEFT JOIN hits h ON d.doc_id = h.doc_id
+"""

@@ -399,3 +399,34 @@ def test_gopher_quality_parity_and_gates(spark, docs, con):
     con2.register("edge_docs", edge.toPandas())
     exp2 = _sql_rows(con2, TS.sql_gopher_quality(table="edge_docs"))
     assert _rows(TS.gopher_quality(edge)) == exp2
+
+
+def test_benchmark_overlap_decontamination(spark, docs, con):
+    """Docs sharing an 8-token shingle with the benchmark slice are
+    flagged; clean docs appear with n=0. Sanity: every benchmark doc
+    long enough to have shingles is self-contaminated."""
+    bench = docs.filter("doc_id % 97 = 0")
+    got = _rows(D.benchmark_overlap(docs, bench, k=8))
+    exp = _sql_rows(
+        con, D.sql_benchmark_overlap(bench_where="doc_id % 97 = 0", k=8)
+    )
+    assert got == exp
+    by_id = {r[0]: r for r in got}
+    for r in bench.select("doc_id").collect():
+        assert by_id[r["doc_id"]][2], r  # benchmark docs flag themselves
+    assert any(not r[2] for r in got)  # and most of the corpus is clean
+
+    # planted contamination: a doc quoting 8+ benchmark tokens verbatim
+    quoted = " ".join(
+        docs.filter("doc_id % 97 = 0").first()["text"].split()[:10]
+    )
+    planted = spark.createDataFrame(
+        [(900001, f"my own words then {quoted} and more me"),
+         (900002, "entirely original content with no overlap at all here")],
+        "doc_id long, text string",
+    )
+    flags = {
+        r["doc_id"]: r["contaminated"]
+        for r in D.benchmark_overlap(planted, bench, k=8).collect()
+    }
+    assert flags == {900001: True, 900002: False}
