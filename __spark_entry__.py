@@ -250,6 +250,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_benchmark_overlap": lambda s, d: _dd.benchmark_overlap(
             _docs(s, d), _docs(s, d).filter("doc_id % 97 = 0"), k=8
         ),
+        "dedup_repeated_spans": lambda s, d: _dd.repeated_span_stats(
+            _docs(s, d), k=5, min_docs=2
+        ),
         "dedup_embedding_cosine": lambda s, d: _sim.embedding_near_dup_pairs(
             s.read.parquet(f"{d}/embeddings.parquet"), threshold=0.5, n_planes=4
         ),
@@ -388,6 +391,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_benchmark_overlap": _dd.sql_benchmark_overlap(
             bench_where="doc_id % 97 = 0", k=8
         ),
+        "dedup_repeated_spans": _dd.sql_repeated_span_stats(k=5, min_docs=2),
         "dedup_embedding_cosine": _sim.sql_embedding_near_dup_pairs(
             threshold=0.5, n_planes=4
         ),

@@ -366,3 +366,67 @@ SELECT d.doc_id,
        coalesce(h.n, 0) > 0 AS contaminated
 FROM {table} d LEFT JOIN hits h ON d.doc_id = h.doc_id
 """
+
+
+def repeated_span_stats(
+    docs: DataFrame,
+    k: int = DEFAULT_SHINGLE_K,
+    min_docs: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level boilerplate detection (the C4 repeated-line dedup
+    generalized to token spans): per doc,
+    ``(doc_id, n_spans, n_repeated_spans, repeated_frac)`` where a span
+    (distinct k-token shingle) is "repeated" when it occurs in at least
+    ``min_docs`` DISTINCT documents corpus-wide.
+
+    Two shuffles at any scale: the corpus-wide span frequency (shingles
+    are distinct per doc, so a plain count IS the doc count) and the
+    per-doc rollup; docs too short for any span surface with zeros via
+    the left join, so the output filters without a second pass.
+    """
+    sh = shingles(docs, k, text_col=text_col)
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("nd"))
+    per = (
+        sh.join(freq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("nd") >= min_docs).cast("long")).alias("n_rep"),
+        )
+    )
+    frac = F.when(
+        F.col("n_spans") > 0, F.col("n_rep") / F.col("n_spans").cast("double")
+    ).otherwise(F.lit(0.0))
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("n_rep", F.lit(0)).cast("long").alias("n_repeated_spans"),
+            F.round(F.coalesce(frac, F.lit(0.0)), 4).alias("repeated_frac"),
+        )
+    )
+
+
+def sql_repeated_span_stats(
+    table: str = "documents", k: int = DEFAULT_SHINGLE_K, min_docs: int = 2
+) -> str:
+    """DuckDB twin of :func:`repeated_span_stats`."""
+    return f"""
+WITH sh AS ({_sql_shingles(table, k)}),
+freq AS (SELECT shingle, count(*) AS nd FROM sh GROUP BY shingle),
+per AS (
+  SELECT sh.doc_id, count(*) AS n_spans,
+         sum(CASE WHEN freq.nd >= {min_docs} THEN 1 ELSE 0 END) AS n_rep
+  FROM sh JOIN freq USING (shingle)
+  GROUP BY sh.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(per.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(per.n_rep, 0) AS BIGINT) AS n_repeated_spans,
+       round(coalesce(CAST(per.n_rep AS DOUBLE) / per.n_spans, 0.0), 4)
+         AS repeated_frac
+FROM {table} d LEFT JOIN per ON d.doc_id = per.doc_id
+"""

@@ -430,3 +430,27 @@ def test_benchmark_overlap_decontamination(spark, docs, con):
         for r in D.benchmark_overlap(planted, bench, k=8).collect()
     }
     assert flags == {900001: True, 900002: False}
+
+
+def test_repeated_span_stats(spark, docs, con):
+    got = _rows(D.repeated_span_stats(docs, k=5, min_docs=2))
+    exp = _sql_rows(con, D.sql_repeated_span_stats(k=5, min_docs=2))
+    assert got == exp
+    # the synthetic corpus genuinely shares spans across docs
+    assert any(r[2] > 0 for r in got)
+    # planted boilerplate: a span pasted into 3 docs is flagged in all,
+    # a doc of unique words stays clean, a too-short doc gets zeros
+    bp = "call us now for a free quote today friends"
+    planted = spark.createDataFrame(
+        [(1, f"alpha beta gamma {bp} delta epsilon"),
+         (2, f"one two three {bp} four five"),
+         (3, f"{bp} six seven eight nine ten"),
+         (4, "entirely unique content nothing repeated anywhere honest"),
+         (5, "too short")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in D.repeated_span_stats(planted, k=5, min_docs=2).collect()}
+    assert rows[1]["n_repeated_spans"] > 0
+    assert rows[2]["n_repeated_spans"] > 0 and rows[3]["n_repeated_spans"] > 0
+    assert rows[4]["n_repeated_spans"] == 0
+    assert rows[5]["n_spans"] == 0 and rows[5]["repeated_frac"] == 0.0
