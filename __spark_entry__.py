@@ -266,6 +266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": lambda s, d: _ts.lang_id(_docs(s, d)),
         "text_winnowing_fingerprint": lambda s, d: _ts.winnowing_fingerprint(_docs(s, d)),
         "text_gopher_quality": lambda s, d: _ts.gopher_quality(_docs(s, d)),
+        "text_top_ngram_repetition": lambda s, d: _ts.top_ngram_char_frac(_docs(s, d), n=2),
         # similarity search
         "sim_cosine_topk": lambda s, d: _sim.cosine_topk(
             s.read.parquet(f"{d}/embeddings.parquet"), 0, k=10
@@ -403,6 +404,7 @@ def oracle_sql() -> dict[str, str]:
         "text_lang_id": _ts.sql_lang_id(),
         "text_winnowing_fingerprint": _ts.sql_winnowing_fingerprint(),
         "text_gopher_quality": _ts.sql_gopher_quality(),
+        "text_top_ngram_repetition": _ts.sql_top_ngram_char_frac(n=2),
         "sim_cosine_topk": _sim.sql_cosine_topk(0, k=10),
         # seed-fixed hyperplanes inlined as float64 literals -> the LSH
         # probe is fully SQL-expressible after all

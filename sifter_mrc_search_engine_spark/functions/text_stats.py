@@ -221,6 +221,60 @@ def gopher_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def top_ngram_char_frac(docs: DataFrame, n: int = 2, text_col: str = "text") -> DataFrame:
+    """Gopher's within-doc repetition metric: the fraction of a doc's
+    token characters covered by occurrences of its most frequent token
+    n-gram — ``(doc_id, top_ngram, n_occurrences, char_frac)``.
+
+    ``char_frac = occurrences x token-chars(gram) / total token chars``
+    (separators excluded on both factors). Tie-break: highest count,
+    then lexicographically smallest gram — deterministic on both
+    engines. One shuffle (the per-(doc, gram) count; the per-doc argmax
+    is a window over it). Docs with fewer than n tokens surface with
+    empty gram / zeros via the left join.
+    """
+    from pyspark.sql import Window
+
+    toks = tokenize_expr(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    grams = F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+    tok_chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    base = docs.select(
+        "doc_id", tok_chars.alias("tok_chars"), F.explode(grams).alias("gram")
+    )
+    counts = base.groupBy("doc_id", "tok_chars", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("gram"))
+    top = (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    gram_chars = F.length(F.col("gram")) - (n - 1)  # minus separators
+    frac = F.when(
+        F.col("tok_chars") > 0,
+        F.col("cnt") * gram_chars / F.col("tok_chars").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return (
+        docs.select("doc_id")
+        .join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("gram", F.lit("")).alias("top_ngram"),
+            F.coalesce("cnt", F.lit(0)).cast("long").alias("n_occurrences"),
+            F.round(F.coalesce(frac, F.lit(0.0)), 4).alias("char_frac"),
+        )
+    )
+
+
 # --- SQL twins --------------------------------------------------------------
 
 _TOKS = "regexp_extract_all(lower(text), '[a-z0-9가-힣]+')"
@@ -313,6 +367,34 @@ SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
         AND frac_alpha >= 0.8 AND sym <= 0.1
         AND dlf <= 0.3 AND dlcf <= 0.2) AS passes
 FROM m
+"""
+
+
+def sql_top_ngram_char_frac(table: str = "documents", n: int = 2) -> str:
+    """DuckDB twin of :func:`top_ngram_char_frac`."""
+    return f"""
+WITH base AS (
+  SELECT doc_id, {_TOKS} AS toks FROM {table}
+), grams AS (
+  SELECT doc_id,
+         coalesce(list_sum(list_transform(toks, t -> length(t))), 0) AS tok_chars,
+         array_to_string(toks[i : i + {n - 1}], ' ') AS gram
+  FROM base, LATERAL unnest(range(1, greatest(len(toks) - {n - 1}, 0) + 1)) t(i)
+), counts AS (
+  SELECT doc_id, tok_chars, gram, count(*) AS cnt
+  FROM grams GROUP BY doc_id, tok_chars, gram
+), top AS (
+  SELECT doc_id, tok_chars, gram, cnt,
+         row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS rn
+  FROM counts
+)
+SELECT d.doc_id,
+       coalesce(t.gram, '') AS top_ngram,
+       CAST(coalesce(t.cnt, 0) AS BIGINT) AS n_occurrences,
+       round(coalesce(
+         t.cnt * (length(t.gram) - {n - 1}) / CAST(t.tok_chars AS DOUBLE),
+         0.0), 4) AS char_frac
+FROM {table} d LEFT JOIN (SELECT * FROM top WHERE rn = 1) t ON d.doc_id = t.doc_id
 """
 
 

@@ -454,3 +454,28 @@ def test_repeated_span_stats(spark, docs, con):
     assert rows[2]["n_repeated_spans"] > 0 and rows[3]["n_repeated_spans"] > 0
     assert rows[4]["n_repeated_spans"] == 0
     assert rows[5]["n_spans"] == 0 and rows[5]["repeated_frac"] == 0.0
+
+
+def test_top_ngram_char_frac(spark, docs, con):
+    got = _rows(TS.top_ngram_char_frac(docs, n=2))
+    exp = _sql_rows(con, TS.sql_top_ngram_char_frac(n=2))
+    assert got == exp
+    # a heavily repetitive doc scores near 1, prose scores low, a
+    # one-token doc gets the empty-gram zeros
+    edge = spark.createDataFrame(
+        [(1, "spam spam spam spam spam spam"),
+         (2, "assorted words avoiding repeats entirely today"),
+         (3, "single")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in TS.top_ngram_char_frac(edge, n=2).collect()}
+    assert rows[1]["top_ngram"] == "spam spam" and rows[1]["char_frac"] > 0.8
+    assert rows[2]["n_occurrences"] == 1
+    assert rows[3]["top_ngram"] == "" and rows[3]["char_frac"] == 0.0
+    import pandas as pd
+
+    c2 = duckdb.connect()
+    c2.register("edge_docs", edge.toPandas())
+    assert _rows(TS.top_ngram_char_frac(edge, n=2)) == _sql_rows(
+        c2, TS.sql_top_ngram_char_frac(table="edge_docs", n=2)
+    )
