@@ -253,6 +253,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_repeated_spans": lambda s, d: _dd.repeated_span_stats(
             _docs(s, d), k=5, min_docs=2
         ),
+        "pipeline_stratified_sample": lambda s, d: _dd.stratified_sample(
+            _docs(s, d), {"en": 0.5, "de": 1.0, "zh": 0.2}
+        ),
         "dedup_embedding_cosine": lambda s, d: _sim.embedding_near_dup_pairs(
             s.read.parquet(f"{d}/embeddings.parquet"), threshold=0.5, n_planes=4
         ),
@@ -393,6 +396,9 @@ def oracle_sql() -> dict[str, str]:
             bench_where="doc_id % 97 = 0", k=8
         ),
         "dedup_repeated_spans": _dd.sql_repeated_span_stats(k=5, min_docs=2),
+        "pipeline_stratified_sample": _dd.sql_stratified_sample(
+            {"en": 0.5, "de": 1.0, "zh": 0.2}
+        ),
         "dedup_embedding_cosine": _sim.sql_embedding_near_dup_pairs(
             threshold=0.5, n_planes=4
         ),

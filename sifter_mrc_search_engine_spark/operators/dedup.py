@@ -430,3 +430,65 @@ SELECT d.doc_id,
          AS repeated_frac
 FROM {table} d LEFT JOIN per ON d.doc_id = per.doc_id
 """
+
+
+def stratified_sample(
+    docs: DataFrame,
+    fractions: dict,
+    strata_col: str = "lang",
+    seed: int = 42,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic stratified corpus sampling (training-mixture
+    construction): keep each row of stratum ``s`` iff its seeded 60-bit
+    md5 draw / 2^60 < ``fractions[s]``; strata absent from the map are
+    dropped entirely. Returns ``(doc_id, stratum, kept_frac)``.
+
+    Per-row decision — no shuffle, no sort, independent of partitioning,
+    and re-runnable: the same (seed, doc_id) always draws the same
+    number, so incremental corpus builds sample consistently across
+    runs. The md5 construct is the repo's cross-engine hash
+    (operators/nsp.py:40-48), so the DuckDB twin reproduces every draw.
+    """
+    from .nsp import _hash64
+
+    u = _hash64(F.col(id_col), seed) / F.lit(float(1 << 60))
+    frac = None
+    for s in sorted(fractions):
+        c = F.when(F.col(strata_col) == s, F.lit(float(fractions[s])))
+        frac = c.otherwise(frac) if frac is not None else c
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(strata_col).alias("stratum"),
+            frac.alias("_f"),
+            u.alias("_u"),
+        )
+        .filter(F.col("_u") < F.col("_f"))
+        .select("doc_id", "stratum", F.round("_f", 4).alias("kept_frac"))
+    )
+
+
+def sql_stratified_sample(
+    fractions: dict,
+    table: str = "documents",
+    strata_col: str = "lang",
+    seed: int = 42,
+) -> str:
+    """DuckDB twin of :func:`stratified_sample`."""
+    # CAST each branch: bare numeric literals parse as DECIMAL in DuckDB
+    # (Decimal('0.2') != 0.2), while Spark emits float64
+    cases = " ".join(
+        f"WHEN {strata_col} = '{s}' THEN CAST({float(fractions[s])!r} AS DOUBLE)"
+        for s in sorted(fractions)
+    )
+    u = (
+        f"CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|{seed}'), 1, 15)) "
+        f"AS BIGINT) / {float(1 << 60)!r}"
+    )
+    return f"""
+SELECT doc_id, {strata_col} AS stratum,
+       round(CASE {cases} END, 4) AS kept_frac
+FROM {table}
+WHERE {u} < CASE {cases} END
+"""

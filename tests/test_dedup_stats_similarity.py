@@ -479,3 +479,23 @@ def test_top_ngram_char_frac(spark, docs, con):
     assert _rows(TS.top_ngram_char_frac(edge, n=2)) == _sql_rows(
         c2, TS.sql_top_ngram_char_frac(table="edge_docs", n=2)
     )
+
+
+def test_stratified_sample_deterministic_and_parity(docs, con):
+    fr = {"en": 0.5, "de": 1.0, "zh": 0.2}
+    got = _rows(D.stratified_sample(docs, fr))
+    exp = _sql_rows(con, D.sql_stratified_sample(fr))
+    assert got == exp
+    # determinism: a second run draws the identical sample
+    assert got == _rows(D.stratified_sample(docs, fr))
+    by = {}
+    for _, s, _f in got:
+        by[s] = by.get(s, 0) + 1
+    totals = dict(
+        con.execute("SELECT lang, count(*) FROM documents GROUP BY lang").fetchall()
+    )
+    assert by["de"] == totals["de"]  # fraction 1.0 keeps everything
+    assert "fr" not in by and "es" not in by  # unlisted strata dropped
+    assert 0.3 < by["en"] / totals["en"] < 0.7  # ~half of en
+    # a different seed draws a different (deterministic) sample
+    assert got != _rows(D.stratified_sample(docs, fr, seed=7))
