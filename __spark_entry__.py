@@ -270,6 +270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_winnowing_fingerprint": lambda s, d: _ts.winnowing_fingerprint(_docs(s, d)),
         "text_gopher_quality": lambda s, d: _ts.gopher_quality(_docs(s, d)),
         "text_top_ngram_repetition": lambda s, d: _ts.top_ngram_char_frac(_docs(s, d), n=2),
+        "text_pii_stats": lambda s, d: _ts.pii_stats(_docs(s, d)),
         # similarity search
         "sim_cosine_topk": lambda s, d: _sim.cosine_topk(
             s.read.parquet(f"{d}/embeddings.parquet"), 0, k=10
@@ -411,6 +412,7 @@ def oracle_sql() -> dict[str, str]:
         "text_winnowing_fingerprint": _ts.sql_winnowing_fingerprint(),
         "text_gopher_quality": _ts.sql_gopher_quality(),
         "text_top_ngram_repetition": _ts.sql_top_ngram_char_frac(n=2),
+        "text_pii_stats": _ts.sql_pii_stats(),
         "sim_cosine_topk": _sim.sql_cosine_topk(0, k=10),
         # seed-fixed hyperplanes inlined as float64 literals -> the LSH
         # probe is fully SQL-expressible after all

@@ -275,6 +275,45 @@ def top_ngram_char_frac(docs: DataFrame, n: int = 2, text_col: str = "text") -> 
     )
 
 
+#: PII patterns — verified to extract IDENTICALLY under Java regex
+#: (Spark) and RE2 (DuckDB); keep them in this dialect-neutral subset
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ip": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+?\d{2,3}[- ]\d{3,4}[- ]\d{4}",
+}
+#: redaction order matters: emails/IPs contain digit runs a phone
+#: pattern could partially match, so they are replaced first
+_PII_ORDER = ("email", "ip", "phone")
+
+
+def pii_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc PII counts (the C4/CCNet/Dolma-style scrub stage):
+    ``(doc_id, n_emails, n_ips, n_phones, has_pii)`` — pure codegen
+    regexp_extract_all, no shuffle."""
+    counts = {
+        k: F.size(F.regexp_extract_all(F.col(text_col), F.lit(p), F.lit(0)))
+        for k, p in PII_PATTERNS.items()
+    }
+    return docs.select(
+        "doc_id",
+        counts["email"].cast("long").alias("n_emails"),
+        counts["ip"].cast("long").alias("n_ips"),
+        counts["phone"].cast("long").alias("n_phones"),
+        ((counts["email"] + counts["ip"] + counts["phone"]) > 0).alias("has_pii"),
+    )
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """``(doc_id, text)`` with every PII match replaced by its
+    ``<TYPE>`` placeholder, email→ip→phone order (emails/IPs would
+    otherwise partially match the phone digit runs)."""
+    t = F.col(text_col)
+    for k in _PII_ORDER:
+        t = F.regexp_replace(t, PII_PATTERNS[k], f"<{k.upper()}>")
+    return docs.select("doc_id", t.alias("text"))
+
+
 # --- SQL twins --------------------------------------------------------------
 
 _TOKS = "regexp_extract_all(lower(text), '[a-z0-9가-힣]+')"
@@ -368,6 +407,30 @@ SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
         AND dlf <= 0.3 AND dlcf <= 0.2) AS passes
 FROM m
 """
+
+
+def sql_pii_stats(table: str = "documents") -> str:
+    """DuckDB twin of :func:`pii_stats`."""
+    c = {
+        k: f"len(regexp_extract_all(text, '{p}'))"
+        for k, p in PII_PATTERNS.items()
+    }
+    return f"""
+SELECT doc_id,
+       CAST({c['email']} AS BIGINT) AS n_emails,
+       CAST({c['ip']} AS BIGINT) AS n_ips,
+       CAST({c['phone']} AS BIGINT) AS n_phones,
+       ({c['email']} + {c['ip']} + {c['phone']}) > 0 AS has_pii
+FROM {table}
+"""
+
+
+def sql_redact_pii(table: str = "documents") -> str:
+    """DuckDB twin of :func:`redact_pii` (same replacement order)."""
+    t = "text"
+    for k in _PII_ORDER:
+        t = f"regexp_replace({t}, '{PII_PATTERNS[k]}', '<{k.upper()}>', 'g')"
+    return f"SELECT doc_id, {t} AS text FROM {table}"
 
 
 def sql_top_ngram_char_frac(table: str = "documents", n: int = 2) -> str:

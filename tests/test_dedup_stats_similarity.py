@@ -499,3 +499,35 @@ def test_stratified_sample_deterministic_and_parity(docs, con):
     assert 0.3 < by["en"] / totals["en"] < 0.7  # ~half of en
     # a different seed draws a different (deterministic) sample
     assert got != _rows(D.stratified_sample(docs, fr, seed=7))
+
+
+def test_pii_stats_and_redaction(spark, docs, con):
+    # fixture parity (fixture has no PII: all-zero rows, still oracled)
+    assert _rows(TS.pii_stats(docs)) == _sql_rows(con, TS.sql_pii_stats())
+    assert _rows(TS.redact_pii(docs)) == _sql_rows(con, TS.sql_redact_pii())
+
+    planted = spark.createDataFrame(
+        [(1, "contact a.b@c-d.org or backup@example.io today"),
+         (2, "server at 10.0.0.1 and 192.168.1.255 rebooted"),
+         (3, "call +82 1234-5678 or 010-1234-5678 now"),
+         (4, "no personal information in this row at all")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in TS.pii_stats(planted).collect()}
+    assert rows[1]["n_emails"] == 2 and rows[1]["has_pii"]
+    assert rows[2]["n_ips"] == 2
+    assert rows[3]["n_phones"] == 2
+    assert not rows[4]["has_pii"]
+
+    red = {r["doc_id"]: r["text"] for r in TS.redact_pii(planted).collect()}
+    assert red[1] == "contact <EMAIL> or <EMAIL> today"
+    assert red[2] == "server at <IP> and <IP> rebooted"
+    assert red[3] == "call <PHONE> or <PHONE> now"
+    assert red[4] == planted.filter("doc_id = 4").first()["text"]
+    # redacted output carries no residual matches
+    assert all(not r["has_pii"] for r in TS.pii_stats(TS.redact_pii(planted)).collect())
+
+    c2 = duckdb.connect()
+    c2.register("edge_docs", planted.toPandas())
+    assert _rows(TS.pii_stats(planted)) == _sql_rows(c2, TS.sql_pii_stats("edge_docs"))
+    assert _rows(TS.redact_pii(planted)) == _sql_rows(c2, TS.sql_redact_pii("edge_docs"))
