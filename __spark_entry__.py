@@ -271,6 +271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_gopher_quality": lambda s, d: _ts.gopher_quality(_docs(s, d)),
         "text_top_ngram_repetition": lambda s, d: _ts.top_ngram_char_frac(_docs(s, d), n=2),
         "text_pii_stats": lambda s, d: _ts.pii_stats(_docs(s, d)),
+        "text_unigram_logprob": lambda s, d: _ts.unigram_logprob(_docs(s, d)),
         # similarity search
         "sim_cosine_topk": lambda s, d: _sim.cosine_topk(
             s.read.parquet(f"{d}/embeddings.parquet"), 0, k=10
@@ -413,6 +414,7 @@ def oracle_sql() -> dict[str, str]:
         "text_gopher_quality": _ts.sql_gopher_quality(),
         "text_top_ngram_repetition": _ts.sql_top_ngram_char_frac(n=2),
         "text_pii_stats": _ts.sql_pii_stats(),
+        "text_unigram_logprob": _ts.sql_unigram_logprob(),
         "sim_cosine_topk": _sim.sql_cosine_topk(0, k=10),
         # seed-fixed hyperplanes inlined as float64 literals -> the LSH
         # probe is fully SQL-expressible after all

@@ -275,6 +275,51 @@ def top_ngram_char_frac(docs: DataFrame, n: int = 2, text_col: str = "text") -> 
     )
 
 
+def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-relative unigram log-probability per doc — the model-free
+    stand-in for the CCNet/KenLM quality filter:
+    ``(doc_id, n_tokens, avg_logprob)`` with
+    ``avg_logprob = Σ_t tf_doc(t)·ln(ctf(t)/T) / n_tokens`` under the
+    corpus MLE (ctf = corpus term count, T = total tokens). Documents
+    of common language score high; gibberish and rare-token spam score
+    low. Zero-token docs surface with avg 0.0.
+
+    Scale shape: one (doc, term) tf shuffle, a vocabulary-sized term
+    total (broadcast back), and a scalar token total — no all-pairs, no
+    driver state. Deterministic to 4 dp (integer counts → exact ratio
+    args; sum-order noise is ~1e-14, absorbed by the rounding, same
+    contract as the BM25 oracle)."""
+    toks = docs.select(
+        "doc_id", F.explode(tokenize_expr(text_col)).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    totals = tf.groupBy("term").agg(F.sum("tf").alias("ctf"))
+    grand = totals.agg(F.sum("ctf").alias("t_total"))
+    contrib = (
+        tf.join(F.broadcast(totals), "term")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "doc_id",
+            "tf",
+            (F.col("tf") * F.log(F.col("ctf") / F.col("t_total"))).alias("c"),
+        )
+    )
+    per = contrib.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_tokens"), F.sum("c").alias("s")
+    )
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.round(
+                F.coalesce(F.col("s") / F.col("n_tokens"), F.lit(0.0)), 4
+            ).alias("avg_logprob"),
+        )
+    )
+
+
 #: PII patterns — verified to extract IDENTICALLY under Java regex
 #: (Spark) and RE2 (DuckDB); keep them in this dialect-neutral subset
 PII_PATTERNS = {
@@ -406,6 +451,28 @@ SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
         AND frac_alpha >= 0.8 AND sym <= 0.1
         AND dlf <= 0.3 AND dlcf <= 0.2) AS passes
 FROM m
+"""
+
+
+def sql_unigram_logprob(table: str = "documents") -> str:
+    """DuckDB twin of :func:`unigram_logprob`."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM {table}
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+totals AS (SELECT term, CAST(sum(tf) AS BIGINT) AS ctf FROM tf GROUP BY 1),
+grand AS (SELECT CAST(sum(ctf) AS BIGINT) AS t_total FROM totals),
+per AS (
+  SELECT tf.doc_id, sum(tf.tf) AS n_tokens,
+         sum(tf.tf * ln(CAST(totals.ctf AS DOUBLE) / grand.t_total)) AS s
+  FROM tf JOIN totals USING (term) CROSS JOIN grand
+  GROUP BY tf.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(per.n_tokens, 0) AS BIGINT) AS n_tokens,
+       round(coalesce(per.s / per.n_tokens, 0.0), 4) AS avg_logprob
+FROM {table} d LEFT JOIN per ON d.doc_id = per.doc_id
 """
 
 

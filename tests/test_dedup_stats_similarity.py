@@ -531,3 +531,26 @@ def test_pii_stats_and_redaction(spark, docs, con):
     c2.register("edge_docs", planted.toPandas())
     assert _rows(TS.pii_stats(planted)) == _sql_rows(c2, TS.sql_pii_stats("edge_docs"))
     assert _rows(TS.redact_pii(planted)) == _sql_rows(c2, TS.sql_redact_pii("edge_docs"))
+
+
+def test_unigram_logprob(spark, docs, con):
+    got = _rows(TS.unigram_logprob(docs))
+    exp = _sql_rows(con, TS.sql_unigram_logprob())
+    assert got == exp
+    # ordering property: a doc of corpus-common tokens outscores a doc
+    # of corpus-rare tokens; an empty doc gets the zero row
+    planted = spark.createDataFrame(
+        [(1, "common common common words words"),
+         (2, "common words and a few more common words here"),
+         (3, "xqzzyv plorkh wibbled snarfle"),
+         (4, "")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in TS.unigram_logprob(planted).collect()}
+    assert rows[1]["avg_logprob"] > rows[3]["avg_logprob"]
+    assert rows[4]["n_tokens"] == 0 and rows[4]["avg_logprob"] == 0.0
+    c2 = duckdb.connect()
+    c2.register("edge_docs", planted.toPandas())
+    assert _rows(TS.unigram_logprob(planted)) == _sql_rows(
+        c2, TS.sql_unigram_logprob("edge_docs")
+    )
