@@ -38,6 +38,9 @@ def main(argv=None) -> None:
     ap.add_argument("--html", action="store_true", help="extract from the html binary column")
     ap.add_argument("--lang", default=None, help="keep only this predicted language")
     ap.add_argument("--near-dup", action="store_true", help="drop MinHash-LSH near-dups")
+    ap.add_argument("--gopher", action="store_true", help="apply the Gopher quality gates")
+    ap.add_argument("--redact", action="store_true", help="redact PII before all stages")
+    ap.add_argument("--bench", default=None, help="parquet of benchmark docs to decontaminate against")
     ap.add_argument("--max-buckets", type=int, default=None)
     args = ap.parse_args(argv)
 
@@ -54,6 +57,9 @@ def main(argv=None) -> None:
         near_dup=args.near_dup,
         id_col=args.id_col,
         text_col=args.text_col,
+        gopher=args.gopher,
+        redact=args.redact,
+        bench=spark.read.parquet(args.bench) if args.bench else None,
     )
     # materialize the cleaned corpus ONCE: audit, doclens, and the index
     # encode each consume it, and without this the extraction + dedup

@@ -153,6 +153,60 @@ def winnowing_fingerprint(
     )
 
 
+def _gopher_exprs(text_col: str) -> dict:
+    """The Gopher measures as raw (unrounded) Column expressions —
+    shared by :func:`gopher_quality` and :func:`gopher_flag_expr` so the
+    reported features and the gate can never diverge."""
+    t = F.col(text_col)
+    words = F.filter(F.split(t, r"\s+"), lambda w: F.length(w) > 0)
+    n_words = F.size(words)
+    word_chars = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z가-힣]")))
+    hash_chars = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    ellipses = (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3
+    lines = F.filter(F.split(t, "\n"), lambda x: F.length(x) > 0)
+    n_lines = F.size(lines)
+    dlines = F.array_distinct(lines)
+    line_chars = F.aggregate(
+        lines, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    dline_chars = F.aggregate(
+        dlines, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    nw = n_words.cast("double")
+    return {
+        "n_words": n_words,
+        "mean_wl": F.when(n_words > 0, word_chars / nw).otherwise(F.lit(0.0)),
+        "frac_alpha": F.when(n_words > 0, alpha_words / nw).otherwise(F.lit(0.0)),
+        "sym": F.when(n_words > 0, (hash_chars + ellipses) / nw).otherwise(
+            F.lit(0.0)
+        ),
+        "dlf": F.when(
+            n_lines > 0, (n_lines - F.size(dlines)) / n_lines.cast("double")
+        ).otherwise(F.lit(0.0)),
+        "dlcf": F.when(
+            line_chars > 0,
+            (line_chars - dline_chars) / line_chars.cast("double"),
+        ).otherwise(F.lit(0.0)),
+    }
+
+
+def gopher_flag_expr(text_col: str = "text"):
+    """The combined Gopher pass gate as ONE Column expression (codegen,
+    no join) — composable into the one-pass prepare_corpus audit."""
+    e = _gopher_exprs(text_col)
+    return (
+        (e["n_words"] >= 50) & (e["n_words"] <= 100_000)
+        & (e["mean_wl"] >= 3.0) & (e["mean_wl"] <= 10.0)
+        & (e["frac_alpha"] >= 0.8)
+        & (e["sym"] <= 0.1)
+        & (e["dlf"] <= 0.3)
+        & (e["dlcf"] <= 0.2)
+    )
+
+
 def gopher_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Gopher-style document-quality signals (Rae et al. 2021 §A1.1 —
     the standard web-corpus repetition/format filters), per doc:
@@ -172,52 +226,16 @@ def gopher_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
     Pure Catalyst (split/filter/aggregate/array_distinct — codegen, no
     shuffle, no Python); the DuckDB twin mirrors every expression.
     """
-    t = F.col(text_col)
-    words = F.filter(F.split(t, r"\s+"), lambda w: F.length(w) > 0)
-    n_words = F.size(words)
-    word_chars = F.aggregate(
-        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
-    )
-    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z가-힣]")))
-    hash_chars = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
-    ellipses = (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3
-    lines = F.filter(F.split(t, "\n"), lambda x: F.length(x) > 0)
-    n_lines = F.size(lines)
-    dlines = F.array_distinct(lines)
-    line_chars = F.aggregate(
-        lines, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
-    )
-    dline_chars = F.aggregate(
-        dlines, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
-    )
-
-    nw = n_words.cast("double")
-    mean_wl = F.when(n_words > 0, word_chars / nw).otherwise(F.lit(0.0))
-    frac_alpha = F.when(n_words > 0, alpha_words / nw).otherwise(F.lit(0.0))
-    sym = F.when(n_words > 0, (hash_chars + ellipses) / nw).otherwise(F.lit(0.0))
-    dlf = F.when(
-        n_lines > 0, (n_lines - F.size(dlines)) / n_lines.cast("double")
-    ).otherwise(F.lit(0.0))
-    dlcf = F.when(
-        line_chars > 0, (line_chars - dline_chars) / line_chars.cast("double")
-    ).otherwise(F.lit(0.0))
-    passes = (
-        (n_words >= 50) & (n_words <= 100_000)
-        & (mean_wl >= 3.0) & (mean_wl <= 10.0)
-        & (frac_alpha >= 0.8)
-        & (sym <= 0.1)
-        & (dlf <= 0.3)
-        & (dlcf <= 0.2)
-    )
+    e = _gopher_exprs(text_col)
     return docs.select(
         "doc_id",
-        n_words.cast("long").alias("n_words"),
-        F.round(mean_wl, 4).alias("mean_word_len"),
-        F.round(frac_alpha, 4).alias("frac_alpha_words"),
-        F.round(sym, 4).alias("symbol_ratio"),
-        F.round(dlf, 4).alias("dup_line_frac"),
-        F.round(dlcf, 4).alias("dup_line_char_frac"),
-        passes.alias("passes"),
+        e["n_words"].cast("long").alias("n_words"),
+        F.round(e["mean_wl"], 4).alias("mean_word_len"),
+        F.round(e["frac_alpha"], 4).alias("frac_alpha_words"),
+        F.round(e["sym"], 4).alias("symbol_ratio"),
+        F.round(e["dlf"], 4).alias("dup_line_frac"),
+        F.round(e["dlcf"], 4).alias("dup_line_char_frac"),
+        gopher_flag_expr(text_col).alias("passes"),
     )
 
 

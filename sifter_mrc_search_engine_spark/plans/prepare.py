@@ -39,6 +39,10 @@ def prepare_corpus(
     near_dup: bool = False,
     id_col: str = "doc_id",
     text_col: str = "text",
+    gopher: bool = False,
+    redact: bool = False,
+    bench: DataFrame | None = None,
+    decontaminate_k: int = 8,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (clean_docs, audit). ``clean_docs`` has (doc_id, text);
     ``audit`` is a lazy one-row DataFrame of per-stage survivor counts.
@@ -47,15 +51,39 @@ def prepare_corpus(
     candidate pair (transitively safe for dedup: keeps at least one doc
     of every near-dup cluster, the minimum-id representative of its
     pairwise links).
+
+    Optional stages (each off by default, keeping the base contract):
+    ``gopher=True`` adds the Gopher repetition/format gates to the
+    per-row quality flag (still the same one-pass audit aggregate);
+    ``redact=True`` rewrites PII spans to placeholders BEFORE any other
+    stage (so dedup fingerprints see the redacted text, matching what
+    ships); ``bench`` drops docs sharing any ``decontaminate_k``-token
+    shingle with the given benchmark table (broadcast semi-join,
+    audited as ``after_decontamination``).
     """
+    from ..functions.text_stats import redact_pii
+    from ..operators.dedup import benchmark_overlap
+
     if html_col is not None:
         docs = docs.withColumn(text_col, extract_html_udf(F.col(html_col)))
     base = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    if redact:
+        base = redact_pii(base)
 
     passed = quality_flag_expr()
+    gop = None
+    if gopher:
+        from ..functions.text_stats import gopher_flag_expr
+
+        # a per-row Column expression — rides the same one-pass plan, no
+        # join, unlike composing the gopher_quality DataFrame would
+        gop = passed & gopher_flag_expr()
+        passed = gop
     if lang is not None:
         passed = passed & (pred_lang_expr() == lang)
     flags = base.withColumn("_q", quality_flag_expr()).withColumn("_p", passed)
+    if gop is not None:
+        flags = flags.withColumn("_g", gop)
     # exact-dedup keeper among rows passing the earlier gates: the min
     # doc_id per text fingerprint (conditional min inside the window, so
     # no per-stage re-filter is needed)
@@ -67,6 +95,8 @@ def prepare_corpus(
         F.count(F.lit(1)).alias("input"),
         F.sum(F.col("_q").cast("long")).alias("after_quality"),
     ]
+    if gop is not None:
+        agg_cols.append(F.sum(F.col("_g").cast("long")).alias("after_gopher"))
     if lang is not None:
         agg_cols.append(F.sum(F.col("_p").cast("long")).alias("after_lang"))
     agg_cols.append(F.sum(F.col("_d").cast("long")).alias("after_exact_dedup"))
@@ -79,5 +109,12 @@ def prepare_corpus(
         clean = clean.join(drop, "doc_id", "left_anti")
         audit = audit.crossJoin(
             clean.agg(F.count(F.lit(1)).alias("after_near_dedup"))
+        )
+    if bench is not None:
+        flagged = benchmark_overlap(clean, bench, k=decontaminate_k)
+        keep = flagged.filter(~F.col("contaminated")).select("doc_id")
+        clean = clean.join(keep, "doc_id")
+        audit = audit.crossJoin(
+            clean.agg(F.count(F.lit(1)).alias("after_decontamination"))
         )
     return clean, audit

@@ -54,3 +54,46 @@ def test_prepare_single_input_scan(spark, tmp_path):
     # clean output is itself a single-scan plan
     cplan = clean._jdf.queryExecution().optimizedPlan().toString()
     assert cplan.count("Relation") == 1, cplan
+
+
+def test_prepare_optional_stages(spark):
+    """gopher/redact/bench stages compose into the pipeline: redaction
+    rewrites PII before fingerprinting, the Gopher gate tightens the
+    one-pass quality flag, and benchmark decontamination drops the
+    contaminated doc with its own audit column."""
+    from sifter_mrc_search_engine_spark.plans.prepare import prepare_corpus
+
+    bench = spark.createDataFrame(
+        [(100, "the forbidden benchmark answer string held out for eval")],
+        "doc_id long, text string",
+    )
+    prose = (
+        "plain useful prose with enough distinct words to clear every "
+        "gopher gate comfortably and then some more filler words here "
+        "continuing onward with additional sensible content so the "
+        "fifty word minimum is satisfied by this single document body "
+        "text which keeps going a little longer for safety margin okay "
+        "plus several extra trailing words to stay safely past fifty"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, prose),
+            (2, prose + " email me at a.b@c-d.org thanks"),
+            (3, "contains the forbidden benchmark answer string held out for eval " + prose),
+            (4, "short spammy #### ... thing"),
+        ],
+        "doc_id long, text string",
+    )
+    clean, audit = prepare_corpus(
+        docs, gopher=True, redact=True, bench=bench, decontaminate_k=8
+    )
+    kept = {r["doc_id"] for r in clean.select("doc_id").collect()}
+    assert kept == {1, 2}  # 3 decontaminated, 4 fails gopher
+    a = audit.collect()[0].asDict()
+    assert a["input"] == 4
+    assert a["after_gopher"] == 3  # doc 4 fails the gopher gates
+    assert a["after_exact_dedup"] == 3
+    assert a["after_decontamination"] == 2
+    # redaction happened BEFORE output: doc 2 ships placeholders
+    t2 = clean.filter("doc_id = 2").first()["text"]
+    assert "<EMAIL>" in t2 and "@" not in t2
