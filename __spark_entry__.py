@@ -20,6 +20,7 @@ from sifter_mrc_search_engine_spark.constants import BM25_B, BM25_K1
 from sifter_mrc_search_engine_spark.functions import text_stats as _ts
 from sifter_mrc_search_engine_spark.operators import bm25, index_build
 from sifter_mrc_search_engine_spark.operators import dedup as _dd
+from sifter_mrc_search_engine_spark.operators import packing as _pk
 from sifter_mrc_search_engine_spark.operators import relational as _rel
 from sifter_mrc_search_engine_spark.operators import similarity as _sim
 
@@ -256,6 +257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_stratified_sample": lambda s, d: _dd.stratified_sample(
             _docs(s, d), {"en": 0.5, "de": 1.0, "zh": 0.2}
         ),
+        "pipeline_pack_stream": _q_pack_stream,
         "dedup_embedding_cosine": lambda s, d: _sim.embedding_near_dup_pairs(
             s.read.parquet(f"{d}/embeddings.parquet"), threshold=0.5, n_planes=4
         ),
@@ -291,6 +293,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     q.update(_rel.QUERIES)
     return q
+
+
+def _q_pack_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenate-then-chunk packing positions via the distributed
+    two-phase prefix sum (operators/packing.py)."""
+    return _pk.pack_token_stream(_docs(spark, sf_dir), budget=512)
 
 
 def _q_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -401,6 +409,7 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_stratified_sample": _dd.sql_stratified_sample(
             {"en": 0.5, "de": 1.0, "zh": 0.2}
         ),
+        "pipeline_pack_stream": _pk.sql_pack_token_stream(budget=512),
         "dedup_embedding_cosine": _sim.sql_embedding_near_dup_pairs(
             threshold=0.5, n_planes=4
         ),

@@ -1,0 +1,114 @@
+"""Token-stream packing: lay the corpus out as one concatenated token
+stream (doc_id order) and chunk it into fixed-size training sequences —
+the GPT-style concatenate-then-chunk preprocessing step.
+
+The core is a GLOBAL exclusive prefix sum of per-doc token counts. The
+naive Spark spelling — ``sum() over (ORDER BY doc_id)`` with no
+partition key — collapses the whole corpus into ONE task (the classic
+window-function scale-killer). This module does the textbook two-phase
+distributed scan instead:
+
+  1. ``repartitionByRange(doc_id)`` — partition p holds a contiguous
+     doc_id range and partition ids increase with doc_id, so
+  2. per-partition token totals (tiny: one row per partition) collect to
+     the driver, their exclusive running sum becomes each partition's
+     global OFFSET, and
+  3. a window scan WITHIN each partition (parallel across partitions)
+     plus the broadcast offset yields the global prefix sum.
+
+Correctness does not depend on where the range boundaries fall, so
+Spark's sampled range partitioning needs no determinism guarantees —
+the output is a pure function of (doc_id, n_tokens).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.analyzer import tokenize_expr
+
+__all__ = ["pack_token_stream", "sql_pack_token_stream"]
+
+
+def pack_token_stream(
+    docs: DataFrame,
+    budget: int = 512,
+    text_col: str = "text",
+    partitions: int | None = None,
+) -> DataFrame:
+    """``(doc_id, n_tokens, start_pos, first_chunk, last_chunk)`` —
+    each doc's position in the concatenated token stream (docs in
+    doc_id order) and the training chunks of size ``budget`` it lands
+    in. Zero-token docs take no stream space: start_pos is where the
+    next doc begins and first_chunk/last_chunk are -1.
+    """
+    spark = docs.sparkSession
+    n_part = partitions or max(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "32")) // 2, 2
+    )
+    t = docs.select(
+        "doc_id", F.size(tokenize_expr(text_col)).cast("long").alias("n_tokens")
+    )
+    t = t.repartitionByRange(n_part, "doc_id").withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    # phase 1: tiny per-partition totals -> exclusive offsets (driver)
+    sums = {
+        r["_pid"]: int(r["s"])
+        for r in t.groupBy("_pid").agg(F.sum("n_tokens").alias("s")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(sums):
+        offsets[pid] = acc
+        acc += sums[pid]
+    off = F.create_map(
+        *[F.lit(x) for pid in sorted(offsets) for x in (pid, offsets[pid])]
+    )
+    # phase 2: within-partition scan (parallel), plus the global offset
+    w = Window.partitionBy("_pid").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    start = (
+        F.element_at(off, F.col("_pid")) + F.sum("n_tokens").over(w)
+        - F.col("n_tokens")
+    )
+    out = t.select(
+        "doc_id",
+        "n_tokens",
+        start.alias("start_pos"),
+    )
+    b = F.lit(int(budget))
+    has = F.col("n_tokens") > 0
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "start_pos",
+        F.when(has, F.floor(F.col("start_pos") / b))
+        .otherwise(F.lit(-1)).cast("long").alias("first_chunk"),
+        F.when(has, F.floor((F.col("start_pos") + F.col("n_tokens") - 1) / b))
+        .otherwise(F.lit(-1)).cast("long").alias("last_chunk"),
+    )
+
+
+def sql_pack_token_stream(table: str = "documents", budget: int = 512) -> str:
+    """DuckDB twin of :func:`pack_token_stream` (a plain global-order
+    window is fine on the oracle's single node)."""
+    toks = "len(regexp_extract_all(lower(text), '[a-z0-9가-힣]+'))"
+    return f"""
+WITH t AS (SELECT doc_id, CAST({toks} AS BIGINT) AS n_tokens FROM {table}),
+scan AS (
+  SELECT doc_id, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS start_pos
+  FROM t
+)
+SELECT doc_id, n_tokens, start_pos,
+       CAST(CASE WHEN n_tokens > 0
+            THEN start_pos // {budget} ELSE -1 END AS BIGINT) AS first_chunk,
+       CAST(CASE WHEN n_tokens > 0
+            THEN (start_pos + n_tokens - 1) // {budget} ELSE -1 END AS BIGINT)
+         AS last_chunk
+FROM scan
+"""
