@@ -180,9 +180,14 @@ def _q_bm25f_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.round("score", 4).alias("score"))
 
 
-#: per-sf memo of the 2-segment searcher (split by doc_id parity) — the
-#: searcher's init validation jobs must not rerun per query invocation
-_FIELDED_SEG_MEMO: dict[str, object] = {}
+#: per-(session, sf) memo of the 2-segment searcher (split by doc_id
+#: parity) — the searcher's init validation jobs must not rerun per
+#: query invocation, but a cached searcher holds DataFrames bound to
+#: its SparkContext, so the key includes the application id (a new
+#: session after spark.stop() rebuilds instead of failing on the
+#: stopped context)
+_FIELDED_SEG_MEMO: dict[tuple, object] = {}
+_FIELDED_SEG_DIRS: dict[str, str] = {}
 
 
 def _q_bm25f_multisegment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -202,7 +207,7 @@ def _q_bm25f_multisegment(spark: SparkSession, sf_dir: str) -> DataFrame:
         FieldedMultiSegmentSearcher,
     )
 
-    if sf_dir not in _FIELDED_SEG_MEMO:
+    if sf_dir not in _FIELDED_SEG_DIRS:
         two_field = _docs(spark, sf_dir).select(
             "doc_id",
             F.concat_ws(" ", F.slice(F.split("text", " "), 1, 8)).alias("title"),
@@ -216,10 +221,13 @@ def _q_bm25f_multisegment(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ["title", "content"], seg, buckets=16,
             )
             (Path(seg) / "_SEGMENT_COMMITTED").write_text("1")
-        _FIELDED_SEG_MEMO[sf_dir] = FieldedMultiSegmentSearcher(
-            spark, d, buckets=16
+        _FIELDED_SEG_DIRS[sf_dir] = d
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _FIELDED_SEG_MEMO:
+        _FIELDED_SEG_MEMO[key] = FieldedMultiSegmentSearcher(
+            spark, _FIELDED_SEG_DIRS[sf_dir], buckets=16
         )
-    s = _FIELDED_SEG_MEMO[sf_dir]
+    s = _FIELDED_SEG_MEMO[key]
     out = search_bm25f(
         spark, "", FLAGSHIP_QUESTION, _BM25F_WEIGHTS, top_k=10, buckets=16,
         postings=s.postings, doclens=s.doclens, stats=s.stats,

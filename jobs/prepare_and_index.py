@@ -66,12 +66,16 @@ def main(argv=None) -> None:
     # window + LSH join would replay per consumer (and again per resumed
     # submit)
     clean_dir = f"{args.output}/clean_corpus"
+    audit_path = Path(args.output, "prepare_audit.json")
     if not Path(clean_dir, "_SUCCESS").exists():  # resumed submits reuse it
         clean.write.mode("overwrite").parquet(clean_dir)
-        audit_row = audit.collect()[0].asDict()
-        Path(args.output, "prepare_audit.json").write_text(json.dumps(audit_row))
+    if audit_path.exists():
+        audit_row = json.loads(audit_path.read_text())
     else:
-        audit_row = json.loads(Path(args.output, "prepare_audit.json").read_text())
+        # also covers a crash between the parquet write and this point:
+        # recompute the audit rather than bricking every resumed submit
+        audit_row = audit.collect()[0].asDict()
+        audit_path.write_text(json.dumps(audit_row))
     clean = spark.read.parquet(clean_dir)
 
     result = build_index_resumable(

@@ -57,12 +57,9 @@ def dedup_exact(docs: DataFrame, text_col: str = "text") -> DataFrame:
 # --- shingles / MinHash / LSH ---------------------------------------------
 
 
-def shingles(docs: DataFrame, k: int = DEFAULT_SHINGLE_K, text_col: str = "text") -> DataFrame:
-    """Distinct k-token shingles per document: ``(doc_id, shingle)``.
-
-    Built with array expressions over the tokenizer output (sequence +
-    slice + concat_ws) — stays in codegen, no explode-then-window.
-    """
+def shingle_expr(k: int = DEFAULT_SHINGLE_K, text_col: str = "text"):
+    """The k-token shingle ARRAY of one text column, as a pure Catalyst
+    expression (sequence + slice + concat_ws — codegen, no explode)."""
     toks = tokenize_expr(text_col)
     sh = F.transform(
         F.sequence(F.lit(1), F.size(toks) - (k - 1)),
@@ -70,8 +67,16 @@ def shingles(docs: DataFrame, k: int = DEFAULT_SHINGLE_K, text_col: str = "text"
     )
     # guard: Spark's sequence(1, n) DESCENDS when n < 1 — short docs must
     # yield no shingles, not a bogus [1, 0] index walk
-    sh = F.when(F.size(toks) >= k, sh).otherwise(F.array().cast("array<string>"))
-    return docs.select("doc_id", F.explode(sh).alias("shingle")).distinct()
+    return F.when(F.size(toks) >= k, sh).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def shingles(docs: DataFrame, k: int = DEFAULT_SHINGLE_K, text_col: str = "text") -> DataFrame:
+    """Distinct k-token shingles per document: ``(doc_id, shingle)``."""
+    return docs.select(
+        "doc_id", F.explode(shingle_expr(k, text_col)).alias("shingle")
+    ).distinct()
 
 
 def _perm_hash(perm: int, col: str = "shingle"):
@@ -322,7 +327,11 @@ def benchmark_overlap(
     can drive a left-anti or a filter without a second pass.
     """
     doc_sh = shingles(docs, k, text_col=text_col)
-    bench_sh = shingles(bench, k, text_col=text_col).select("shingle").distinct()
+    # the bench side needs only its text column — no doc_id precondition
+    # (a held-out answer list is a natural texts-only parquet)
+    bench_sh = bench.select(
+        F.explode(shingle_expr(k, text_col)).alias("shingle")
+    ).distinct()
     hits = (
         doc_sh.join(F.broadcast(bench_sh), "shingle")
         .groupBy("doc_id")

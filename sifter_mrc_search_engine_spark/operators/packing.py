@@ -8,17 +8,19 @@ partition key — collapses the whole corpus into ONE task (the classic
 window-function scale-killer). This module does the textbook two-phase
 distributed scan instead:
 
-  1. ``repartitionByRange(doc_id)`` — partition p holds a contiguous
-     doc_id range and partition ids increase with doc_id, so
-  2. per-partition token totals (tiny: one row per partition) collect to
-     the driver, their exclusive running sum becomes each partition's
+  1. doc_id range boundaries are sampled ONCE (approxQuantile) and
+     frozen as literals, so every subsequent job buckets rows
+     identically — phase 1 and phase 2 cannot disagree the way two
+     executions of ``repartitionByRange`` (which re-samples boundaries
+     per job) can,
+  2. per-bucket token totals (tiny: one row per bucket) collect to the
+     driver and their exclusive running sum becomes each bucket's
      global OFFSET, and
-  3. a window scan WITHIN each partition (parallel across partitions)
-     plus the broadcast offset yields the global prefix sum.
+  3. a window scan WITHIN each bucket (parallel across buckets) plus
+     the broadcast offset yields the global prefix sum.
 
-Correctness does not depend on where the range boundaries fall, so
-Spark's sampled range partitioning needs no determinism guarantees —
-the output is a pure function of (doc_id, n_tokens).
+Where the frozen boundaries fall only affects load balance, never the
+result — the output is a pure function of (doc_id, n_tokens).
 """
 
 from __future__ import annotations
@@ -50,10 +52,16 @@ def pack_token_stream(
     t = docs.select(
         "doc_id", F.size(tokenize_expr(text_col)).cast("long").alias("n_tokens")
     )
-    t = t.repartitionByRange(n_part, "doc_id").withColumn(
-        "_pid", F.spark_partition_id()
-    )
-    # phase 1: tiny per-partition totals -> exclusive offsets (driver)
+    # freeze bucket boundaries as LITERALS (sampled once, one cheap job)
+    # so phase 1 and phase 2 bucket rows identically; boundary placement
+    # only affects balance, never values
+    qs = [i / n_part for i in range(1, n_part)]
+    bounds = sorted(set(t.stat.approxQuantile("doc_id", qs, 0.001))) if qs else []
+    pid_expr = F.lit(0)
+    for b in bounds:
+        pid_expr = pid_expr + (F.col("doc_id") > F.lit(int(b))).cast("int")
+    t = t.withColumn("_pid", pid_expr)
+    # phase 1: tiny per-bucket totals -> exclusive offsets (driver)
     sums = {
         r["_pid"]: int(r["s"])
         for r in t.groupBy("_pid").agg(F.sum("n_tokens").alias("s")).collect()
@@ -65,7 +73,7 @@ def pack_token_stream(
     off = F.create_map(
         *[F.lit(x) for pid in sorted(offsets) for x in (pid, offsets[pid])]
     )
-    # phase 2: within-partition scan (parallel), plus the global offset
+    # phase 2: within-bucket scan (parallel), plus the global offset
     w = Window.partitionBy("_pid").orderBy("doc_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

@@ -62,7 +62,6 @@ def prepare_corpus(
     audited as ``after_decontamination``).
     """
     from ..functions.text_stats import redact_pii
-    from ..operators.dedup import benchmark_overlap
 
     if html_col is not None:
         docs = docs.withColumn(text_col, extract_html_udf(F.col(html_col)))
@@ -111,9 +110,24 @@ def prepare_corpus(
             clean.agg(F.count(F.lit(1)).alias("after_near_dedup"))
         )
     if bench is not None:
-        flagged = benchmark_overlap(clean, bench, k=decontaminate_k)
-        keep = flagged.filter(~F.col("contaminated")).select("doc_id")
-        clean = clean.join(keep, "doc_id")
+        from ..operators.dedup import shingle_expr, shingles
+
+        # shingle the benchmark THROUGH the same redaction the corpus
+        # got — otherwise a quote overlapping a PII span never matches
+        bench_side = redact_pii(bench) if redact else bench
+        bench_sh = bench_side.select(
+            F.explode(shingle_expr(decontaminate_k)).alias("shingle")
+        ).distinct()
+        # hit ids only + left_anti (the near-dup shape above): the clean
+        # subtree appears twice in the plan, not three times as routing
+        # through benchmark_overlap's every-doc left join would
+        hits = (
+            shingles(clean, decontaminate_k)
+            .join(F.broadcast(bench_sh), "shingle")
+            .select("doc_id")
+            .distinct()
+        )
+        clean = clean.join(hits, "doc_id", "left_anti")
         audit = audit.crossJoin(
             clean.agg(F.count(F.lit(1)).alias("after_decontamination"))
         )

@@ -405,26 +405,22 @@ class FieldedMultiSegmentSearcher:
         self.fields = fields or []
         self.stats = {"n_docs": n, "fields": self.fields, "len_sums": len_sums}
         post = None
-        dl = None
-        for seg in self.segments:
+        tagged = None
+        for i, seg in enumerate(self.segments):
             p = self.spark.read.parquet(f"{seg}/postings")
             post = (
                 p if post is None
                 else post.unionByName(p, allowMissingColumns=True)
             )
-            d = self.spark.read.parquet(f"{seg}/doclens")
-            dl = d if dl is None else dl.unionByName(d)
-        self.postings = post
-        self.doclens = dl
-        # ONE validation job over a seg-tagged union (not one job per
-        # segment): distinct (doc_id, seg) == distinct doc_id iff no doc
-        # appears in two segments
-        tagged = None
-        for i, seg in enumerate(self.segments):
-            d = self.spark.read.parquet(f"{seg}/doclens").select(
-                "doc_id", F.lit(i).alias("_seg")
+            d = self.spark.read.parquet(f"{seg}/doclens").withColumn(
+                "_seg", F.lit(i)
             )
             tagged = d if tagged is None else tagged.unionByName(d)
+        self.postings = post
+        self.doclens = tagged.drop("_seg")
+        # ONE validation job over the seg-tagged union (not one job per
+        # segment): distinct (doc_id, seg) == distinct doc_id iff no doc
+        # appears in two segments
         r = tagged.agg(
             F.countDistinct("doc_id").alias("docs"),
             F.countDistinct("doc_id", "_seg").alias("doc_segs"),
