@@ -96,3 +96,30 @@ def test_batch_scoring_joins_doclens_below_query_fanout(
     # simple-mode explain prints preorder from the root: the fan-out
     # (term keys) prints BEFORE its doclens-join child (doc_id keys)
     assert term_join.start() < doc_join.start(), plan
+
+
+def test_pipeline_ops_plan_shapes(spark, corpus_on_disk):
+    """The new pipeline operators' scale properties must be visible in
+    the physical plan: per-row ops stay shuffle-free, the benchmark
+    side broadcasts, and the packing scan windows WITHIN buckets."""
+    from sifter_mrc_search_engine_spark.functions.text_stats import (
+        gopher_quality,
+        pii_stats,
+    )
+    from sifter_mrc_search_engine_spark.operators.dedup import benchmark_overlap
+    from sifter_mrc_search_engine_spark.operators.packing import pack_token_stream
+
+    docs = spark.read.parquet(corpus_on_disk)
+    # per-row quality ops: pure codegen, zero exchanges
+    assert "Exchange" not in _plan(gopher_quality(docs))
+    assert "Exchange" not in _plan(pii_stats(docs))
+    # decontamination: the eval-shingle side must broadcast
+    bench = docs.limit(5)
+    assert "BroadcastHashJoin" in _plan(benchmark_overlap(docs, bench, k=8))
+    # packing: the window runs per _pid bucket, never one global task
+    plan = _plan(pack_token_stream(docs, budget=512))
+    assert "Window" in plan
+    # the scan is partitioned by the frozen _pid buckets (a global-order
+    # window would carry no partition key and collapse to one task)
+    win_detail = plan[plan.index(") Window") :]
+    assert "_pid#" in win_detail.split("\n\n")[0], win_detail[:800]
