@@ -266,6 +266,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(s, d), {"en": 0.5, "de": 1.0, "zh": 0.2}
         ),
         "pipeline_pack_stream": _q_pack_stream,
+        "pipeline_chunk_texts": lambda s, d: _pk.materialize_chunks(
+            _docs(s, d), budget=512
+        ),
         "dedup_embedding_cosine": lambda s, d: _sim.embedding_near_dup_pairs(
             s.read.parquet(f"{d}/embeddings.parquet"), threshold=0.5, n_planes=4
         ),
@@ -418,6 +421,7 @@ def oracle_sql() -> dict[str, str]:
             {"en": 0.5, "de": 1.0, "zh": 0.2}
         ),
         "pipeline_pack_stream": _pk.sql_pack_token_stream(budget=512),
+        "pipeline_chunk_texts": _pk.sql_materialize_chunks(budget=512),
         "dedup_embedding_cosine": _sim.sql_embedding_near_dup_pairs(
             threshold=0.5, n_planes=4
         ),

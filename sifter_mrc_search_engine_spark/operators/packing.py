@@ -99,6 +99,75 @@ def pack_token_stream(
     )
 
 
+def materialize_chunks(
+    docs: DataFrame,
+    budget: int = 512,
+    text_col: str = "text",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Emit the actual fixed-size training sequences:
+    ``(chunk_id, n_tokens, chunk_text)`` — every token of the
+    concatenated stream lands in exactly one chunk, in stream order
+    (chunk_text is the space-joined token run; the tail chunk may be
+    short).
+
+    This IS a token-level explode — deliberately: producing packed
+    sequences is the one step that must touch every token, and the
+    explode keys the single shuffle by chunk_id so each output sequence
+    assembles on one reducer. Token order inside a chunk is restored by
+    an array_sort on (global position, token) — deterministic, not
+    shuffle-order-dependent.
+    """
+    pos = pack_token_stream(docs, budget, text_col, partitions).select(
+        "doc_id", "start_pos"
+    )
+    toks = docs.select(
+        "doc_id", F.posexplode(tokenize_expr(text_col)).alias("idx", "term")
+    )
+    g = toks.join(pos, "doc_id").select(
+        (F.col("start_pos") + F.col("idx")).alias("gpos"), "term"
+    )
+    b = F.lit(int(budget))
+    return (
+        g.select(F.floor(F.col("gpos") / b).alias("chunk_id"), "gpos", "term")
+        .groupBy("chunk_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("gpos", "term"))),
+                    lambda s: s["term"],
+                ),
+            ).alias("chunk_text"),
+        )
+    )
+
+
+def sql_materialize_chunks(table: str = "documents", budget: int = 512) -> str:
+    """DuckDB twin of :func:`materialize_chunks`."""
+    toks = "regexp_extract_all(lower(text), '[a-z0-9가-힣]+')"
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS tk FROM {table}),
+scan AS (
+  SELECT doc_id, tk,
+         CAST(coalesce(sum(len(tk)) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS start_pos
+  FROM t
+),
+g AS (
+  SELECT scan.start_pos + u.i - 1 AS gpos, tk[u.i] AS term
+  FROM scan, LATERAL unnest(range(1, len(tk) + 1)) AS u(i)
+)
+SELECT CAST(gpos // {budget} AS BIGINT) AS chunk_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       string_agg(term, ' ' ORDER BY gpos) AS chunk_text
+FROM g
+GROUP BY 1
+"""
+
+
 def sql_pack_token_stream(table: str = "documents", budget: int = 512) -> str:
     """DuckDB twin of :func:`pack_token_stream` (a plain global-order
     window is fine on the oracle's single node)."""

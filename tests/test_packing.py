@@ -52,3 +52,26 @@ def test_pack_stream_properties(spark):
     assert (out[1]["first_chunk"], out[1]["last_chunk"]) == (0, 0)
     assert (out[3]["first_chunk"], out[3]["last_chunk"]) == (0, 1)
     assert (out[4]["first_chunk"], out[4]["last_chunk"]) == (2, 2)
+
+
+def test_materialize_chunks(docs, sf_dir, spark):
+    from sifter_mrc_search_engine_spark.operators.packing import (
+        materialize_chunks,
+        sql_materialize_chunks,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    got = _rows(materialize_chunks(docs, budget=512))
+    exp = sorted(tuple(r) for r in con.execute(sql_materialize_chunks(budget=512)).fetchall())
+    assert got == exp
+    # every chunk except the tail is exactly `budget` tokens, and chunk
+    # texts cover the full stream in order
+    sizes = [r[1] for r in got]
+    assert all(s == 512 for s in sizes[:-1]) and 0 < sizes[-1] <= 512
+    # cross-doc packing really happens: chunk 0 spans multiple docs
+    first = got[0][2].split()
+    d0 = docs.orderBy("doc_id").first()
+    assert len(first) == 512 and len(d0["text"].split()) < 512
