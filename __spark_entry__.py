@@ -269,6 +269,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_chunk_texts": lambda s, d: _pk.materialize_chunks(
             _docs(s, d), budget=512
         ),
+        # rows-only by design: the k-means quantizer is an ITERATIVE
+        # driver-coordinated loop (not SQL-expressible); exactness is
+        # pinned by the numpy twin in test_dedup_stats_similarity
+        "sim_ivf_topk": lambda s, d: _sim.ivf_topk(
+            s.read.parquet(f"{d}/embeddings.parquet"),
+            0, k=10, n_clusters=8, nprobe=3, iters=3,
+        ),
         "dedup_embedding_cosine": lambda s, d: _sim.embedding_near_dup_pairs(
             s.read.parquet(f"{d}/embeddings.parquet"), threshold=0.5, n_planes=4
         ),

@@ -485,3 +485,162 @@ def ann_topk(
         .orderBy(F.desc("cos"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: k-means coarse quantizer + cluster-pruned scan
+
+
+def kmeans_centroids(
+    embeddings: DataFrame, k: int = 16, iters: int = 5, seed: int = 42
+) -> list:
+    """Deterministic distributed Lloyd's k-means over the embedding
+    column; returns the k centroids as plain Python lists.
+
+    * init: the k vectors with the smallest ``md5(vec_id|seed)`` — a
+      seeded draw independent of data order/partitioning
+    * assign: nearest centroid by squared L2, centroids inlined as
+      float64 literals (pure codegen, no UDF; ``array_position`` of the
+      min breaks ties toward the lowest cluster id)
+    * update: per-dimension means via ``posexplode`` + groupBy — one
+      shuffle per iteration, k·dim rows to the driver
+    * an emptied cluster keeps its previous centroid
+
+    Iterative and driver-coordinated (the classic Lloyd loop): NOT
+    SQL-expressible, so IVF correctness is pinned by a numpy twin in
+    pytest rather than a DuckDB oracle.
+    """
+    draw = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("vec_id").cast("string"), F.lit(f"|{seed}"))),
+            1, 15,
+        ), 16, 10,
+    ).cast("long")
+    seeds = (
+        embeddings.select("vec_id", "embedding", draw.alias("_d"))
+        .orderBy("_d", "vec_id")
+        .limit(k)
+        .collect()
+    )
+    centroids = [[float(x) for x in r["embedding"]] for r in seeds]
+
+    for _ in range(max(iters, 0)):
+        assigned = embeddings.select(
+            "vec_id", "embedding", _nearest_centroid_expr(centroids).alias("cluster")
+        )
+        rows = (
+            assigned.select("cluster", F.posexplode("embedding").alias("dim", "v"))
+            .groupBy("cluster", "dim")
+            .agg(F.avg("v").alias("m"))
+            .collect()
+        )
+        new = [list(c) for c in centroids]  # emptied clusters persist
+        by_c: dict = {}
+        for r in rows:
+            by_c.setdefault(int(r["cluster"]), {})[int(r["dim"])] = float(r["m"])
+        for c, dims in by_c.items():
+            for d, m in dims.items():
+                new[c][d] = m
+        centroids = new
+    return centroids
+
+
+def _nearest_centroid_expr(centroids: list):
+    """0-based nearest-centroid index by squared L2, as one codegen
+    expression over inlined centroid literals."""
+    dists = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding").cast("array<double>"),
+                    F.array(*[F.lit(float(x)) for x in c]),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            for c in centroids
+        ]
+    )
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def ivf_assignments(embeddings: DataFrame, centroids: list) -> DataFrame:
+    """``(vec_id, embedding, cluster)`` under the given centroids."""
+    return embeddings.select(
+        "vec_id", "embedding", _nearest_centroid_expr(centroids).alias("cluster")
+    )
+
+
+def write_ivf_embeddings(
+    embeddings: DataFrame,
+    path: str,
+    k: int = 16,
+    iters: int = 5,
+    seed: int = 42,
+) -> list:
+    """Persist the IVF layout: embeddings PARTITIONED BY cluster (probes
+    become parquet partition pruning — the 100 TB serving shape, same
+    pattern as :func:`write_bucketed_embeddings`) plus centroids.json.
+    Returns the centroids."""
+    import json as _json
+    from pathlib import Path as _Path
+
+    cents = kmeans_centroids(embeddings, k=k, iters=iters, seed=seed)
+    ivf_assignments(embeddings, cents).write.mode("overwrite").partitionBy(
+        "cluster"
+    ).parquet(f"{path}/vectors")
+    _Path(path, "centroids.json").write_text(_json.dumps(cents))
+    return cents
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    iters: int = 5,
+    seed: int = 42,
+    round_to: int = 4,
+    centroids: list | None = None,
+    assignments: DataFrame | None = None,
+) -> DataFrame:
+    """IVF ANN top-k: rank centroids by distance to the query vector
+    (driver-side — k·dim floats), scan only the ``nprobe`` nearest
+    clusters, score those candidates EXACTLY (same cosine expression as
+    :func:`cosine_topk`). ``centroids``/``assignments`` accept the
+    persisted layout from :func:`write_ivf_embeddings`; by default both
+    derive from ``embeddings``."""
+    if centroids is None:
+        centroids = kmeans_centroids(embeddings, k=n_clusters, iters=iters, seed=seed)
+    if assignments is None:
+        assignments = ivf_assignments(embeddings, centroids)
+    qrow = embeddings.filter(F.col("vec_id") == query_vec_id).select(
+        "embedding"
+    ).collect()
+    if not qrow:
+        return embeddings.sparkSession.createDataFrame([], "vec_id long, cos double")
+    qv = [float(x) for x in qrow[0]["embedding"]]
+    ranked = sorted(
+        range(len(centroids)),
+        key=lambda c: (
+            sum((a - b) * (a - b) for a, b in zip(qv, centroids[c])), c
+        ),
+    )[: max(nprobe, 1)]
+    cand = assignments.filter(F.col("cluster").isin([int(c) for c in ranked]))
+    q = embeddings.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q_emb")
+    )
+    return (
+        cand.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != query_vec_id)
+        .select(
+            "vec_id",
+            F.round(cosine_expr(F.col("embedding"), F.col("q_emb")), round_to).alias(
+                "cos"
+            ),
+        )
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(k)
+    )

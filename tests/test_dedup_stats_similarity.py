@@ -554,3 +554,100 @@ def test_unigram_logprob(spark, docs, con):
     assert _rows(TS.unigram_logprob(planted)) == _sql_rows(
         c2, TS.sql_unigram_logprob("edge_docs")
     )
+
+
+def _numpy_ivf(M, ids, k, iters, seed, qi, nprobe, topk=10):
+    """Numpy twin of kmeans_centroids + ivf_topk (same init draw, same
+    Lloyd updates, same tie-breaks) — the correctness oracle for the
+    iterative, non-SQL-expressible IVF path."""
+    import hashlib
+
+    import numpy as np
+
+    def draw(v):
+        return int(hashlib.md5(f"{v}|{seed}".encode()).hexdigest()[:15], 16)
+
+    order = sorted(range(len(ids)), key=lambda i: (draw(int(ids[i])), int(ids[i])))
+    cents = M[order[:k]].astype(np.float64).copy()
+    for _ in range(iters):
+        d2 = ((M[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)  # argmin = first min, like array_position
+        for c in range(k):
+            m = assign == c
+            if m.any():
+                cents[c] = M[m].mean(axis=0)
+    d2 = ((M[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    assign = d2.argmin(axis=1)
+    qv = M[qi].astype(np.float64)
+    ranked = sorted(range(k), key=lambda c: (((qv - cents[c]) ** 2).sum(), c))[:nprobe]
+    cand = np.flatnonzero(np.isin(assign, ranked))
+    cand = cand[cand != qi]
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    sims = Mn @ Mn.T
+    cos = np.round(sims[qi][cand], 4)
+    top = cand[np.lexsort((ids[cand], -cos))[:topk]]
+    return [(int(ids[i]), float(np.round(sims[qi][i], 4))) for i in top], assign
+
+
+def test_ivf_spark_matches_numpy_twin(emb):
+    import numpy as np
+
+    rows = emb.select("vec_id", "embedding").orderBy("vec_id").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    M = np.stack([r["embedding"] for r in rows]).astype(np.float64)
+    for qv_id in (0, 123):
+        qi = int(np.where(ids == qv_id)[0][0])
+        exp, _ = _numpy_ivf(M, ids, k=8, iters=3, seed=42, qi=qi, nprobe=3)
+        got = [
+            (r["vec_id"], r["cos"])
+            for r in S.ivf_topk(
+                emb, qv_id, k=10, n_clusters=8, nprobe=3, iters=3, seed=42
+            ).collect()
+        ]
+        assert got == exp, qv_id
+
+
+def test_ivf_recall_clustered_and_persisted(spark, tmp_path):
+    """On clustered embeddings IVF reaches high recall scanning few
+    clusters; the persisted cluster-partitioned layout serves the same
+    results through parquet partition pruning."""
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    centers = rng.standard_normal((8, 32)) * 3.0
+    assign = rng.randint(0, 8, size=400)
+    M = (centers[assign] + rng.standard_normal((400, 32)) * 0.3).astype(np.float32)
+    df = spark.createDataFrame(
+        [(int(i), M[i].tolist()) for i in range(400)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = S.kmeans_centroids(df, k=8, iters=4, seed=42)
+    recalls = []
+    for q in (0, 17, 255):
+        exact = [r["vec_id"] for r in S.cosine_topk(df, q, k=10).collect()]
+        approx = [
+            r["vec_id"]
+            for r in S.ivf_topk(df, q, k=10, nprobe=2, centroids=cents).collect()
+        ]
+        recalls.append(len(set(exact) & set(approx)) / 10)
+    assert sum(recalls) / len(recalls) >= 0.9, recalls  # 2 of 8 clusters scanned
+
+    path = str(tmp_path / "ivf")
+    S.write_ivf_embeddings(df, path, k=8, iters=4, seed=42)
+    import json as _json
+    import os
+    from pathlib import Path
+
+    stored = spark.read.parquet(f"{path}/vectors")
+    cents2 = _json.loads(Path(path, "centroids.json").read_text())
+    assert cents2 == cents  # same deterministic quantizer
+    live = [tuple(r) for r in S.ivf_topk(df, 0, k=10, nprobe=2, centroids=cents).collect()]
+    served = [
+        tuple(r)
+        for r in S.ivf_topk(
+            df, 0, k=10, nprobe=2, centroids=cents2, assignments=stored
+        ).collect()
+    ]
+    assert live == served
+    parts = [d for d in os.listdir(f"{path}/vectors") if d.startswith("cluster=")]
+    assert len(parts) > 1  # physically partitioned -> probes prune dirs
