@@ -30,7 +30,12 @@ from pyspark.sql import functions as F
 
 from ..functions.analyzer import tokenize_expr
 
-__all__ = ["pack_token_stream", "sql_pack_token_stream"]
+__all__ = [
+    "materialize_chunks",
+    "pack_token_stream",
+    "sql_materialize_chunks",
+    "sql_pack_token_stream",
+]
 
 
 def pack_token_stream(
@@ -54,9 +59,13 @@ def pack_token_stream(
     )
     # freeze bucket boundaries as LITERALS (sampled once, one cheap job)
     # so phase 1 and phase 2 bucket rows identically; boundary placement
-    # only affects balance, never values
+    # only affects balance, never values. Sampled from doc_id ALONE —
+    # a column-pruned scan that never tokenizes
     qs = [i / n_part for i in range(1, n_part)]
-    bounds = sorted(set(t.stat.approxQuantile("doc_id", qs, 0.001))) if qs else []
+    bounds = (
+        sorted(set(docs.select("doc_id").stat.approxQuantile("doc_id", qs, 0.001)))
+        if qs else []
+    )
     pid_expr = F.lit(0)
     for b in bounds:
         pid_expr = pid_expr + (F.col("doc_id") > F.lit(int(b))).cast("int")
@@ -117,6 +126,13 @@ def materialize_chunks(
     assembles on one reducer. Token order inside a chunk is restored by
     an array_sort on (global position, token) — deterministic, not
     shuffle-order-dependent.
+
+    Cost note: one action tokenizes the corpus three times (the
+    phase-1 bucket totals, the position plan's window input, and the
+    explode). Collapsing to one pass needs the token arrays
+    materialized (checkpoint/persist of corpus-sized state) — at 100 TB
+    prefer writing ``docs.select(doc_id, tokens)`` to parquet once and
+    feeding derived frames from there.
     """
     pos = pack_token_stream(docs, budget, text_col, partitions).select(
         "doc_id", "start_pos"

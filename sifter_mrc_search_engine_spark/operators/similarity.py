@@ -503,45 +503,60 @@ def kmeans_centroids(
       float64 literals (pure codegen, no UDF; ``array_position`` of the
       min breaks ties toward the lowest cluster id)
     * update: per-dimension means via ``posexplode`` + groupBy — one
-      shuffle per iteration, k·dim rows to the driver
+      shuffle per iteration, k·dim rows to the driver — ROUNDED to 9
+      decimals before re-inlining, so the ±1-ulp noise of Spark's
+      task-order-dependent partial-aggregate merges cannot flip a
+      near-boundary assignment between runs (a vector within 1e-9 of
+      exactly equidistant could still flip; measure-zero in float data)
     * an emptied cluster keeps its previous centroid
 
     Iterative and driver-coordinated (the classic Lloyd loop): NOT
     SQL-expressible, so IVF correctness is pinned by a numpy twin in
-    pytest rather than a DuckDB oracle.
+    pytest rather than a DuckDB oracle. The source is persisted for the
+    duration of the loop (seed draw + one assignment scan per
+    iteration would otherwise re-read and re-decode it each job).
     """
+    from pyspark import StorageLevel
+
+    embeddings = embeddings.persist(StorageLevel.MEMORY_AND_DISK)
     draw = F.conv(
         F.substring(
             F.md5(F.concat(F.col("vec_id").cast("string"), F.lit(f"|{seed}"))),
             1, 15,
         ), 16, 10,
     ).cast("long")
-    seeds = (
-        embeddings.select("vec_id", "embedding", draw.alias("_d"))
-        .orderBy("_d", "vec_id")
-        .limit(k)
-        .collect()
-    )
-    centroids = [[float(x) for x in r["embedding"]] for r in seeds]
-
-    for _ in range(max(iters, 0)):
-        assigned = embeddings.select(
-            "vec_id", "embedding", _nearest_centroid_expr(centroids).alias("cluster")
-        )
-        rows = (
-            assigned.select("cluster", F.posexplode("embedding").alias("dim", "v"))
-            .groupBy("cluster", "dim")
-            .agg(F.avg("v").alias("m"))
+    try:
+        seeds = (
+            embeddings.select("vec_id", "embedding", draw.alias("_d"))
+            .orderBy("_d", "vec_id")
+            .limit(k)
             .collect()
         )
-        new = [list(c) for c in centroids]  # emptied clusters persist
-        by_c: dict = {}
-        for r in rows:
-            by_c.setdefault(int(r["cluster"]), {})[int(r["dim"])] = float(r["m"])
-        for c, dims in by_c.items():
-            for d, m in dims.items():
-                new[c][d] = m
-        centroids = new
+        centroids = [[float(x) for x in r["embedding"]] for r in seeds]
+
+        for _ in range(max(iters, 0)):
+            assigned = embeddings.select(
+                "vec_id", "embedding",
+                _nearest_centroid_expr(centroids).alias("cluster"),
+            )
+            rows = (
+                assigned.select("cluster", F.posexplode("embedding").alias("dim", "v"))
+                .groupBy("cluster", "dim")
+                .agg(F.avg("v").alias("m"))
+                .collect()
+            )
+            new = [list(c) for c in centroids]  # emptied clusters persist
+            by_c: dict = {}
+            for r in rows:
+                by_c.setdefault(int(r["cluster"]), {})[int(r["dim"])] = round(
+                    float(r["m"]), 9
+                )
+            for c, dims in by_c.items():
+                for d, m in dims.items():
+                    new[c][d] = m
+            centroids = new
+    finally:
+        embeddings.unpersist()
     return centroids
 
 
@@ -629,17 +644,15 @@ def ivf_topk(
         ),
     )[: max(nprobe, 1)]
     cand = assignments.filter(F.col("cluster").isin([int(c) for c in ranked]))
-    q = embeddings.filter(F.col("vec_id") == query_vec_id).select(
-        F.col("embedding").alias("q_emb")
-    )
+    # the query vector was already collected for centroid ranking —
+    # inline it as literals (the ann_topk pattern): no second source
+    # scan, no broadcast join
+    q_emb = F.array(*[F.lit(x) for x in qv])
     return (
-        cand.crossJoin(F.broadcast(q))
-        .filter(F.col("vec_id") != query_vec_id)
+        cand.filter(F.col("vec_id") != query_vec_id)
         .select(
             "vec_id",
-            F.round(cosine_expr(F.col("embedding"), F.col("q_emb")), round_to).alias(
-                "cos"
-            ),
+            F.round(cosine_expr(F.col("embedding"), q_emb), round_to).alias("cos"),
         )
         .orderBy(F.desc("cos"), F.asc("vec_id"))
         .limit(k)

@@ -575,7 +575,9 @@ def _numpy_ivf(M, ids, k, iters, seed, qi, nprobe, topk=10):
         for c in range(k):
             m = assign == c
             if m.any():
-                cents[c] = M[m].mean(axis=0)
+                # the operator rounds means to 9 dp before re-inlining
+                # (absorbs Spark's merge-order ulp noise) — mirror it
+                cents[c] = np.round(M[m].mean(axis=0), 9)
     d2 = ((M[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
     assign = d2.argmin(axis=1)
     qv = M[qi].astype(np.float64)
