@@ -241,6 +241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25f_topk": _q_bm25f,
         "bm25f_topk_indexed": _q_bm25f_indexed,
         "bm25f_multisegment": _q_bm25f_multisegment,
+        "bm25_multisegment": _q_bm25_multisegment,
         "bm25_topk_multi": _q_bm25("spark join merge table"),
         "bm25_topk_single": _q_bm25("window", 5),
         "bm25_topk_wand_compressed": _q_wand_compressed,
@@ -311,6 +312,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     q.update(_rel.QUERIES)
     return q
+
+
+#: per-(session, sf) memo of the single-field 2-segment searcher
+_SEG_MEMO: dict[tuple, object] = {}
+_SEG_DIRS: dict[str, str] = {}
+
+
+def _q_bm25_multisegment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship BM25 across TWO streamed-style single-field segments
+    (docs split by parity) via MultiSegmentSearcher's merged
+    zero-driver-norms plan — score-identical to brute force over the
+    full corpus (df = sum of per-segment dfs; doc_ids are disjoint), so
+    the single-table oracle doubles as the multi-segment oracle."""
+    import tempfile
+
+    from sifter_mrc_search_engine_spark.streaming.incremental import (
+        MultiSegmentSearcher,
+        _write_segment,
+    )
+
+    if sf_dir not in _SEG_DIRS:
+        docs = _docs(spark, sf_dir)
+        d = tempfile.mkdtemp(prefix="entry_seg_")
+        for par in (0, 1):
+            _write_segment(
+                docs.filter(F.col("doc_id") % 2 == par),
+                f"{d}/segments/seg={par}",
+                buckets=16,
+            )
+        _SEG_DIRS[sf_dir] = d
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _SEG_MEMO:
+        _SEG_MEMO[key] = MultiSegmentSearcher(
+            spark, _SEG_DIRS[sf_dir], buckets=16, norms="join"
+        )
+    out = _SEG_MEMO[key].search_df(FLAGSHIP_QUESTION, top_k=10)
+    return out.select("doc_id", F.round("score", 4).alias("score"))
 
 
 def _q_pack_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -413,6 +451,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25f_multisegment": bm25f_oracle_sql(
             FLAGSHIP_QUESTION, _BM25F_SQL_FIELDS, _BM25F_WEIGHTS, top_k=10
         ),
+        "bm25_multisegment": bm25.bm25_oracle_sql(FLAGSHIP_QUESTION, 10),
         "bm25_topk_wand_compressed": bm25.bm25_oracle_sql(FLAGSHIP_QUESTION, 10),
         "dedup_exact": _dd.sql_dedup_exact(),
         "dedup_shingles": _dd.sql_shingles(),

@@ -213,16 +213,19 @@ class MultiSegmentSearcher:
             top_k=top_k, use_blockmax=False,
         )
 
-    def _search_join(self, tset: list[str], top_k: int):
-        """Distributed scoring with zero driver-resident norms: decode the
-        pruned unioned scan executor-side, join the merged df (sum of
-        per-segment n — exact, doc_ids are segment-disjoint) and the lazy
-        doclens union in-plan, fold contributions in ascending-term
-        float64 order, top-k. Same scores as the preload path (pinned by
-        pytest)."""
+    def search_df(self, question: str, top_k: int = DEFAULT_TOP_K) -> DataFrame:
+        """The zero-driver-norms merged query as a lazy DataFrame
+        ``(doc_id, score)``: decode the pruned unioned scan
+        executor-side, join the merged df (sum of per-segment n — exact,
+        doc_ids are segment-disjoint) and the lazy doclens union
+        in-plan, fold contributions in ascending-term float64 order,
+        top-k. Same scores as the preload path (pinned by pytest)."""
         from ..operators.bm25 import bm25_contrib_expr, score_fold
         from ..operators.compressed_index import decode_index_df
 
+        tset = sorted(set(analyze(question)))
+        if not tset:
+            return self.spark.createDataFrame([], "doc_id long, score double")
         cand = self._pruned(tset)
         dfs = cand.groupBy("term").agg(F.sum("n").alias("df"))
         decoded = decode_index_df(cand, keep_cols=("term",)).join(
@@ -236,7 +239,10 @@ class MultiSegmentSearcher:
             joined.select("doc_id", "term", contrib.alias("contrib")),
             ["doc_id"],
         )
-        rows = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(top_k).collect()
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(top_k)
+
+    def _search_join(self, tset: list[str], top_k: int):
+        rows = self.search_df(" ".join(tset), top_k).collect()
         return [(int(r["doc_id"]), float(r["score"])) for r in rows]
 
 
