@@ -257,3 +257,17 @@ def test_mixed_schema_segments_search_and_compact(spark, tmp_path):
         for r in bm25_brute_force(full, "alpha", top_k=10).collect()
     ]
     assert [d for d, _ in got] == [d for d, _ in expected]
+
+
+def test_multisegment_search_df_contract(spark, streamed):
+    """search_df (the lazy zero-driver-norms plan) matches search() and
+    keeps the engine's empty-question contract: 0 rows, same schema."""
+    _, idx_dir = streamed
+    s = MultiSegmentSearcher(spark, idx_dir, buckets=8, norms="join")
+    df = s.search_df(QUERIES[1], top_k=5)
+    assert [f.name for f in df.schema.fields] == ["doc_id", "score"]
+    got = [(r["doc_id"], r["score"]) for r in df.collect()]
+    assert got == s.search(QUERIES[1], top_k=5)
+    empty = s.search_df("!!! ...", top_k=5)
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == ["doc_id", "score"]
