@@ -263,6 +263,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_repeated_spans": lambda s, d: _dd.repeated_span_stats(
             _docs(s, d), k=5, min_docs=2
         ),
+        "dedup_connected_components": lambda s, d: _dd.connected_components(
+            _dd.lsh_candidate_pairs(_docs(s, d)), nodes=_docs(s, d)
+        ),
         "pipeline_stratified_sample": lambda s, d: _dd.stratified_sample(
             _docs(s, d), {"en": 0.5, "de": 1.0, "zh": 0.2}
         ),
@@ -463,6 +466,9 @@ def oracle_sql() -> dict[str, str]:
             bench_where="doc_id % 97 = 0", k=8
         ),
         "dedup_repeated_spans": _dd.sql_repeated_span_stats(k=5, min_docs=2),
+        "dedup_connected_components": _dd.sql_connected_components(
+            _dd.sql_lsh_candidate_pairs()
+        ),
         "pipeline_stratified_sample": _dd.sql_stratified_sample(
             {"en": 0.5, "de": 1.0, "zh": 0.2}
         ),

@@ -501,3 +501,118 @@ SELECT doc_id, {strata_col} AS stratum,
 FROM {table}
 WHERE {u} < CASE {cases} END
 """
+
+
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame | None = None,
+    max_iters: int = 25,
+) -> DataFrame:
+    """Transitive dedup clusters: ``(doc_id, component)`` where
+    ``component`` is the MINIMUM doc_id reachable through the pair
+    graph — the proper completion of pairwise near-dup output (keeping
+    one doc per pairwise edge is not transitively safe; keeping
+    ``doc_id == component`` is).
+
+    Min-label propagation to a fixpoint: each round every node takes
+    the min of its own label and its neighbors' labels (one join + one
+    groupBy per round; labels persisted round-over-round, convergence
+    detected with a 1-row count). Rounds scale with graph DIAMETER —
+    near-dup clusters are shallow (stars/chains of a few hops), so this
+    converges in a handful of rounds; for adversarial long-chain graphs
+    the large-star/small-star variant halves round counts, noted here
+    as the 100 TB escalation path. Deterministic: min() is
+    order-insensitive.
+
+    ``nodes`` (optional, a ``doc_id`` column) adds isolated docs as
+    singleton components so the output covers the whole corpus.
+    """
+    from pyspark import StorageLevel
+
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    endpoints = edges.select(F.col("src").alias("doc_id")).distinct()
+    base = (
+        endpoints.union(nodes.select("doc_id")).distinct()
+        if nodes is not None
+        else endpoints
+    )
+    labels = base.select("doc_id", F.col("doc_id").alias("component")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    try:
+        for _ in range(max_iters):
+            nbr = (
+                edges.join(
+                    labels.select(
+                        F.col("doc_id").alias("dst"),
+                        F.col("component").alias("nl"),
+                    ),
+                    "dst",
+                )
+                .groupBy("src")
+                .agg(F.min("nl").alias("nbr_min"))
+                .withColumnRenamed("src", "doc_id")
+            )
+            new = (
+                labels.join(nbr, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.least(
+                        F.col("component"), F.coalesce("nbr_min", F.col("component"))
+                    ).alias("component"),
+                )
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            changed = (
+                new.join(
+                    labels.withColumnRenamed("component", "old"), "doc_id"
+                )
+                .filter(F.col("component") != F.col("old"))
+                .limit(1)
+                .count()
+            )
+            labels.unpersist()
+            labels = new
+            if changed == 0:
+                break
+        return labels
+    finally:
+        edges.unpersist()
+
+
+def sql_connected_components(
+    pairs_sql: str, table: str = "documents", with_singletons: bool = True
+) -> str:
+    """DuckDB twin of :func:`connected_components`: a recursive
+    transitive closure (UNION dedup guarantees termination), then
+    ``min(reachable)`` per node — O(n·m) closure rows, fine at oracle
+    scale; the Spark side is the one that scales."""
+    singles = (
+        f"UNION SELECT doc_id, doc_id FROM {table}" if with_singletons else ""
+    )
+    return f"""
+WITH RECURSIVE prs AS ({pairs_sql}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM prs
+  UNION SELECT doc_b, doc_a FROM prs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+self_or_reach AS (
+  SELECT src, dst FROM reach
+  UNION SELECT src, src FROM edges
+  {singles}
+)
+SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS component
+FROM self_or_reach GROUP BY src
+"""

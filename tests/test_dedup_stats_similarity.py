@@ -653,3 +653,55 @@ def test_ivf_recall_clustered_and_persisted(spark, tmp_path):
     assert live == served
     parts = [d for d in os.listdir(f"{path}/vectors") if d.startswith("cluster=")]
     assert len(parts) > 1  # physically partitioned -> probes prune dirs
+
+
+def test_connected_components(spark, docs, con):
+    """Min-label propagation == union-find ground truth == the DuckDB
+    recursive-closure twin, over the real LSH pair graph plus a planted
+    chain (transitivity: A~B, B~C puts A,C in one component even though
+    the pairwise output never links them directly)."""
+    pairs = D.lsh_candidate_pairs(docs)
+    got = {
+        (r["doc_id"], r["component"])
+        for r in D.connected_components(pairs, nodes=docs).collect()
+    }
+    # ground truth by union-find over the same pairs
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    plist = [(r["doc_a"], r["doc_b"]) for r in pairs.collect()]
+    for a, b in plist:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    all_ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    truth = {(i, min(j for j in all_ids if find(j) == find(i)) if i in parent else i) for i in all_ids}
+    # min-root per component: recompute exactly
+    roots: dict = {}
+    for i in all_ids:
+        r = find(i)
+        roots.setdefault(r, []).append(i)
+    truth = {(i, min(roots[find(i)])) for i in all_ids}
+    assert got == truth
+
+    exp = {
+        tuple(r)
+        for r in con.execute(
+            D.sql_connected_components(D.sql_lsh_candidate_pairs())
+        ).fetchall()
+    }
+    assert got == exp
+
+    chain = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a long, doc_b long"
+    )
+    cc = {
+        r["doc_id"]: r["component"]
+        for r in D.connected_components(chain).collect()
+    }
+    assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
