@@ -43,6 +43,7 @@ def prepare_corpus(
     redact: bool = False,
     bench: DataFrame | None = None,
     decontaminate_k: int = 8,
+    near_dup_transitive: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (clean_docs, audit). ``clean_docs`` has (doc_id, text);
     ``audit`` is a lazy one-row DataFrame of per-stage survivor counts.
@@ -104,7 +105,18 @@ def prepare_corpus(
     clean = flags.filter(F.col("_d")).select("doc_id", "text")
     if near_dup:
         pairs = lsh_candidate_pairs(clean)
-        drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+        if near_dup_transitive:
+            # cluster-safe: keep exactly the min doc_id of each
+            # connected component (docs linked only THROUGH a middleman
+            # dedupe too, which the pairwise rule below misses)
+            from ..operators.dedup import connected_components
+
+            cc = connected_components(pairs)
+            drop = cc.filter(F.col("doc_id") != F.col("component")).select(
+                "doc_id"
+            )
+        else:
+            drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
         clean = clean.join(drop, "doc_id", "left_anti")
         audit = audit.crossJoin(
             clean.agg(F.count(F.lit(1)).alias("after_near_dedup"))

@@ -97,3 +97,30 @@ def test_prepare_optional_stages(spark):
     # redaction happened BEFORE output: doc 2 ships placeholders
     t2 = clean.filter("doc_id = 2").first()["text"]
     assert "<EMAIL>" in t2 and "@" not in t2
+
+
+def test_near_dup_transitive_vs_pairwise(spark):
+    """Docs linked only THROUGH a middleman: pairwise drop (doc_b of each
+    pair) keeps both endpoints of an indirect link; the transitive mode
+    keeps exactly the component minimum."""
+    from pyspark.sql import functions as F
+
+    from sifter_mrc_search_engine_spark.operators.dedup import lsh_candidate_pairs
+    from sifter_mrc_search_engine_spark.plans.prepare import prepare_corpus
+
+    base = "tokens alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(1, base + " lamb"), (2, base + " mu"), (3, base),
+         (9, "completely different content with nothing shared at all here")],
+        "doc_id long, text string",
+    )
+    pairs = {(r["doc_a"], r["doc_b"]) for r in lsh_candidate_pairs(docs).collect()}
+    assert pairs, "fixture must produce near-dup pairs"
+
+    pw, _ = prepare_corpus(docs, near_dup=True)
+    tr, _ = prepare_corpus(docs, near_dup=True, near_dup_transitive=True)
+    kept_tr = sorted(r["doc_id"] for r in tr.select("doc_id").collect())
+    # transitive: exactly one survivor (the min id) per component + doc 9
+    assert kept_tr == [1, 9]
+    kept_pw = sorted(r["doc_id"] for r in pw.select("doc_id").collect())
+    assert set(kept_tr) <= set(kept_pw)  # transitive is at least as strict
