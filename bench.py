@@ -105,6 +105,15 @@ def main() -> None:
         trials_log["index_build_pages"] = [round(v, 3) for v in build_times]
         docs_per_sec = PAGES_DOCS / build_s
 
+        # packed-training-sequence materialization over the same corpus
+        # (piece-shuffle + two-pass prefix scan; r3's 3x-tokenize+join
+        # shape measured 3.6x slower at 1.2M docs)
+        from sifter_mrc_search_engine_spark.operators.packing import (
+            materialize_chunks,
+        )
+
+        timed("chunk_materialize", lambda: materialize_chunks(pages, budget=1024).count())
+
         searcher = IndexSearcher(spark, idx_dir, buckets=64)
         timed("wand_batch", lambda: searcher.search_many(BATCH_QUERIES, 10).collect())
         timed("wand_batch_local", lambda: searcher.search_many_local(BATCH_QUERIES, 10))
@@ -132,12 +141,15 @@ def main() -> None:
 
     wall = round(time.monotonic() - t_all, 3)
     # headline = sum of per-query MINs: stable under host-load spikes;
-    # wall_sec (which includes every extra trial) stays visible beside it
+    # wall_sec (which includes every extra trial) stays visible beside
+    # it. The metric NAME is versioned (_min_): r2's value was wall
+    # time, r3+ is the min-sum — same name would invite cross-round
+    # apples-to-oranges comparison
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
             {
-                "metric": "bm25_engine_suite_sec",
+                "metric": "bm25_engine_suite_min_sec",
                 "value": total,
                 "unit": "sec",
                 "wall_sec": wall,

@@ -47,6 +47,9 @@ def main(argv=None) -> None:
     from sifter_mrc_search_engine_spark.plans.checkpoint import build_index_resumable
     from sifter_mrc_search_engine_spark.plans.prepare import prepare_corpus
 
+    # only stop the session if THIS job created it (in-process callers —
+    # tests, notebooks — keep theirs)
+    owns_session = SparkSession.getActiveSession() is None
     spark = SparkSession.builder.appName("sifter-prepare-and-index").getOrCreate()
     pages = spark.read.parquet(args.input)
 
@@ -67,15 +70,44 @@ def main(argv=None) -> None:
     # submit)
     clean_dir = f"{args.output}/clean_corpus"
     audit_path = Path(args.output, "prepare_audit.json")
-    if not Path(clean_dir, "_SUCCESS").exists():  # resumed submits reuse it
-        clean.write.mode("overwrite").parquet(clean_dir)
+    # fingerprint of the RAW input + every prepare option: a resumed
+    # submit that changed --input or any stage flag must NOT silently
+    # index the stale cached corpus (the index build's own
+    # input_fingerprint can't catch this — it fingerprints the cached
+    # parquet, not what produced it)
+    prepare_opts = {
+        "input": args.input,
+        "html": args.html,
+        "lang": args.lang,
+        "near_dup": args.near_dup,
+        "gopher": args.gopher,
+        "redact": args.redact,
+        "bench": args.bench,
+        "id_col": args.id_col,
+        "text_col": args.text_col,
+    }
+    cached_opts = None
     if audit_path.exists():
-        audit_row = json.loads(audit_path.read_text())
-    else:
-        # also covers a crash between the parquet write and this point:
-        # recompute the audit rather than bricking every resumed submit
-        audit_row = audit.collect()[0].asDict()
+        cached_opts = json.loads(audit_path.read_text()).get("_prepare_opts")
+    reusable = Path(clean_dir, "_SUCCESS").exists() and cached_opts == prepare_opts
+    if not reusable:  # fresh submit, crashed write, or changed inputs/flags
+        if cached_opts is not None and cached_opts != prepare_opts:
+            # the cached corpus came from DIFFERENT inputs/flags: any
+            # index state in this output dir derives from it and is
+            # stale too — clear it so the build starts fresh instead of
+            # refusing on its own input-fingerprint check
+            import shutil
+
+            for stale in ("postings", "doclens", "_manifest.jsonl", "stats.json"):
+                p = Path(args.output, stale)
+                shutil.rmtree(p, ignore_errors=True) if p.is_dir() else p.unlink(
+                    missing_ok=True
+                )
+        clean.write.mode("overwrite").parquet(clean_dir)
+        audit_row = audit.collect()[0].asDict() | {"_prepare_opts": prepare_opts}
         audit_path.write_text(json.dumps(audit_row))
+    else:
+        audit_row = json.loads(audit_path.read_text())
     clean = spark.read.parquet(clean_dir)
 
     result = build_index_resumable(
@@ -87,7 +119,8 @@ def main(argv=None) -> None:
     print(json.dumps({"audit": audit_row, "build": {
         k: result[k] for k in ("resumed", "skipped", "wall_ms", "n_docs")
     } | {"built_buckets": len(result["built_buckets"])}}))
-    spark.stop()
+    if owns_session:
+        spark.stop()
 
 
 if __name__ == "__main__":

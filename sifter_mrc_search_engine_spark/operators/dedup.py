@@ -507,25 +507,36 @@ def connected_components(
     pairs: DataFrame,
     nodes: DataFrame | None = None,
     max_iters: int = 25,
-) -> DataFrame:
+    return_rounds: bool = False,
+):
     """Transitive dedup clusters: ``(doc_id, component)`` where
     ``component`` is the MINIMUM doc_id reachable through the pair
     graph — the proper completion of pairwise near-dup output (keeping
     one doc per pairwise edge is not transitively safe; keeping
     ``doc_id == component`` is).
 
-    Min-label propagation to a fixpoint: each round every node takes
-    the min of its own label and its neighbors' labels (one join + one
-    groupBy per round; labels persisted round-over-round, convergence
-    detected with a 1-row count). Rounds scale with graph DIAMETER —
-    near-dup clusters are shallow (stars/chains of a few hops), so this
-    converges in a handful of rounds; for adversarial long-chain graphs
-    the large-star/small-star variant halves round counts, noted here
-    as the 100 TB escalation path. Deterministic: min() is
-    order-insensitive.
+    Min-label propagation WITH POINTER JUMPING to a fixpoint: each
+    round every node (1) takes the min of its own label and its
+    neighbors' labels (hook — one join + one groupBy), then (2)
+    replaces its label with its label's label (jump — one self-join on
+    the label table; ``l(u) := l(l(u))``, valid because every label is
+    itself a node id in the same component). The jump halves the label
+    tree's depth each round, so rounds scale with ``log(diameter)``
+    instead of diameter — an adversarial 1,000-doc near-dup chain
+    converges in ~11 rounds, not 1,000 (pinned in
+    tests/test_dedup_stats_similarity.py). Same idea as the
+    large-star/small-star MapReduce CC algorithm; the hook+jump form
+    keeps per-round state to the (doc_id, component) table instead of a
+    mutating edge set. Deterministic: min() is order-insensitive.
+
+    If the cap is reached WITHOUT convergence, raises ``RuntimeError``
+    (silently returning non-minimal labels would break the documented
+    contract undetectably). ``max_iters=25`` covers graphs of diameter
+    ~2^24 — unreachable in practice.
 
     ``nodes`` (optional, a ``doc_id`` column) adds isolated docs as
     singleton components so the output covers the whole corpus.
+    ``return_rounds=True`` returns ``(labels, rounds_used)``.
     """
     from pyspark import StorageLevel
 
@@ -546,8 +557,10 @@ def connected_components(
     labels = base.select("doc_id", F.col("doc_id").alias("component")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    converged = False
+    rounds = 0
     try:
-        for _ in range(max_iters):
+        for rounds in range(1, max_iters + 1):
             nbr = (
                 edges.join(
                     labels.select(
@@ -560,7 +573,7 @@ def connected_components(
                 .agg(F.min("nl").alias("nbr_min"))
                 .withColumnRenamed("src", "doc_id")
             )
-            new = (
+            hooked = (
                 labels.join(nbr, "doc_id", "left")
                 .select(
                     "doc_id",
@@ -568,7 +581,31 @@ def connected_components(
                         F.col("component"), F.coalesce("nbr_min", F.col("component"))
                     ).alias("component"),
                 )
+                # feeds BOTH sides of the jump join — persist so the
+                # hook join+groupBy runs once per round, not twice
                 .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            # pointer jump: l(u) := l(l(u)) — component values are node
+            # ids, so the hooked table indexes itself. Labels only ever
+            # decrease toward the component minimum; the jump is what
+            # turns diameter-many rounds into log(diameter)-many.
+            lut = hooked.select(
+                F.col("doc_id").alias("component"),
+                F.col("component").alias("jumped"),
+            )
+            # localCheckpoint (eager) TRUNCATES LINEAGE: the jump
+            # references `hooked` twice, so without truncation the
+            # logical plan doubles every round (exponential — a 1,000-
+            # doc chain overflows the 2 GB plan-string cap around round
+            # 10). On a real cluster prefer sc.setCheckpointDir +
+            # .checkpoint() for executor-loss resilience.
+            new = (
+                hooked.join(lut, "component", "left")
+                .select(
+                    "doc_id",
+                    F.coalesce("jumped", F.col("component")).alias("component"),
+                )
+                .localCheckpoint(eager=True)
             )
             changed = (
                 new.join(
@@ -578,11 +615,19 @@ def connected_components(
                 .limit(1)
                 .count()
             )
+            hooked.unpersist()
             labels.unpersist()
             labels = new
             if changed == 0:
+                converged = True
                 break
-        return labels
+        if not converged:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iters} rounds "
+                "(pathological graph?); labels would not honor the "
+                "minimum-reachable-doc_id contract — raise max_iters"
+            )
+        return (labels, rounds) if return_rounds else labels
     finally:
         edges.unpersist()
 

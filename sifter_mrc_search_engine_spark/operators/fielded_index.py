@@ -511,6 +511,55 @@ class FieldedSearcher:
             self._avg_wdl_memo[key] = total / max(self.n_docs, 1)
         return self._avg_wdl_memo[key]
 
+    #: cost-model constants, fitted to p50 measurements on the 120k-doc
+    #: two-field pages corpus (8 query shapes, tools/bench_bm25f.py):
+    #: WAND's doc-at-a-time Python loop only beats the vectorized
+    #: exhaustive kernel when ALL three hold.
+    _AUTO_SUM_MIN = 20_000  # exhaustive under ~50 ms anyway below this
+    _AUTO_RATIO_MAX = 0.05  # candidates / total postings: need a dominant prunable list
+    _AUTO_SPACING_MAX = 512  # max_df / candidates: seek-landing block decodes must amortize
+
+    def _pick_method(self, qterms: list[str]) -> str:
+        """Cost-model 'auto': choose WAND only for shapes where it
+        measured faster. Decision inputs are the union-df sidecar (tiny,
+        already loaded) — no postings are touched.
+
+        Physics of the three conditions (measured, not argued):
+
+        * single-term / no-sidecar -> exhaustive (WAND cannot prune:
+          theta comes from the same list; measured 4.0 s vs 0.32 s on a
+          head term)
+        * candidates = sum(df) - max(df): the docs WAND actually
+          pivots on. ratio = candidates/sum must be small — when two
+          dense lists tie (head2: 0.46) WAND scores nearly everything
+          doc-at-a-time in Python (5.8 s vs 0.47 s)
+        * spacing = max_df/candidates must stay within a few codec
+          blocks — each pivot seek into the dense list decodes its
+          landing block, so sparse candidates (head_tail: spacing 914)
+          pay a fresh block decode per seek and lose (0.51 s vs 0.33 s)
+          even though the pivot is maximally selective
+        * sum(df) floor: below it the exhaustive decode is a few ms —
+          not worth any risk (mid2: 4 ms vs 26 ms)
+
+        Fitted outcomes at 120k docs: head_mid 108 vs 199 ms and
+        three_mix 134 vs 272 ms pick WAND; the other six shapes pick
+        exhaustive. ratio/spacing are scale-free; the sum floor is an
+        absolute-latency cutoff."""
+        if not self._term_df:
+            return "exhaustive"
+        dfs = sorted(d for d in (self._term_df.get(t, 0) for t in qterms) if d > 0)
+        if len(dfs) < 2:
+            return "exhaustive"
+        total = sum(dfs)
+        ncand = total - dfs[-1]
+        if ncand == 0 or total < self._AUTO_SUM_MIN:
+            return "exhaustive"
+        if ncand / total > self._AUTO_RATIO_MAX:
+            return "exhaustive"
+        if dfs[-1] / ncand > self._AUTO_SPACING_MAX:
+            return "exhaustive"
+        return "wand"
+
     def _rows_for(self, fterms: list[str]) -> list:
         if self._mem is not None:
             return [r for t in fterms for r in self._mem.get(t, [])]
@@ -531,15 +580,13 @@ class FieldedSearcher:
         method: str = "auto",
     ) -> list[tuple[int, float]]:
         """``method``: 'exhaustive' (vectorized full decode — the
-        in-memory winner, same as the single-field engine's dense
-        kernel), 'wand' (term-level pruned, needs the term_df sidecar —
-        wins when candidate lists are disk-backed/selective so skipped
-        blocks are never decoded; measured SLOWER in-memory on Zipf-head
-        queries where the doc-at-a-time Python loop can't prune), or
-        'auto' (exhaustive). Both produce IDENTICAL results. Under
-        ``norms='join'`` the distributed relational plan always runs
-        ('auto'/'exhaustive'; 'wand' raises — no driver norms to prune
-        with)."""
+        in-memory winner on dense/tiny shapes), 'wand' (term-level
+        pruned — wins on selective-pivot shapes with a dominant dense
+        list), or 'auto' (cost model over the union-df sidecar picks
+        per query shape — :meth:`_pick_method`). All produce IDENTICAL
+        results. Under ``norms='join'`` the distributed relational plan
+        always runs ('auto'/'exhaustive'; 'wand' raises — no driver
+        norms to prune with)."""
         import numpy as np
 
         from .postings_codec import decode_postings
@@ -576,6 +623,8 @@ class FieldedSearcher:
                 stats=self._stats,
             ).collect()
             return [(int(r["doc_id"]), float(r["score"])) for r in rows2]
+        if method == "auto":
+            method = self._pick_method(qterms)
         fterms = [f"{f}{FIELD_SEP}{t}" for f in names for t in qterms]
         rows = self._rows_for(fterms)
         if method == "wand":

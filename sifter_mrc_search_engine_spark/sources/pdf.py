@@ -11,9 +11,12 @@ only on ``re``/``zlib``:
 * **Body-scan parsing**: indirect objects are parsed SEQUENTIALLY
   (``N G obj`` … ``endobj``), so damaged or absent cross-reference
   tables don't matter (pdfminer is similarly xref-tolerant). PDF 1.5+
-  compressed object streams (``/Type /ObjStm``) are NOT supported and
-  raise :class:`PdfError` — a paginated classic-xref writer covers the
-  vast majority of text documents.
+  **compressed object streams** (``/Type /ObjStm``) ARE supported: a
+  second pass inflates each ObjStm, reads its ``N``/``First`` offset
+  header and parses the packed objects. Cross-reference STREAMS
+  (``/Type /XRef``) are not decoded (body scan doesn't need offsets)
+  but their dict is merged into the trailer, so ``/Root`` — and hence
+  catalog page order — still resolves in trailer-less 1.5+ files.
 * **Stream filters**: none, ``/FlateDecode`` (zlib), or a filter array
   containing only FlateDecode. Anything else (DCT, LZW, ASCII85…)
   raises :class:`PdfError` rather than silently dropping text.
@@ -25,9 +28,12 @@ only on ``re``/``zlib``:
   lines (emitted as ``"\\n"``); ``TJ`` kerning numbers are ignored.
 * **String decoding**: UTF-16BE when the ``\\xfe\\xff`` BOM is present,
   else Latin-1 (which equals PDFDocEncoding over the printable ASCII
-  range). ``/ToUnicode`` CMaps and subset-font re-encoding are NOT
-  interpreted — glyph-remapped PDFs extract garbage text with simple
-  tools and are out of scope here.
+  range). **Single-byte /ToUnicode CMaps** ARE interpreted: the active
+  font (tracked through ``Tf``, resources resolved through the page's
+  ``/Parent`` chain) maps each string byte through its ``bfchar``/
+  ``bfrange`` table, so subset-remapped simple fonts extract real text.
+  Multi-byte CID CMaps are not interpreted (composite-font PDFs fall
+  back to raw-byte decoding).
 
 :func:`synthesize_pdf` writes deterministic classic-xref fixtures
 (valid for pdfminer too: pages carry a Helvetica resource) so tests
@@ -270,8 +276,6 @@ class _Document:
                 if end < 0:
                     raise PdfError("unterminated stream")
                 p = end + len(b"endstream")
-                if isinstance(obj, dict) and obj.get("Type") == "ObjStm":
-                    raise PdfError("compressed object streams (ObjStm) unsupported")
                 self.streams[num] = raw
             self.objects[num] = obj
             e = data.find(b"endobj", p)
@@ -286,6 +290,49 @@ class _Document:
                 continue
             if isinstance(t, dict):
                 self.trailer.update(t)
+        # PDF 1.5+: the trailer dict may live in a cross-reference
+        # STREAM instead of a `trailer` keyword — merge its entries
+        # (we need /Root; the binary xref data itself is irrelevant to
+        # a body scan)
+        for o in self.objects.values():
+            if isinstance(o, dict) and o.get("Type") == "XRef":
+                for k in ("Root", "Info", "Size"):
+                    self.trailer.setdefault(k, o.get(k))
+        self._unpack_object_streams()
+
+    def _unpack_object_streams(self) -> None:
+        """Second pass: inflate each ``/Type /ObjStm`` stream and parse
+        the packed objects it carries (ISO 32000 §7.5.7: ``N`` pairs of
+        ``objnum offset`` ints, offsets relative to ``First``). Packed
+        objects are always direct (no nested streams). A top-level
+        definition of the same object number wins — the body scan saw
+        it explicitly, which is the closest analogue of an incremental
+        update overriding an older packed object."""
+        for num in list(self.objects):
+            info = self.objects[num]
+            if not (isinstance(info, dict) and info.get("Type") == "ObjStm"):
+                continue
+            data = self.stream_data(num)
+            n_objs = self.resolve(info.get("N"))
+            first = self.resolve(info.get("First"))
+            if not isinstance(n_objs, int) or not isinstance(first, int):
+                raise PdfError("ObjStm missing /N or /First")
+            pairs: list[tuple[int, int]] = []
+            pos = 0
+            for _ in range(n_objs):
+                pos = _skip_ws(data, pos)
+                m1 = _NUM_RE.match(data, pos)
+                if not m1:
+                    raise PdfError("bad ObjStm offset header")
+                pos = _skip_ws(data, m1.end())
+                m2 = _NUM_RE.match(data, pos)
+                if not m2:
+                    raise PdfError("bad ObjStm offset header")
+                pos = m2.end()
+                pairs.append((int(m1.group()), int(m2.group())))
+            for objnum, off in pairs:
+                obj, _ = _parse_object(data, first + off)
+                self.objects.setdefault(objnum, obj)
 
     def resolve(self, obj):
         seen = set()
@@ -341,6 +388,36 @@ class _Document:
             )
         return order
 
+    def page_fonts(self, page_num: int) -> dict:
+        """``{font_resource_name: {code: str}}`` for the page's fonts
+        that carry a parseable single-byte /ToUnicode CMap. Resources
+        are inherited through the /Parent chain per ISO 32000 §7.7.3.4."""
+        node = self.resolve(self.objects.get(page_num))
+        res = None
+        hops = 0
+        while isinstance(node, dict) and hops < 64:
+            if "Resources" in node:
+                res = self.resolve(node["Resources"])
+                break
+            node = self.resolve(node.get("Parent"))
+            hops += 1
+        if not isinstance(res, dict):
+            return {}
+        fonts = self.resolve(res.get("Font"))
+        out: dict = {}
+        if not isinstance(fonts, dict):
+            return out
+        for name, fref in fonts.items():
+            fdict = self.resolve(fref)
+            if not isinstance(fdict, dict):
+                continue
+            tu = fdict.get("ToUnicode")
+            if isinstance(tu, _Ref) and tu[0] in self.streams:
+                cmap = _parse_tounicode(self.stream_data(tu[0]))
+                if cmap:
+                    out[str(name)] = cmap
+        return out
+
     def page_content(self, page_num: int) -> bytes:
         page = self.resolve(self.objects.get(page_num))
         if not isinstance(page, dict):
@@ -361,25 +438,69 @@ class _Document:
         return b"\n".join(parts)
 
 
-def _decode_pdf_string(raw: bytes) -> str:
+def _decode_pdf_string(raw: bytes, cmap: dict | None = None) -> str:
+    if cmap is not None:
+        return "".join(cmap.get(b, chr(b)) for b in raw)
     if raw.startswith(b"\xfe\xff"):
         return raw[2:].decode("utf-16-be", errors="replace")
     return raw.decode("latin-1")
+
+
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
+_HEX_RE = re.compile(rb"<([0-9A-Fa-f]+)>")
+
+
+def _parse_tounicode(cmap_bytes: bytes) -> dict:
+    """``{byte_code: unicode_str}`` from a /ToUnicode CMap's bfchar and
+    bfrange sections. Single-byte source codes only (2-hex-digit src
+    strings); destinations are UTF-16BE per the CMap spec. Multi-byte
+    codespaces return {} -> the caller falls back to raw decoding."""
+    out: dict = {}
+
+    def dst_str(hx: bytes) -> str:
+        return bytes.fromhex(hx.decode()).decode("utf-16-be", errors="replace")
+
+    for m in _BFCHAR_RE.finditer(cmap_bytes):
+        toks = _HEX_RE.findall(m.group(1))
+        for src, dst in zip(toks[::2], toks[1::2]):
+            if len(src) != 2:
+                return {}
+            out[int(src, 16)] = dst_str(dst)
+    for m in _BFRANGE_RE.finditer(cmap_bytes):
+        body = m.group(1)
+        # triples <lo> <hi> <dstlo>; the [array-destination] form is
+        # rare in simple fonts and unsupported (whole cmap rejected so
+        # decoding stays all-or-nothing)
+        if b"[" in body:
+            return {}
+        toks = _HEX_RE.findall(body)
+        for lo, hi, dst in zip(toks[::3], toks[1::3], toks[2::3]):
+            if len(lo) != 2 or len(hi) != 2:
+                return {}
+            base = int(dst, 16)
+            width = len(dst)
+            for c in range(int(lo, 16), int(hi, 16) + 1):
+                out[c] = dst_str(f"{base + c - int(lo, 16):0{width}x}".encode())
+    return out
 
 
 _SHOW_OPS = {"Tj", "'", '"'}
 _NEWLINE_OPS = {"Td", "TD", "T*", "'", '"'}
 
 
-def _text_from_content(content: bytes) -> str:
+def _text_from_content(content: bytes, fonts: dict | None = None) -> str:
     """Walk a content stream's operand/operator sequence, collecting the
     text-showing operators (pdfminer's interpreter does the same walk;
-    we skip glyph metrics/positioning beyond line breaks)."""
+    we skip glyph metrics/positioning beyond line breaks). ``fonts``
+    maps font resource names to /ToUnicode tables; ``Tf`` switches the
+    active table."""
     out: list[str] = []
     stack: list = []
     pos = 0
     n = len(content)
     in_text = False
+    cmap: dict | None = None
     while True:
         pos = _skip_ws(content, pos)
         if pos >= n:
@@ -395,6 +516,8 @@ def _text_from_content(content: bytes) -> str:
         op = str(obj)
         if op == "BT":
             in_text = True
+        elif op == "Tf" and fonts is not None and len(stack) >= 2:
+            cmap = fonts.get(str(stack[-2]))
         elif op == "ET":
             in_text = False
         elif in_text:
@@ -403,13 +526,13 @@ def _text_from_content(content: bytes) -> str:
             if op in _SHOW_OPS:
                 s = stack[-1] if stack else b""
                 if isinstance(s, bytes):
-                    out.append(_decode_pdf_string(s))
+                    out.append(_decode_pdf_string(s, cmap))
             elif op == "TJ":
                 arr = stack[-1] if stack else []
                 if isinstance(arr, list):
                     for el in arr:
                         if isinstance(el, bytes):
-                            out.append(_decode_pdf_string(el))
+                            out.append(_decode_pdf_string(el, cmap))
         stack.clear()
     return "".join(out)
 
@@ -421,7 +544,9 @@ def extract_pdf_text(buf: bytes) -> str:
     doc = _Document(bytes(buf))
     pages = []
     for num in doc.page_object_numbers():
-        t = _text_from_content(doc.page_content(num)).strip("\n")
+        t = _text_from_content(
+            doc.page_content(num), doc.page_fonts(num)
+        ).strip("\n")
         pages.append(t)
     return "\n\n".join(pages)
 
@@ -440,6 +565,8 @@ def synthesize_pdf(
     compress: bool = True,
     hex_strings: bool = False,
     utf16: bool = False,
+    objstm: bool = False,
+    tounicode: bool = False,
 ) -> bytes:
     """Deterministic classic-xref PDF fixture: one content stream per
     page, each paragraph shown with ``Tj`` and separated by two ``T*``
@@ -447,7 +574,21 @@ def synthesize_pdf(
     carry a Helvetica font resource so pdfminer (when installed) can
     interpret the same bytes. ``hex_strings`` shows paragraphs as hex
     strings, ``utf16`` as BOM-prefixed UTF-16BE (stdlib-reader path;
-    simple-font viewers would need /ToUnicode for these)."""
+    simple-font viewers would need /ToUnicode for these).
+
+    ``objstm=True`` emits the PDF 1.5 layout instead: every dict-only
+    object (catalog, page tree, pages, font) is PACKED into one
+    Flate-compressed ``/Type /ObjStm``, content streams stay top-level,
+    and the cross-reference is a binary ``/Type /XRef`` STREAM
+    (``/W [1 4 2]``, type-1 offset rows for top-level objects, type-2
+    ``(objstm, index)`` rows for packed ones) — no ``trailer`` keyword
+    anywhere, like modern PDF writers produce.
+
+    ``tounicode=True`` emulates a subset-remapped simple font: every
+    shown byte is the character code PLUS ONE, and the font carries a
+    /ToUnicode CMap (bfchar entries) mapping the shifted codes back —
+    raw-byte decoding yields ciphertext, so extraction is only correct
+    if the reader interprets the CMap."""
     objs: dict[int, bytes] = {}
     n_pages = len(pages)
     font_num = 3 + 2 * n_pages
@@ -467,7 +608,10 @@ def synthesize_pdf(
         for j, p in enumerate(paras):
             if j:
                 body += b"T* T*\n"
-            if utf16:
+            if tounicode:
+                shifted = bytes((ord(c) + 1) & 0xFF for c in p)
+                body += b"<" + shifted.hex().encode() + b"> Tj\n"
+            elif utf16:
                 enc = b"\xfe\xff" + p.encode("utf-16-be")
                 body += b"<" + enc.hex().encode() + b"> Tj\n"
             elif hex_strings:
@@ -481,9 +625,33 @@ def synthesize_pdf(
             b"<< " + filt + f"/Length {len(data)} >>".encode()
             + b"\nstream\n" + data + b"\nendstream"
         )
-    objs[font_num] = (
-        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
-    )
+    if tounicode:
+        cmap_num = font_num + 1
+        used = sorted({ord(c) for paras in pages for p in paras for c in p})
+        bfchars = "\n".join(f"<{(c + 1) & 0xFF:02x}> <{c:04x}>" for c in used)
+        cmap_body = (
+            "/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n"
+            "/CMapName /SifterShift1 def\n/CMapType 2 def\n"
+            "1 begincodespacerange\n<00> <ff>\nendcodespacerange\n"
+            f"{len(used)} beginbfchar\n{bfchars}\nendbfchar\n"
+            "endcmap\nCMapName currentdict /CMap defineresource pop\nend\nend"
+        ).encode()
+        zc = zlib.compress(cmap_body)
+        objs[cmap_num] = (
+            f"<< /Filter /FlateDecode /Length {len(zc)} >>".encode()
+            + b"\nstream\n" + zc + b"\nendstream"
+        )
+        objs[font_num] = (
+            f"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+            f"/ToUnicode {cmap_num} 0 R >>"
+        ).encode()
+    else:
+        objs[font_num] = (
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+        )
+
+    if objstm:
+        return _serialize_objstm(objs, n_pages, font_num)
 
     out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets: dict[int, int] = {}
@@ -500,4 +668,65 @@ def synthesize_pdf(
         f"trailer\n<< /Size {size} /Root 1 0 R >>\n"
         f"startxref\n{xref_at}\n%%EOF\n"
     ).encode()
+    return bytes(out)
+
+
+def _serialize_objstm(objs: dict[int, bytes], n_pages: int, font_num: int) -> bytes:
+    """PDF 1.5 serialization: dict-only objects packed into one ObjStm,
+    stream objects top-level, binary XRef stream, no trailer keyword."""
+    packed_nums = [1, 2] + [3 + 2 * i for i in range(n_pages)] + [font_num]
+    stream_nums = sorted(n for n in objs if n not in packed_nums)
+    objstm_num = max(objs) + 1
+    xref_num = objstm_num + 1
+
+    # ObjStm payload: "objnum offset" header pairs, then the objects
+    bodies = [objs[n] + b"\n" for n in packed_nums]
+    offs, acc = [], 0
+    for b in bodies:
+        offs.append(acc)
+        acc += len(b)
+    header = " ".join(
+        f"{n} {o}" for n, o in zip(packed_nums, offs)
+    ).encode() + b"\n"
+    payload = header + b"".join(bodies)
+    z = zlib.compress(payload)
+    objstm_obj = (
+        f"<< /Type /ObjStm /N {len(packed_nums)} /First {len(header)} "
+        f"/Filter /FlateDecode /Length {len(z)} >>".encode()
+        + b"\nstream\n" + z + b"\nendstream"
+    )
+
+    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    for num in stream_nums:
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + objs[num] + b"\nendobj\n"
+    offsets[objstm_num] = len(out)
+    out += f"{objstm_num} 0 obj\n".encode() + objstm_obj + b"\nendobj\n"
+
+    # XRef stream: W [1 4 2]; type 0 = free, 1 = (offset, gen),
+    # 2 = (objstm number, index within it)
+    size = xref_num + 1
+    rows = bytearray()
+
+    def row(t: int, f2: int, f3: int) -> None:
+        rows.extend(bytes([t]) + f2.to_bytes(4, "big") + f3.to_bytes(2, "big"))
+
+    xref_at = len(out)
+    for num in range(size):
+        if num == 0:
+            row(0, 0, 65535)
+        elif num in packed_nums:
+            row(2, objstm_num, packed_nums.index(num))
+        elif num == xref_num:
+            row(1, xref_at, 0)
+        else:
+            row(1, offsets[num], 0)
+    zx = zlib.compress(bytes(rows))
+    out += (
+        f"{xref_num} 0 obj\n<< /Type /XRef /Size {size} /W [1 4 2] "
+        f"/Root 1 0 R /Filter /FlateDecode /Length {len(zx)} >>".encode()
+        + b"\nstream\n" + zx + b"\nendstream\nendobj\n"
+    )
+    out += f"startxref\n{xref_at}\n%%EOF\n".encode()
     return bytes(out)

@@ -609,6 +609,52 @@ def test_ivf_spark_matches_numpy_twin(emb):
         assert got == exp, qv_id
 
 
+def test_ivf_recall_floor(emb):
+    """Recall@10 vs nprobe against exact cosine top-10, 50 queries over
+    the sf0.001 embeddings (16 clusters, 5 Lloyd iters) — the IVF twin
+    of the LSH recall floors. Near-uniform random embeddings are the
+    WORST case for a coarse quantizer (clusters barely separate, so
+    recall ~ tracks the scanned fraction); floors are pinned a little
+    under the measured curve:
+
+        nprobe   1      2      4      8      16
+        recall   0.230  0.378  0.576  0.816  1.000
+        scanned  0.063  0.125  0.252  0.505  1.000
+
+    On clustered data the same machinery reaches ~1.0 recall scanning
+    ~nprobe/k of the corpus (test_ivf_recall_clustered_and_persisted).
+    The numpy emulation is exact for the Spark operator by
+    test_ivf_spark_matches_numpy_twin."""
+    import numpy as np
+
+    rows = emb.select("vec_id", "embedding").orderBy("vec_id").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    M = np.stack([r["embedding"] for r in rows]).astype(np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    sims = Mn @ Mn.T
+    np.fill_diagonal(sims, -2)
+    floors = {1: 0.15, 2: 0.28, 4: 0.45, 8: 0.70, 16: 1.0}
+    measured = {}
+    for nprobe in floors:
+        recs = []
+        for qi in range(50):
+            got, assign = _numpy_ivf(
+                M, ids, k=16, iters=5, seed=42, qi=qi, nprobe=nprobe
+            )
+            top = {v for v, _ in got}
+            exact = set(
+                ids[np.lexsort((ids, -np.round(sims[qi], 4)))[:10]].tolist()
+            )
+            recs.append(len(top & exact) / 10)
+        measured[nprobe] = float(np.mean(recs))
+        assert measured[nprobe] >= floors[nprobe], (nprobe, measured)
+    # more probes never hurt
+    probes = sorted(measured)
+    assert all(
+        measured[a] <= measured[b] + 1e-9 for a, b in zip(probes, probes[1:])
+    ), measured
+
+
 def test_ivf_recall_clustered_and_persisted(spark, tmp_path):
     """On clustered embeddings IVF reaches high recall scanning few
     clusters; the persisted cluster-partitioned layout serves the same
@@ -705,3 +751,32 @@ def test_connected_components(spark, docs, con):
         for r in D.connected_components(chain).collect()
     }
     assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_long_chain_log_rounds(spark):
+    """Adversarial 1,000-doc chain (the templated-spam shape that defeats
+    plain diameter-bound label propagation): pointer jumping must (a)
+    still produce one component labeled by the minimum id and (b)
+    converge in O(log n) rounds, not n."""
+    n = 1000
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    ).repartition(8)
+    labels, rounds = D.connected_components(chain, return_rounds=True)
+    rows = labels.collect()
+    assert len(rows) == n
+    assert {r["component"] for r in rows} == {0}
+    # log2(1000) ~ 10; hook+jump needs a couple extra rounds to settle
+    assert rounds <= 16, rounds
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """Exhausting max_iters without a fixpoint must be LOUD (silent
+    non-minimal labels would break the min-reachable contract)."""
+    import pytest
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.connected_components(chain, max_iters=2)

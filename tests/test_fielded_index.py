@@ -341,3 +341,36 @@ def test_unknown_weight_field_raises(spark, corpus, fielded_dir):
             spark, fielded_dir, "the fast query", {"headline": 2.0},
             top_k=5, buckets=16,
         )
+
+
+def test_auto_cost_model_decisions(spark, corpus, fielded_dir):
+    """The 'auto' cost model picks WAND exactly on the measured-winner
+    shape: >=2 terms, enough total volume, a dominant prunable dense
+    list (small candidate ratio), and candidate spacing within a few
+    codec blocks. All decisions are pure functions of the union-df
+    sidecar — pinned here with synthetic df tables."""
+    from sifter_mrc_search_engine_spark.operators.fielded_index import FieldedSearcher
+
+    s = FieldedSearcher(spark, fielded_dir, buckets=16, preload=True)
+
+    def pick(dfs):
+        s._term_df = {f"t{i}": d for i, d in enumerate(dfs)}
+        return s._pick_method([f"t{i}" for i in range(len(dfs))])
+
+    assert pick([116940]) == "exhaustive"            # single term: no pruning
+    assert pick([101530, 116940]) == "exhaustive"    # head2: dense tie
+    assert pick([653, 1062]) == "exhaustive"         # mid2: tiny volume
+    assert pick([128, 192]) == "exhaustive"          # tail2: tiny volume
+    assert pick([128, 116940]) == "exhaustive"       # head_tail: spacing 914 blocks
+    assert pick([1713, 85914]) == "wand"             # head_mid: measured winner
+    assert pick([175, 791, 101530]) == "wand"        # three_mix: measured winner
+    s._term_df = {}
+    assert s._pick_method(["anything"]) == "exhaustive"  # no sidecar
+
+    # and auto == the fixed methods on real queries (identical results)
+    s2 = FieldedSearcher(spark, fielded_dir, buckets=16, preload=True)
+    w = {"title": 2.0, "content": 1.0}
+    for q in ("the fast query", "window", "spark join merge table"):
+        assert s2.search(q, w, top_k=10, method="auto") == s2.search(
+            q, w, top_k=10, method="exhaustive"
+        )

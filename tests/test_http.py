@@ -127,6 +127,11 @@ def test_post_inference_file_docx_and_pptx(door):
         "up.docx": synthesize_docx(["the quick brown fox paragraph about spark engines"]),
         "up.pptx": synthesize_pptx([["the quick brown fox paragraph about spark engines"]]),
         "up.pdf": synthesize_pdf([["the quick brown fox paragraph about spark engines"]]),
+        # PDF 1.5 layout: catalog/pages packed in an ObjStm, XRef
+        # stream, no trailer keyword — must answer, not 400
+        "up15.pdf": synthesize_pdf(
+            [["the quick brown fox paragraph about spark engines"]], objstm=True
+        ),
     }
     for fname, payload in payloads.items():
         boundary = uuid.uuid4().hex

@@ -75,3 +75,20 @@ def test_materialize_chunks(docs, sf_dir, spark):
     first = got[0][2].split()
     d0 = docs.orderBy("doc_id").first()
     assert len(first) == 512 and len(d0["text"].split()) < 512
+
+
+def test_materialize_chunks_plan_shape(docs):
+    """The r3 version tokenized the corpus 3x per action and joined
+    positions back over a doc_id sort-merge join. Contract now: the
+    returned plan tokenizes the source EXACTLY ONCE, contains no join
+    (start_pos rides the same rows as the token arrays through the
+    window), and shuffles exactly twice — the _pid window exchange and
+    the chunk_id assembly."""
+    from sifter_mrc_search_engine_spark.operators.packing import materialize_chunks
+
+    out = materialize_chunks(docs, budget=512)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("regexp_extract_all") == 1, plan
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") == 2, plan
+    assert "hashpartitioning(chunk_id" in plan, plan

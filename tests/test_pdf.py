@@ -126,7 +126,7 @@ def test_unsupported_filter_and_malformed_raise():
         extract_pdf_text(pdf)
 
 
-def test_objstm_rejected_not_silently_empty():
+def test_malformed_objstm_raises_not_silently_empty():
     data = zlib.compress(b"whatever")
     body = (
         b"1 0 obj\n<< /Type /ObjStm /N 1 /First 5 /Filter /FlateDecode /Length "
@@ -134,6 +134,29 @@ def test_objstm_rejected_not_silently_empty():
     )
     with pytest.raises(PdfError, match="ObjStm"):
         extract_pdf_text(b"%PDF-1.5\n" + body)
+
+
+def test_objstm_pdf15_roundtrip():
+    """PDF 1.5 layout (dict objects packed in an ObjStm, binary XRef
+    stream, no trailer keyword) extracts identically to the classic
+    layout — catalog page order included."""
+    pages = [["alpha paragraph one.", "beta paragraph two."], ["gamma page two."]]
+    modern = synthesize_pdf(pages, objstm=True)
+    assert b"trailer" not in modern and b"/ObjStm" in modern
+    assert extract_pdf_text(modern) == extract_pdf_text(synthesize_pdf(pages))
+
+
+def test_tounicode_cmap_remapped_font():
+    """A subset-remapped simple font (codes shifted +1, /ToUnicode CMap
+    mapping them back): raw-byte decoding yields ciphertext, so a
+    correct extraction PROVES the CMap is interpreted."""
+    pages = [["remapped spark text", "second line"]]
+    pdf = synthesize_pdf(pages, tounicode=True, compress=False)
+    assert b"remapped" not in pdf  # only ciphertext bytes on the wire
+    assert extract_pdf_text(pdf) == "remapped spark text\n\nsecond line"
+    # combined with the 1.5 layout (cmap stream stays top-level)
+    both = synthesize_pdf(pages, tounicode=True, objstm=True)
+    assert extract_pdf_text(both) == "remapped spark text\n\nsecond line"
 
 
 def test_dispatch_routes_pdf():

@@ -124,3 +124,46 @@ def test_near_dup_transitive_vs_pairwise(spark):
     assert kept_tr == [1, 9]
     kept_pw = sorted(r["doc_id"] for r in pw.select("doc_id").collect())
     assert set(kept_tr) <= set(kept_pw)  # transitive is at least as strict
+
+
+def test_prepare_and_index_resume_fingerprint(spark, tmp_path):
+    """A resumed submit with DIFFERENT --input or stage flags must
+    rebuild clean_corpus instead of silently indexing the stale cached
+    one (the build's own input_fingerprint can't catch this — it
+    fingerprints the cached parquet, not what produced it)."""
+    import json
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from jobs.prepare_and_index import main as job_main
+
+    in_a = str(tmp_path / "in_a")
+    in_b = str(tmp_path / "in_b")
+    out = str(tmp_path / "out")
+    spark.createDataFrame(
+        [(i, f"alpha corpus document number {i} with plenty of words") for i in range(8)],
+        "doc_id long, text string",
+    ).write.parquet(in_a)
+    spark.createDataFrame(
+        [(i, f"beta corpus document number {i} with plenty of words") for i in range(5)],
+        "doc_id long, text string",
+    ).write.parquet(in_b)
+
+    job_main(["--input", in_a, "--output", out])
+    audit1 = json.loads(Path(out, "prepare_audit.json").read_text())
+    assert audit1["input"] == 8
+    assert audit1["_prepare_opts"]["input"] == in_a
+
+    # same input + flags -> the cached corpus IS reused (audit untouched)
+    mtime = Path(out, "clean_corpus", "_SUCCESS").stat().st_mtime_ns
+    job_main(["--input", in_a, "--output", out])
+    assert Path(out, "clean_corpus", "_SUCCESS").stat().st_mtime_ns == mtime
+
+    # changed input -> fingerprint mismatch -> corpus + audit rebuilt
+    job_main(["--input", in_b, "--output", out])
+    audit2 = json.loads(Path(out, "prepare_audit.json").read_text())
+    assert audit2["input"] == 5
+    assert audit2["_prepare_opts"]["input"] == in_b
+    texts = {r["text"] for r in spark.read.parquet(f"{out}/clean_corpus").collect()}
+    assert all("beta" in t for t in texts)

@@ -20,6 +20,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 from pyspark.sql import functions as F
 
 from sifter_mrc_search_engine_spark.session import get_spark
+from sifter_mrc_search_engine_spark.functions.analyzer import analyze
 from sifter_mrc_search_engine_spark.operators.fielded_index import (
     FieldedSearcher,
     build_fielded_index,
@@ -83,9 +84,11 @@ def main() -> None:
 
         s = FieldedSearcher(spark, idx_dir, preload=True)
         for name, q in QUERIES.items():
-            for method in ("exhaustive", "wand"):
+            for method in ("exhaustive", "wand", "auto"):
                 ms = p50(lambda: s.search(q, WEIGHTS, top_k=10, method=method)) * 1000
                 out[f"p50_ms_{name}_{method}"] = round(ms, 2)
+            # auto must track the per-shape winner (cost model, not luck)
+            out[f"auto_picks_{name}"] = s._pick_method(sorted(set(analyze(q))))
         # zero-driver-norms serving (the 10^12-doc posture): the full
         # relational plan per query, relations bound once at construction
         sj = FieldedSearcher(spark, idx_dir, norms="join")
