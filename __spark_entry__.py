@@ -147,23 +147,46 @@ def _q_bm25f(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.round("score", 4).alias("score"))
 
 
-def _entry_workdir(kind: str, sf_dir: str):
-    """Deterministic per-(kind, sf_dir) build dir under the system temp
-    root + a completeness marker. Repeated entry invocations — in one
-    process OR across driver/verify processes — reuse the same dir
-    instead of accumulating one mkdtemp per run; a dir without the
-    marker (crashed build) is cleared and rebuilt."""
+def _build_once(kind: str, sf_dir: str, build_fn) -> str:
+    """Deterministic per-(kind, corpus) build dir under the system temp
+    root. Repeated entry invocations — in one process OR across driver/
+    verify processes — reuse the same dir instead of accumulating one
+    mkdtemp per run. The key fingerprints the source parquet's file
+    sizes+mtimes, so regenerated testdata gets a fresh dir instead of a
+    stale index. Publication is an atomic rename of a fully-built
+    staging dir: a dir that EXISTS is complete (no torn half-builds can
+    be cached), and when two processes race, the rename loser discards
+    its copy and reuses the winner's."""
     import hashlib
+    import os
     import shutil
     import tempfile
     from pathlib import Path
 
-    h = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    src = Path(sf_dir, "documents.parquet")
+    if src.is_file():
+        st = src.stat()
+        sig = f"{st.st_size}:{st.st_mtime_ns}"
+    elif src.is_dir():
+        sig = "|".join(
+            f"{p.name}:{p.stat().st_size}:{p.stat().st_mtime_ns}"
+            for p in sorted(src.rglob("*"))
+            if p.is_file()
+        )
+    else:
+        sig = "missing"
+    h = hashlib.md5(f"{sf_dir}|{sig}".encode()).hexdigest()[:12]
     d = Path(tempfile.gettempdir()) / f"sifter_entry_{kind}_{h}"
-    marker = d / "_ENTRY_BUILD_DONE"
-    if d.exists() and not marker.exists():
-        shutil.rmtree(d, ignore_errors=True)
-    return str(d), marker
+    if d.exists():
+        return str(d)
+    tmp = Path(f"{d}.build.{os.getpid()}")
+    shutil.rmtree(tmp, ignore_errors=True)
+    build_fn(str(tmp))
+    try:
+        os.rename(tmp, d)
+    except OSError:  # another process published first — use theirs
+        shutil.rmtree(tmp, ignore_errors=True)
+    return str(d)
 
 
 #: fielded-index memo: build once per sf_dir per process (the harness may
@@ -182,16 +205,15 @@ def _q_bm25f_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     if sf_dir not in _FIELDED_IDX_MEMO:
-        d, marker = _entry_workdir("fielded", sf_dir)
-        if not marker.exists():
+        def _build(d: str) -> None:
             two_field = _docs(spark, sf_dir).select(
                 "doc_id",
                 F.concat_ws(" ", F.slice(F.split("text", " "), 1, 8)).alias("title"),
                 F.col("text").alias("content"),
             )
             build_fielded_index(two_field, ["title", "content"], d, buckets=16)
-            marker.write_text("1")
-        _FIELDED_IDX_MEMO[sf_dir] = d
+
+        _FIELDED_IDX_MEMO[sf_dir] = _build_once("fielded", sf_dir, _build)
     out = search_bm25f(
         spark, _FIELDED_IDX_MEMO[sf_dir], FLAGSHIP_QUESTION, _BM25F_WEIGHTS,
         top_k=10, buckets=16,
@@ -226,8 +248,7 @@ def _q_bm25f_multisegment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     if sf_dir not in _FIELDED_SEG_DIRS:
-        d, marker = _entry_workdir("fseg", sf_dir)
-        if not marker.exists():
+        def _build(d: str) -> None:
             two_field = _docs(spark, sf_dir).select(
                 "doc_id",
                 F.concat_ws(" ", F.slice(F.split("text", " "), 1, 8)).alias("title"),
@@ -240,8 +261,8 @@ def _q_bm25f_multisegment(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ["title", "content"], seg, buckets=16,
                 )
                 (Path(seg) / "_SEGMENT_COMMITTED").write_text("1")
-            marker.write_text("1")
-        _FIELDED_SEG_DIRS[sf_dir] = d
+
+        _FIELDED_SEG_DIRS[sf_dir] = _build_once("fseg", sf_dir, _build)
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _FIELDED_SEG_MEMO:
         _FIELDED_SEG_MEMO[key] = FieldedMultiSegmentSearcher(
@@ -402,8 +423,7 @@ def _q_bm25_multisegment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     if sf_dir not in _SEG_DIRS:
-        d, marker = _entry_workdir("seg", sf_dir)
-        if not marker.exists():
+        def _build(d: str) -> None:
             docs = _docs(spark, sf_dir)
             for par in (0, 1):
                 _write_segment(
@@ -411,8 +431,8 @@ def _q_bm25_multisegment(spark: SparkSession, sf_dir: str) -> DataFrame:
                     f"{d}/segments/seg={par}",
                     buckets=16,
                 )
-            marker.write_text("1")
-        _SEG_DIRS[sf_dir] = d
+
+        _SEG_DIRS[sf_dir] = _build_once("seg", sf_dir, _build)
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _SEG_MEMO:
         _SEG_MEMO[key] = MultiSegmentSearcher(

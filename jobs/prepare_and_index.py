@@ -23,8 +23,6 @@ from __future__ import annotations
 import argparse
 import json
 import sys
-from pathlib import Path
-
 from pyspark.sql import SparkSession
 
 
@@ -45,11 +43,23 @@ def main(argv=None) -> None:
     args = ap.parse_args(argv)
 
     from sifter_mrc_search_engine_spark.plans.checkpoint import build_index_resumable
-    from sifter_mrc_search_engine_spark.plans.prepare import prepare_corpus
+    from sifter_mrc_search_engine_spark.plans.prepare import (
+        materialize_prepared_corpus,
+        prepare_corpus,
+    )
 
     # only stop the session if THIS job created it (in-process callers —
-    # tests, notebooks — keep theirs)
-    owns_session = SparkSession.getActiveSession() is None
+    # tests, notebooks — keep theirs). getOrCreate() reuses the
+    # process-wide DEFAULT session even when no session is active on
+    # this thread, so check both.
+    get_default = getattr(SparkSession, "getDefaultSession", None)
+    default_session = (
+        get_default() if callable(get_default)
+        else getattr(SparkSession, "_instantiatedSession", None)
+    )
+    owns_session = (
+        SparkSession.getActiveSession() is None and default_session is None
+    )
     spark = SparkSession.builder.appName("sifter-prepare-and-index").getOrCreate()
     pages = spark.read.parquet(args.input)
 
@@ -67,14 +77,13 @@ def main(argv=None) -> None:
     # materialize the cleaned corpus ONCE: audit, doclens, and the index
     # encode each consume it, and without this the extraction + dedup
     # window + LSH join would replay per consumer (and again per resumed
-    # submit)
-    clean_dir = f"{args.output}/clean_corpus"
-    audit_path = Path(args.output, "prepare_audit.json")
-    # fingerprint of the RAW input + every prepare option: a resumed
-    # submit that changed --input or any stage flag must NOT silently
-    # index the stale cached corpus (the index build's own
-    # input_fingerprint can't catch this — it fingerprints the cached
-    # parquet, not what produced it)
+    # submit). Resume safety — the fingerprint of the raw input + every
+    # stage flag, plus stale-derived-artifact clearing — lives in
+    # materialize_prepared_corpus. --buckets IS fingerprinted (resuming
+    # with a different count would otherwise skip the build and serve an
+    # index whose partition hashing disagrees with the searcher's);
+    # --max-buckets is NOT (it only limits per-run progress, never the
+    # final artifacts).
     prepare_opts = {
         "input": args.input,
         "html": args.html,
@@ -85,30 +94,12 @@ def main(argv=None) -> None:
         "bench": args.bench,
         "id_col": args.id_col,
         "text_col": args.text_col,
+        "buckets": args.buckets,
     }
-    cached_opts = None
-    if audit_path.exists():
-        cached_opts = json.loads(audit_path.read_text()).get("_prepare_opts")
-    reusable = Path(clean_dir, "_SUCCESS").exists() and cached_opts == prepare_opts
-    if not reusable:  # fresh submit, crashed write, or changed inputs/flags
-        if cached_opts is not None and cached_opts != prepare_opts:
-            # the cached corpus came from DIFFERENT inputs/flags: any
-            # index state in this output dir derives from it and is
-            # stale too — clear it so the build starts fresh instead of
-            # refusing on its own input-fingerprint check
-            import shutil
-
-            for stale in ("postings", "doclens", "_manifest.jsonl", "stats.json"):
-                p = Path(args.output, stale)
-                shutil.rmtree(p, ignore_errors=True) if p.is_dir() else p.unlink(
-                    missing_ok=True
-                )
-        clean.write.mode("overwrite").parquet(clean_dir)
-        audit_row = audit.collect()[0].asDict() | {"_prepare_opts": prepare_opts}
-        audit_path.write_text(json.dumps(audit_row))
-    else:
-        audit_row = json.loads(audit_path.read_text())
-    clean = spark.read.parquet(clean_dir)
+    clean, audit_row = materialize_prepared_corpus(
+        spark, clean, audit, args.output, prepare_opts,
+        stale_paths=("postings", "doclens", "_manifest.jsonl", "stats.json"),
+    )
 
     result = build_index_resumable(
         clean,

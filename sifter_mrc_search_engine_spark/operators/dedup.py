@@ -557,6 +557,10 @@ def connected_components(
     labels = base.select("doc_id", F.col("doc_id").alias("component")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    labels_is_persisted = True  # round-1 labels only; later rounds are
+    # localCheckpoints, for which Dataset.unpersist() is a no-op — their
+    # checkpoint RDDs free when the old DataFrame reference drops (py4j
+    # finalizer -> ContextCleaner), which the reassignment below does
     converged = False
     rounds = 0
     try:
@@ -616,7 +620,9 @@ def connected_components(
                 .count()
             )
             hooked.unpersist()
-            labels.unpersist()
+            if labels_is_persisted:
+                labels.unpersist()
+                labels_is_persisted = False
             labels = new
             if changed == 0:
                 converged = True

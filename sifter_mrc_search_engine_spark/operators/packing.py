@@ -43,12 +43,16 @@ def _positions_from_counts(
     bounds_src: DataFrame,
     partitions: int | None,
 ) -> DataFrame:
-    """The two-phase distributed exclusive prefix sum over a
-    ``(doc_id, n_tokens)`` frame -> adds ``start_pos``.
+    """The two-phase distributed exclusive prefix sum over a frame with
+    ``doc_id`` and ``n_tokens`` columns -> adds ``start_pos``. Any extra
+    columns (e.g. the token arrays) ride through on the SAME rows — the
+    window needs no join to attach positions to payload.
 
     ``bounds_src`` supplies the doc_id sample for the frozen bucket
     boundaries (pass the raw source so the quantile job is a
-    column-pruned scan that never tokenizes).
+    column-pruned scan that never tokenizes). The phase-1 totals
+    aggregate is column-pruned by Catalyst, so extra payload columns
+    cost nothing there.
     """
     spark = counts.sparkSession
     n_part = partitions or max(
@@ -86,7 +90,7 @@ def _positions_from_counts(
         F.element_at(off, F.col("_pid")) + F.sum("n_tokens").over(w)
         - F.col("n_tokens")
     )
-    return t.select("doc_id", "n_tokens", start.alias("start_pos"))
+    return t.select(*counts.columns, start.alias("start_pos"))
 
 
 def pack_token_stream(
@@ -155,52 +159,19 @@ def materialize_chunks(
       restored by array_sort on (global position, piece) —
       deterministic, not shuffle-order-dependent.
     """
-    spark = docs.sparkSession
-    n_part = partitions or max(
-        int(spark.conf.get("spark.sql.shuffle.partitions", "32")) // 2, 2
-    )
-    qs = [i / n_part for i in range(1, n_part)]
-    bounds = (
-        sorted(set(docs.select("doc_id").stat.approxQuantile("doc_id", qs, 0.001)))
-        if qs else []
-    )
-    pid_expr = F.lit(0)
-    for bnd in bounds:
-        pid_expr = pid_expr + (F.col("doc_id") > F.lit(int(bnd))).cast("int")
-    # phase 1: tiny per-bucket totals -> exclusive offsets (driver);
-    # a narrow tokenize+aggregate job, nothing corpus-sized moves
     counts = docs.select(
-        F.size(tokenize_expr(text_col)).cast("long").alias("n"),
-        pid_expr.alias("_pid"),
-    )
-    sums = {
-        r["_pid"]: int(r["s"])
-        for r in counts.groupBy("_pid").agg(F.sum("n").alias("s")).collect()
-    }
-    offsets, acc = {}, 0
-    for pid in sorted(sums):
-        offsets[pid] = acc
-        acc += sums[pid]
-    off = F.create_map(
-        *[F.lit(x) for pid in sorted(offsets) for x in (pid, offsets[pid])]
-    )
-    toks_df = docs.select(
-        "doc_id", tokenize_expr(text_col).alias("_tk")
-    ).withColumn("_pid", pid_expr)
-    w = Window.partitionBy("_pid").orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    n_col = F.size("_tk").cast("long")
-    start = (
-        F.element_at(off, F.col("_pid"))
-        + F.sum(n_col).over(w)
-        - n_col
-    )
+        "doc_id",
+        tokenize_expr(text_col).alias("_tk"),
+    ).withColumn("n_tokens", F.size("_tk").cast("long"))
     b = F.lit(int(budget))
     placed = (
-        toks_df.withColumn("p", start)
-        .filter(F.size("_tk") > 0)
-        .select("_tk", "p", n_col.alias("n"))
+        _positions_from_counts(counts, docs, partitions)
+        .filter(F.col("n_tokens") > 0)
+        .select(
+            "_tk",
+            F.col("start_pos").alias("p"),
+            F.col("n_tokens").alias("n"),
+        )
     )
     pieces = placed.select(
         "_tk", "p", "n",

@@ -379,10 +379,9 @@ def ann_topk_multi(
     recall trade); here all tables ride one scan as an array column.
 
     A missing ``query_vec_id`` (or an empty table) returns an empty
-    ``(vec_id, cos)`` frame, mirroring :func:`ivf_topk`.
+    ``(vec_id, cos)`` frame, mirroring :func:`ivf_topk` (the one qrow
+    lookup covers both cases — ``multi_table_bucket_ids`` is empty-safe).
     """
-    if embeddings.select("vec_id").limit(1).first() is None:
-        return embeddings.sparkSession.createDataFrame([], "vec_id long, cos double")
     b = multi_table_bucket_ids(embeddings, n_planes, n_tables, seed)
     qrow = b.filter(F.col("vec_id") == query_vec_id).select("buckets", "embedding").first()
     if qrow is None:

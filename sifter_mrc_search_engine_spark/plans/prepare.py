@@ -144,3 +144,47 @@ def prepare_corpus(
             clean.agg(F.count(F.lit(1)).alias("after_decontamination"))
         )
     return clean, audit
+
+
+def materialize_prepared_corpus(
+    spark,
+    clean: DataFrame,
+    audit: DataFrame,
+    output: str,
+    prepare_opts: dict,
+    stale_paths: tuple = (),
+):
+    """Write ``<output>/clean_corpus`` + ``prepare_audit.json`` ONCE and
+    return ``(clean_from_disk, audit_row)``. A resumed run reuses the
+    cached corpus only when the recorded fingerprint of the RAW input +
+    every prepare option matches ``prepare_opts``; on mismatch the
+    corpus AND every path in ``stale_paths`` (derived artifacts: index
+    state, chunk exports…) are cleared and rebuilt — a submit that
+    changed ``--input`` or a stage flag must never silently consume the
+    previous run's corpus (the downstream builds' own fingerprints
+    can't catch it: they fingerprint the cached parquet, not what
+    produced it)."""
+    import json as _json
+    import shutil as _shutil
+    from pathlib import Path as _Path
+
+    clean_dir = f"{output}/clean_corpus"
+    audit_path = _Path(output, "prepare_audit.json")
+    cached_opts = None
+    if audit_path.exists():
+        cached_opts = _json.loads(audit_path.read_text()).get("_prepare_opts")
+    reusable = _Path(clean_dir, "_SUCCESS").exists() and cached_opts == prepare_opts
+    if not reusable:  # fresh run, crashed write, or changed inputs/flags
+        if cached_opts is not None and cached_opts != prepare_opts:
+            for stale in stale_paths:
+                p = _Path(output, stale)
+                if p.is_dir():
+                    _shutil.rmtree(p, ignore_errors=True)
+                else:
+                    p.unlink(missing_ok=True)
+        clean.write.mode("overwrite").parquet(clean_dir)
+        audit_row = audit.collect()[0].asDict() | {"_prepare_opts": prepare_opts}
+        audit_path.write_text(_json.dumps(audit_row))
+    else:
+        audit_row = _json.loads(audit_path.read_text())
+    return spark.read.parquet(clean_dir), audit_row

@@ -454,34 +454,43 @@ _HEX_RE = re.compile(rb"<([0-9A-Fa-f]+)>")
 def _parse_tounicode(cmap_bytes: bytes) -> dict:
     """``{byte_code: unicode_str}`` from a /ToUnicode CMap's bfchar and
     bfrange sections. Single-byte source codes only (2-hex-digit src
-    strings); destinations are UTF-16BE per the CMap spec. Multi-byte
-    codespaces return {} -> the caller falls back to raw decoding."""
+    strings); destinations are UTF-16BE per the CMap spec. Anything the
+    subset grammar can't handle — multi-byte codespaces, array-form
+    bfrange, malformed/overflowing hex — returns {} so the caller falls
+    back to raw-byte decoding (a broken CMap must degrade the text, not
+    crash per-document ingestion with a non-PdfError)."""
     out: dict = {}
 
     def dst_str(hx: bytes) -> str:
-        return bytes.fromhex(hx.decode()).decode("utf-16-be", errors="replace")
+        s = hx.decode()
+        if len(s) % 2:  # odd-width dst (or an increment that overflowed
+            s = "0" + s  # the declared width): pad, don't raise
+        return bytes.fromhex(s).decode("utf-16-be", errors="replace")
 
-    for m in _BFCHAR_RE.finditer(cmap_bytes):
-        toks = _HEX_RE.findall(m.group(1))
-        for src, dst in zip(toks[::2], toks[1::2]):
-            if len(src) != 2:
+    try:
+        for m in _BFCHAR_RE.finditer(cmap_bytes):
+            toks = _HEX_RE.findall(m.group(1))
+            for src, dst in zip(toks[::2], toks[1::2]):
+                if len(src) != 2:
+                    return {}
+                out[int(src, 16)] = dst_str(dst)
+        for m in _BFRANGE_RE.finditer(cmap_bytes):
+            body = m.group(1)
+            # triples <lo> <hi> <dstlo>; the [array-destination] form is
+            # rare in simple fonts and unsupported (whole cmap rejected
+            # so decoding stays all-or-nothing)
+            if b"[" in body:
                 return {}
-            out[int(src, 16)] = dst_str(dst)
-    for m in _BFRANGE_RE.finditer(cmap_bytes):
-        body = m.group(1)
-        # triples <lo> <hi> <dstlo>; the [array-destination] form is
-        # rare in simple fonts and unsupported (whole cmap rejected so
-        # decoding stays all-or-nothing)
-        if b"[" in body:
-            return {}
-        toks = _HEX_RE.findall(body)
-        for lo, hi, dst in zip(toks[::3], toks[1::3], toks[2::3]):
-            if len(lo) != 2 or len(hi) != 2:
-                return {}
-            base = int(dst, 16)
-            width = len(dst)
-            for c in range(int(lo, 16), int(hi, 16) + 1):
-                out[c] = dst_str(f"{base + c - int(lo, 16):0{width}x}".encode())
+            toks = _HEX_RE.findall(body)
+            for lo, hi, dst in zip(toks[::3], toks[1::3], toks[2::3]):
+                if len(lo) != 2 or len(hi) != 2:
+                    return {}
+                base = int(dst, 16)
+                width = len(dst)
+                for c in range(int(lo, 16), int(hi, 16) + 1):
+                    out[c] = dst_str(f"{base + c - int(lo, 16):0{width}x}".encode())
+    except ValueError:
+        return {}
     return out
 
 

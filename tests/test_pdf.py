@@ -215,3 +215,22 @@ def test_indirect_contents_array():
     pdf += b"5 0 obj\n[4 0 R]\nendobj\n"
     pdf += b"trailer\n<< /Size 6 /Root 1 0 R >>\n%%EOF\n"
     assert extract_pdf_text(bytes(pdf)) == "indirect contents array text"
+
+
+def test_malformed_tounicode_degrades_to_raw_bytes():
+    """A CMap whose bfrange increment overflows its declared hex width
+    (or any malformed hex) must NOT escape as a bare ValueError: the
+    cmap is discarded and text decodes as raw bytes."""
+    from sifter_mrc_search_engine_spark.sources.pdf import _parse_tounicode
+
+    # <00> <ff> <80>: codes >= 0x80 overflow the 2-digit dst width
+    overflowing = (
+        b"1 beginbfrange\n<00> <ff> <80>\nendbfrange\n"
+    )
+    m = _parse_tounicode(overflowing)
+    # parse survives; overflowed entries pad (and replace) instead of
+    # raising — every code in the range maps to SOME string
+    assert set(m) == set(range(0x100))
+    assert all(isinstance(v, str) for v in m.values())
+    # genuinely malformed hex -> whole cmap rejected, not an exception
+    assert _parse_tounicode(b"1 beginbfchar\n<zz> <0041>\nendbfchar\n") == {}

@@ -167,3 +167,87 @@ def test_prepare_and_index_resume_fingerprint(spark, tmp_path):
     assert audit2["_prepare_opts"]["input"] == in_b
     texts = {r["text"] for r in spark.read.parquet(f"{out}/clean_corpus").collect()}
     assert all("beta" in t for t in texts)
+
+
+def test_prepare_and_index_resume_bucket_change_rebuilds(spark, tmp_path):
+    """--buckets shapes the index partition hashing: a resumed submit
+    with a different count must rebuild, not silently serve an index
+    whose hash(term) %% buckets disagrees with the searcher's."""
+    import json
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from jobs.prepare_and_index import main as job_main
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    spark.createDataFrame(
+        [(i, f"gamma corpus document number {i} with plenty of words") for i in range(6)],
+        "doc_id long, text string",
+    ).write.parquet(inp)
+    job_main(["--input", inp, "--output", out, "--buckets", "8"])
+    assert json.loads(Path(out, "prepare_audit.json").read_text())[
+        "_prepare_opts"]["buckets"] == 8
+    job_main(["--input", inp, "--output", out, "--buckets", "4"])
+    audit = json.loads(Path(out, "prepare_audit.json").read_text())
+    assert audit["_prepare_opts"]["buckets"] == 4
+    # the rebuilt index really has the new bucket count end to end
+    import pyspark.sql.functions as F
+
+    p = spark.read.parquet(f"{out}/postings")
+    assert p.select(F.max("bucket")).first()[0] < 4
+
+
+def test_make_training_data_job(spark, tmp_path, capsys):
+    """One submit: gated corpus -> packed chunks (+ NSP pairs + MLM
+    masks), resumable per export, fingerprint-guarded like
+    prepare_and_index."""
+    import json
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from jobs.make_training_data import main as job_main
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    spark.createDataFrame(
+        [
+            (i, "the corpus sentence number one has words. "
+                f"and sentence two follows it with more words {i}.")
+            for i in range(12)
+        ],
+        "doc_id long, text string",
+    ).write.parquet(inp)
+
+    job_main(["--input", inp, "--output", out, "--budget", "32",
+              "--nsp", "--mlm"])
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["audit"]["input"] == 12
+    assert summary["exports"]["chunks"] > 1      # cross-doc packing happened
+    assert summary["exports"]["nsp_pairs"] >= 12  # one pair per lead sentence
+    assert summary["exports"]["mlm"] == 12
+
+    chunks = spark.read.parquet(f"{out}/chunks")
+    assert set(chunks.columns) == {"chunk_id", "n_tokens", "chunk_text"}
+    sizes = [r["n_tokens"] for r in chunks.orderBy("chunk_id").collect()]
+    assert all(s == 32 for s in sizes[:-1]) and 0 < sizes[-1] <= 32
+    pairs = spark.read.parquet(f"{out}/nsp_pairs")
+    assert set(pairs.columns) >= {"first", "second", "label"}
+    assert {r["label"] for r in pairs.collect()} <= {0, 1}
+
+    # re-run with the same flags: every export reused (markers present)
+    mt = Path(out, "chunks", "_SUCCESS").stat().st_mtime_ns
+    job_main(["--input", inp, "--output", out, "--budget", "32",
+              "--nsp", "--mlm"])
+    assert Path(out, "chunks", "_SUCCESS").stat().st_mtime_ns == mt
+
+    # changed budget -> fingerprint mismatch -> chunks rebuilt
+    job_main(["--input", inp, "--output", out, "--budget", "16",
+              "--nsp", "--mlm"])
+    sizes16 = [
+        r["n_tokens"]
+        for r in spark.read.parquet(f"{out}/chunks").orderBy("chunk_id").collect()
+    ]
+    assert all(s == 16 for s in sizes16[:-1])
