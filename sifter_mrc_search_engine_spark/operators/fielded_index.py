@@ -430,6 +430,192 @@ def bm25f_wand_topk(
     return [(-nd, s) for s, nd in out]
 
 
+def exact_union_df(rows) -> dict:
+    """Exact per-term union document frequency over the QUERIED fields,
+    derived from fetched field-prefixed postings rows (one vectorized
+    ids decode per row; doc-disjoint pieces — salted hot terms, stream
+    segments — concatenate before the unique, so the count stays exact)."""
+    import numpy as np
+
+    from .postings_codec import decode_postings
+
+    ids_by_term: dict[str, list] = {}
+    for r in rows:
+        _, term = r["term"].split(FIELD_SEP, 1)
+        ids, _tfs = decode_postings(
+            gaps=bytes(r["gaps"]), tfs=bytes(r["tfs"]), n=int(r["n"]),
+            skips=bytes(r["skips"]), block_size=int(r["block_size"]),
+        )
+        ids_by_term.setdefault(term, []).append(ids)
+    return {
+        t: int(np.unique(np.concatenate(parts)).size)
+        for t, parts in ids_by_term.items()
+    }
+
+
+def bm25f_exhaustive_topk(
+    rows,
+    weights: Mapping[str, float],
+    flen: Mapping[str, Mapping[int, int]],
+    n_docs: int,
+    avg_wdl: float,
+    top_k: int = DEFAULT_TOP_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+):
+    """Vectorized full-decode BM25F kernel over fetched field-prefixed
+    postings rows — the driver twin of the relational plan, shared by
+    ``FieldedSearcher(preload)`` and
+    ``FieldedMultiSegmentSearcher(preload)``. Multiple rows per
+    (field, term) (salted hot terms, doc-disjoint stream segments)
+    concatenate before the unique/df step, so multi-segment df is exact
+    and each doc's per-field accumulation order stays (field-ascending)
+    — rank- and score-identical to ``bm25f_brute_force``."""
+    import numpy as np
+
+    from .postings_codec import decode_postings
+
+    names = sorted(weights)
+    by_term: dict[str, list] = {}
+    for r in rows:
+        field, term = r["term"].split(FIELD_SEP, 1)
+        by_term.setdefault(term, []).append((field, r))
+    acc: dict[int, float] = {}
+    for term in sorted(by_term):  # ascending-term float64 order
+        ids_parts, val_parts = [], []
+        for field, r in sorted(by_term[term], key=lambda x: x[0]):
+            ids, tfs = decode_postings(
+                gaps=bytes(r["gaps"]), tfs=bytes(r["tfs"]), n=int(r["n"]),
+                skips=bytes(r["skips"]), block_size=int(r["block_size"]),
+            )
+            ids_parts.append(ids)
+            val_parts.append(float(weights[field]) * tfs.astype(np.float64))
+        all_ids = np.concatenate(ids_parts)
+        all_vals = np.concatenate(val_parts)
+        uniq, inv = np.unique(all_ids, return_inverse=True)
+        wtf = np.zeros(uniq.size, dtype=np.float64)
+        np.add.at(wtf, inv, all_vals)
+        df = uniq.size
+        idf = float(np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)))
+        wdl = np.fromiter(
+            (
+                sum(float(weights[f]) * flen.get(f, {}).get(int(d), 0) for f in names)
+                for d in uniq
+            ),
+            dtype=np.float64,
+            count=uniq.size,
+        )
+        contrib = idf * wtf * (k1 + 1.0) / (
+            wtf + k1 * ((1.0 - b) + (b * wdl) / avg_wdl)
+        )
+        for d, c in zip(uniq.tolist(), contrib.tolist()):
+            acc[d] = acc.get(d, 0.0) + c
+    hits = sorted(acc.items(), key=lambda it: (-it[1], it[0]))[:top_k]
+    return [(int(d), float(s)) for d, s in hits]
+
+
+#: cost-model constants, fitted to p50 measurements on the 120k-doc
+#: two-field pages corpus (8 query shapes, tools/bench_bm25f.py) —
+#: the ONE source of truth for every preloaded BM25F serving head
+AUTO_SUM_MIN = 20_000  # exhaustive under ~50 ms anyway below this
+AUTO_RATIO_MAX = 0.05  # candidates / total postings: need a dominant prunable list
+AUTO_SPACING_MAX = 512  # max_df / candidates: seek-landing block decodes must amortize
+AUTO_NCAND_MAX = 8_000  # Python pivot loop ~60-220 us/candidate: past this the
+# vectorized kernel wins at any ratio (measured at 2.4M docs: head_mid
+# has ncand~34k and WAND lost 7.6 s vs ~5 s despite ratio 0.02)
+
+
+def pick_bm25f_method(
+    term_df: Mapping[str, int],
+    qterms: list,
+    sum_min: int = AUTO_SUM_MIN,
+    ratio_max: float = AUTO_RATIO_MAX,
+    spacing_max: int = AUTO_SPACING_MAX,
+    ncand_max: int = AUTO_NCAND_MAX,
+) -> str:
+    """Cost-model 'auto' for driver-side BM25F serving — see
+    :meth:`FieldedSearcher._pick_method` for the measured physics of the
+    conditions. Pure function of the union-df sidecar."""
+    if not term_df:
+        return "exhaustive"
+    dfs = sorted(d for d in (term_df.get(t, 0) for t in qterms) if d > 0)
+    if len(dfs) < 2:
+        return "exhaustive"
+    total = sum(dfs)
+    ncand = total - dfs[-1]
+    if ncand == 0 or total < sum_min:
+        return "exhaustive"
+    if ncand > ncand_max:
+        return "exhaustive"
+    if ncand / total > ratio_max:
+        return "exhaustive"
+    if dfs[-1] / ncand > spacing_max:
+        return "exhaustive"
+    return "wand"
+
+
+def weighted_avg_dl(len_sums: Mapping[str, int], n_docs: int, weights) -> float:
+    """Mean over ALL docs of the per-doc weighted length, from exact
+    integer per-field totals: Σ_f w_f·sum_f / n_docs (divide by the
+    FULL corpus count — all-empty docs have no doclens rows but still
+    count toward the mean)."""
+    total = sum(float(w) * len_sums.get(f, 0) for f, w in sorted(weights.items()))
+    return total / max(int(n_docs), 1)
+
+
+def serve_bm25f_preload(
+    question: str,
+    weights: Mapping[str, float],
+    fetch_rows,
+    term_df: Mapping[str, int],
+    flen: Mapping[str, Mapping[int, int]],
+    fields,
+    n_docs: int,
+    avg_wdl: float,
+    top_k: int = DEFAULT_TOP_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    method: str = "auto",
+):
+    """Shared driver-side dispatch for driver-kernel BM25F serving — the
+    ONE place that validates fields, analyzes the question, routes
+    'auto' through the cost model and picks exact-union-df vs the
+    sidecar (``FieldedSearcher`` and ``FieldedMultiSegmentSearcher`` are
+    thin wrappers; a fix here fixes both). ``fetch_rows(fterms)``
+    returns the field-prefixed postings rows — a dict lookup when
+    preloaded, one batched pruned collect in scan mode."""
+    names = sorted(weights)
+    unknown = [f for f in names if f not in fields]
+    if unknown:
+        raise ValueError(
+            f"weights name unindexed fields {unknown}; this index has "
+            f"{list(fields)}"
+        )
+    qterms = sorted(set(analyze(question)))
+    if not qterms:
+        return []
+    if method == "auto":
+        method = pick_bm25f_method(term_df, qterms)
+    fterms = [f"{f}{FIELD_SEP}{t}" for f in names for t in qterms]
+    rows = fetch_rows(fterms)
+    if method == "wand":
+        if set(names) == set(fields) and term_df:
+            # sidecar df IS the union df when every field is queried
+            df_by_term = term_df
+        else:
+            # weights cover a SUBSET of indexed fields (or no complete
+            # sidecar): derive the exact union df over the queried
+            # fields from the fetched rows
+            df_by_term = exact_union_df(rows)
+        return bm25f_wand_topk(
+            rows, weights, flen, n_docs, avg_wdl, df_by_term,
+            top_k=top_k, k1=k1, b=b,
+        )
+    return bm25f_exhaustive_topk(
+        rows, weights, flen, n_docs, avg_wdl, top_k=top_k, k1=k1, b=b
+    )
+
+
 class FieldedSearcher:
     """Low-latency BM25F serving over a persisted fielded index.
 
@@ -501,23 +687,19 @@ class FieldedSearcher:
         bit-equality contract), since both totals are then exact."""
         key = tuple(sorted((k, float(v)) for k, v in weights.items()))
         if key not in self._avg_wdl_memo:
-            total = sum(
-                float(w) * self._len_sum.get(f, 0)
-                for f, w in sorted(weights.items())
+            self._avg_wdl_memo[key] = weighted_avg_dl(
+                self._len_sum, self.n_docs, weights
             )
-            # divide by the FULL corpus count (the brute-force oracle's
-            # count(*)), not the doclens row count — all-empty docs have
-            # no doclens rows but still count toward the mean
-            self._avg_wdl_memo[key] = total / max(self.n_docs, 1)
         return self._avg_wdl_memo[key]
 
-    #: cost-model constants, fitted to p50 measurements on the 120k-doc
-    #: two-field pages corpus (8 query shapes, tools/bench_bm25f.py):
-    #: WAND's doc-at-a-time Python loop only beats the vectorized
-    #: exhaustive kernel when ALL three hold.
-    _AUTO_SUM_MIN = 20_000  # exhaustive under ~50 ms anyway below this
-    _AUTO_RATIO_MAX = 0.05  # candidates / total postings: need a dominant prunable list
-    _AUTO_SPACING_MAX = 512  # max_df / candidates: seek-landing block decodes must amortize
+    #: aliases of the module-level fitted constants (the ONE source of
+    #: truth shared with FieldedMultiSegmentSearcher via
+    #: pick_bm25f_method's defaults) — kept as class attrs so a subclass
+    #: can retune one serving head without forking the function
+    _AUTO_SUM_MIN = AUTO_SUM_MIN
+    _AUTO_RATIO_MAX = AUTO_RATIO_MAX
+    _AUTO_SPACING_MAX = AUTO_SPACING_MAX
+    _AUTO_NCAND_MAX = AUTO_NCAND_MAX
 
     def _pick_method(self, qterms: list[str]) -> str:
         """Cost-model 'auto': choose WAND only for shapes where it
@@ -540,25 +722,23 @@ class FieldedSearcher:
           even though the pivot is maximally selective
         * sum(df) floor: below it the exhaustive decode is a few ms —
           not worth any risk (mid2: 4 ms vs 26 ms)
+        * absolute candidate cap: the pivot loop costs ~60-220 us of
+          Python per candidate regardless of ratio, so past ~8k
+          candidates the vectorized kernel wins at ANY corpus size
+          (measured at 2.4M docs: head_mid ncand~34k, WAND 7.6 s vs
+          ~5 s despite ratio 0.02)
 
         Fitted outcomes at 120k docs: head_mid 108 vs 199 ms and
         three_mix 134 vs 272 ms pick WAND; the other six shapes pick
-        exhaustive. ratio/spacing are scale-free; the sum floor is an
-        absolute-latency cutoff."""
-        if not self._term_df:
-            return "exhaustive"
-        dfs = sorted(d for d in (self._term_df.get(t, 0) for t in qterms) if d > 0)
-        if len(dfs) < 2:
-            return "exhaustive"
-        total = sum(dfs)
-        ncand = total - dfs[-1]
-        if ncand == 0 or total < self._AUTO_SUM_MIN:
-            return "exhaustive"
-        if ncand / total > self._AUTO_RATIO_MAX:
-            return "exhaustive"
-        if dfs[-1] / ncand > self._AUTO_SPACING_MAX:
-            return "exhaustive"
-        return "wand"
+        exhaustive. ratio/spacing are scale-free; the sum floor and
+        candidate cap are absolute-cost cutoffs."""
+        return pick_bm25f_method(
+            self._term_df, qterms,
+            sum_min=self._AUTO_SUM_MIN,
+            ratio_max=self._AUTO_RATIO_MAX,
+            spacing_max=self._AUTO_SPACING_MAX,
+            ncand_max=self._AUTO_NCAND_MAX,
+        )
 
     def _rows_for(self, fterms: list[str]) -> list:
         if self._mem is not None:
@@ -587,10 +767,6 @@ class FieldedSearcher:
         results. Under ``norms='join'`` the distributed relational plan
         always runs ('auto'/'exhaustive'; 'wand' raises — no driver
         norms to prune with)."""
-        import numpy as np
-
-        from .postings_codec import decode_postings
-
         names = sorted(weights)
         unknown = [f for f in names if f not in self.fields]
         if unknown:
@@ -623,73 +799,11 @@ class FieldedSearcher:
                 stats=self._stats,
             ).collect()
             return [(int(r["doc_id"]), float(r["score"])) for r in rows2]
-        if method == "auto":
-            method = self._pick_method(qterms)
-        fterms = [f"{f}{FIELD_SEP}{t}" for f in names for t in qterms]
-        rows = self._rows_for(fterms)
-        if method == "wand":
-            if set(names) == set(self.fields) and self._term_df:
-                # sidecar df IS the union df when every field is queried
-                df_by_term = self._term_df
-            else:
-                # weights cover a SUBSET of indexed fields: the sidecar's
-                # any-field df understates idf (and its bound can prune
-                # wrongly) — derive the exact union df over the queried
-                # fields from the fetched rows (one vectorized ids decode;
-                # pruning still saves all scoring work)
-                ids_by_term: dict[str, list] = {}
-                for r in rows:
-                    _, term = r["term"].split(FIELD_SEP, 1)
-                    ids, _tfs = decode_postings(
-                        gaps=bytes(r["gaps"]), tfs=bytes(r["tfs"]), n=int(r["n"]),
-                        skips=bytes(r["skips"]), block_size=int(r["block_size"]),
-                    )
-                    ids_by_term.setdefault(term, []).append(ids)
-                df_by_term = {
-                    t: int(np.unique(np.concatenate(parts)).size)
-                    for t, parts in ids_by_term.items()
-                }
-            return bm25f_wand_topk(
-                rows, weights, self._flen, self.n_docs,
-                self._avg_wdl(weights), df_by_term, top_k=top_k, k1=k1, b=b,
-            )
-        by_term: dict[str, list] = {}
-        for r in rows:
-            field, term = r["term"].split(FIELD_SEP, 1)
-            by_term.setdefault(term, []).append((field, r))
-        avg_wdl = self._avg_wdl(weights)
-        acc: dict[int, float] = {}
-        for term in sorted(by_term):  # ascending-term float64 order
-            ids_parts, val_parts = [], []
-            for field, r in sorted(by_term[term], key=lambda x: x[0]):
-                ids, tfs = decode_postings(
-                    gaps=bytes(r["gaps"]), tfs=bytes(r["tfs"]), n=int(r["n"]),
-                    skips=bytes(r["skips"]), block_size=int(r["block_size"]),
-                )
-                ids_parts.append(ids)
-                val_parts.append(float(weights[field]) * tfs.astype(np.float64))
-            all_ids = np.concatenate(ids_parts)
-            all_vals = np.concatenate(val_parts)
-            uniq, inv = np.unique(all_ids, return_inverse=True)
-            wtf = np.zeros(uniq.size, dtype=np.float64)
-            np.add.at(wtf, inv, all_vals)
-            df = uniq.size
-            idf = float(np.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5)))
-            wdl = np.fromiter(
-                (
-                    sum(float(weights[f]) * self._flen[f].get(int(d), 0) for f in names)
-                    for d in uniq
-                ),
-                dtype=np.float64,
-                count=uniq.size,
-            )
-            contrib = idf * wtf * (k1 + 1.0) / (
-                wtf + k1 * ((1.0 - b) + (b * wdl) / avg_wdl)
-            )
-            for d, c in zip(uniq.tolist(), contrib.tolist()):
-                acc[d] = acc.get(d, 0.0) + c
-        hits = sorted(acc.items(), key=lambda it: (-it[1], it[0]))[:top_k]
-        return [(int(d), float(s)) for d, s in hits]
+        return serve_bm25f_preload(
+            question, weights, self._rows_for, self._term_df, self._flen,
+            self.fields, self.n_docs, self._avg_wdl(weights),
+            top_k=top_k, k1=k1, b=b, method=method,
+        )
 
 
 def search_bm25f(

@@ -376,9 +376,17 @@ class FieldedMultiSegmentSearcher:
         spark: SparkSession,
         index_dir: str,
         buckets: int = TERM_BUCKETS,
+        preload: bool = False,
     ):
+        """``preload=True`` collects every segment's postings, per-field
+        doclens and term_df sidecars into driver memory once, unlocking
+        the same low-latency driver kernels (cost-model auto /
+        exhaustive / WAND) as ``FieldedSearcher(preload=True)`` — the
+        serving tier for streamed fielded segments (the default
+        relational path stays the zero-driver-state posture)."""
         self.spark = spark
         self.buckets = buckets
+        self.preload = preload
         self.segments = list_segments(index_dir)
         if not self.segments:
             raise ValueError(f"no committed segments under {index_dir}")
@@ -439,6 +447,48 @@ class FieldedMultiSegmentSearcher:
                 "require exactly-once ingest; run "
                 "compact_fielded_segments to dedupe keep-latest"
             )
+        self._mem: dict[str, list] | None = None
+        self._flen: dict[str, dict[int, int]] = {}
+        self._term_df: dict[str, int] = {}
+        self._avg_wdl_memo: dict[tuple, float] = {}
+        if preload:
+            self._mem = {}
+            for row in self.postings.collect():
+                self._mem.setdefault(row["term"], []).append(row)
+            self._flen = {f: {} for f in self.fields}
+            for row in self.doclens.collect():
+                self._flen[row["field"]][row["doc_id"]] = row["doc_len"]
+            # per-segment union-df sidecars SUM to the exact any-field
+            # union df (segments are doc-disjoint — just validated), but
+            # ONLY when EVERY segment has one: a partial sum understates
+            # df, which inflates idf AND makes WAND drop terms that live
+            # only in sidecar-less segments — leave the dict empty
+            # instead so serving falls back to the exact union-df
+            # derivation (and 'auto' to exhaustive). One unioned read,
+            # not one Spark job per segment.
+            paths = [
+                f"{seg}/term_df"
+                for seg in self.segments
+                if (Path(seg) / "term_df").exists()
+            ]
+            if len(paths) == len(self.segments):
+                for row in (
+                    spark.read.parquet(*paths)
+                    .groupBy("term")
+                    .agg(F.sum("df").alias("df"))
+                    .collect()
+                ):
+                    self._term_df[row["term"]] = int(row["df"])
+
+    def _avg_wdl(self, weights) -> float:
+        from ..operators.fielded_index import weighted_avg_dl
+
+        key = tuple(sorted((k, float(v)) for k, v in weights.items()))
+        if key not in self._avg_wdl_memo:
+            self._avg_wdl_memo[key] = weighted_avg_dl(
+                self.stats["len_sums"], int(self.stats["n_docs"]), weights
+            )
+        return self._avg_wdl_memo[key]
 
     def search(
         self,
@@ -447,15 +497,39 @@ class FieldedMultiSegmentSearcher:
         top_k: int = DEFAULT_TOP_K,
         k1: float = BM25_K1,
         b: float = BM25_B,
+        method: str = "auto",
     ) -> list[tuple[int, float]]:
-        from ..operators.fielded_index import search_bm25f
+        """Without preload: the merged relational plan (zero driver
+        state; 'wand' raises as there are no driver norms to prune
+        with). With preload: the shared driver kernels — 'auto' routes
+        through the same measured cost model as ``FieldedSearcher``,
+        over the summed per-segment union-df sidecars. All paths are
+        score-identical (pinned by pytest)."""
+        from ..operators.fielded_index import search_bm25f, serve_bm25f_preload
 
-        rows = search_bm25f(
-            self.spark, "", question, weights,
-            top_k=top_k, buckets=self.buckets, k1=k1, b=b,
-            postings=self.postings, doclens=self.doclens, stats=self.stats,
-        ).collect()
-        return [(int(r["doc_id"]), float(r["score"])) for r in rows]
+        if method not in ("auto", "wand", "exhaustive"):
+            raise ValueError(f"unknown method {method!r}")
+        if self._mem is None:
+            if method == "wand":
+                raise ValueError(
+                    "method='wand' requires preload=True (driver kernel); "
+                    "the default mode always runs the distributed "
+                    "relational plan"
+                )
+            rows = search_bm25f(
+                self.spark, "", question, weights,
+                top_k=top_k, buckets=self.buckets, k1=k1, b=b,
+                postings=self.postings, doclens=self.doclens, stats=self.stats,
+            ).collect()
+            return [(int(r["doc_id"]), float(r["score"])) for r in rows]
+        mem = self._mem
+        return serve_bm25f_preload(
+            question, weights,
+            lambda fterms: [r for t in fterms for r in mem.get(t, [])],
+            self._term_df, self._flen, self.fields,
+            int(self.stats["n_docs"]), self._avg_wdl(weights),
+            top_k=top_k, k1=k1, b=b, method=method,
+        )
 
 
 def compact_fielded_segments(

@@ -87,3 +87,34 @@ def running_user_totals(events_stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_dedup_exact(
+    docs_stream: DataFrame,
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming twin of ``operators.dedup.dedup_exact``: the
+    FIRST-ARRIVED doc per exact content hash survives; re-deliveries
+    within the watermark horizon are dropped.
+
+    ``dropDuplicatesWithinWatermark`` keys state by ``md5(text)`` and
+    EXPIRES entries once the watermark passes them — the state store
+    stays bounded by (dedup horizon x ingest rate) instead of growing
+    with the full corpus (the unbounded ``dropDuplicates`` would
+    accumulate one state row per distinct document forever — the
+    classic streaming-dedup OOM). The trade, stated: two identical docs
+    arriving farther apart than ``watermark`` BOTH survive; exact
+    corpus-wide dedup remains the batch operator's job
+    (``prepare_corpus`` / ``dedup_exact``), with this operator as the
+    in-flight guard against re-delivered/duplicated events at ingest.
+    """
+    from pyspark.sql import functions as F
+
+    return (
+        docs_stream.withColumn("_h", F.md5(F.col(text_col)))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["_h"])
+        .drop("_h")
+    )

@@ -364,6 +364,10 @@ def test_auto_cost_model_decisions(spark, corpus, fielded_dir):
     assert pick([128, 116940]) == "exhaustive"       # head_tail: spacing 914 blocks
     assert pick([1713, 85914]) == "wand"             # head_mid: measured winner
     assert pick([175, 791, 101530]) == "wand"        # three_mix: measured winner
+    # 2.4M-scale head_mid: ratio/spacing unchanged but ~34k candidates —
+    # the Python pivot loop measured 7.6 s vs ~5 s; the absolute
+    # candidate cap must route it to the vectorized kernel
+    assert pick([34260, 1718280]) == "exhaustive"
     s._term_df = {}
     assert s._pick_method(["anything"]) == "exhaustive"  # no sidecar
 

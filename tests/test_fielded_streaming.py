@@ -153,3 +153,68 @@ def test_mixed_field_segments_refused(spark, tmp_path):
         (Path(f"{idx_dir}/segments/seg={i}") / "_SEGMENT_COMMITTED").write_text("1")
     with pytest.raises(ValueError, match="mixed-field"):
         FieldedMultiSegmentSearcher(spark, idx_dir, buckets=4)
+
+
+def test_fielded_multisegment_preload_kernels(spark, fstreamed):
+    """The preload serving tier over streamed fielded segments: every
+    driver kernel (exhaustive, WAND full-fields via summed sidecars,
+    WAND subset-weights via exact union df, cost-model auto) is
+    score-identical to brute force over the full corpus — the same
+    contract the relational path already carries."""
+    docs, idx_dir = fstreamed
+    s = FieldedMultiSegmentSearcher(spark, idx_dir, buckets=8, preload=True)
+    for q in QUERIES:
+        exp = [
+            (r["doc_id"], r["score"])
+            for r in bm25f_brute_force(docs, q, WEIGHTS, top_k=10).collect()
+        ]
+        for method in ("exhaustive", "wand", "auto"):
+            got = s.search(q, WEIGHTS, top_k=10, method=method)
+            assert [d for d, _ in got] == [d for d, _ in exp], (q, method)
+            for (_, gs), (_, es) in zip(got, exp):
+                assert gs == pytest.approx(es, rel=1e-12, abs=1e-12)
+    # subset weights route through the exact union-df derivation
+    w = {"title": 2.0}
+    exp = [
+        (r["doc_id"], r["score"])
+        for r in bm25f_brute_force(docs, QUERIES[1], w, top_k=5).collect()
+    ]
+    for method in ("exhaustive", "wand"):
+        got = s.search(QUERIES[1], w, top_k=5, method=method)
+        assert [d for d, _ in got] == [d for d, _ in exp], method
+    # no-preload 'wand' and unknown fields still fail loudly
+    s2 = FieldedMultiSegmentSearcher(spark, idx_dir, buckets=8)
+    with pytest.raises(ValueError, match="preload"):
+        s2.search(QUERIES[0], WEIGHTS, method="wand")
+    with pytest.raises(ValueError, match="unindexed"):
+        s.search(QUERIES[0], {"headline": 1.0})
+
+
+def test_fielded_multiseg_partial_sidecar_stays_exact(spark, fstreamed, tmp_path):
+    """A store mixing sidecar-less (legacy) and current segments must
+    NOT treat the partial term_df sum as the union df — understated df
+    inflates idf and WAND drops terms that live only in the legacy
+    segment. Contract: the partial sidecar is discarded (auto falls to
+    exhaustive, wand derives the exact union df) and every method stays
+    brute-force-identical."""
+    import shutil
+
+    docs, idx_dir = fstreamed
+    # clone the store and strip ONE segment's sidecar
+    clone = str(tmp_path / "partial")
+    shutil.copytree(idx_dir, clone)
+    segs = list_segments(clone)
+    assert len(segs) >= 2
+    shutil.rmtree(f"{segs[0]}/term_df")
+    s = FieldedMultiSegmentSearcher(spark, clone, buckets=8, preload=True)
+    assert s._term_df == {}  # partial sum rejected, not silently used
+    for q in QUERIES[:2]:
+        exp = [
+            (r["doc_id"], r["score"])
+            for r in bm25f_brute_force(docs, q, WEIGHTS, top_k=10).collect()
+        ]
+        for method in ("auto", "exhaustive", "wand"):
+            got = s.search(q, WEIGHTS, top_k=10, method=method)
+            assert [d for d, _ in got] == [d for d, _ in exp], (q, method)
+            for (_, gs), (_, es) in zip(got, exp):
+                assert gs == pytest.approx(es, rel=1e-12, abs=1e-12)

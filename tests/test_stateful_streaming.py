@@ -134,3 +134,48 @@ def test_watermark_drops_late_events(spark, tmp_path):
     # past its end
     assert finalized == {"2024-01-01 00:00:00": 3, "2024-01-01 01:00:00": 2}, out
     assert len(out) == 2  # each window emitted exactly once (append mode)
+
+
+def test_stream_dedup_exact(spark, tmp_path):
+    """First-arrived doc per content hash survives; re-deliveries within
+    the watermark drop; distinct texts all pass. Final output == the
+    batch exact-dedup keeper count over the same input."""
+    from sifter_mrc_search_engine_spark.streaming.stateful import (
+        stream_dedup_exact,
+    )
+
+    in_dir = str(tmp_path / "in")
+    rows = [
+        (0, "2024-01-01 00:00:00", "alpha doc body"),
+        (1, "2024-01-01 00:00:10", "beta doc body"),
+        (2, "2024-01-01 00:00:20", "alpha doc body"),   # dup of 0
+        (3, "2024-01-01 00:01:00", "gamma doc body"),
+        (4, "2024-01-01 00:01:30", "beta doc body"),    # dup of 1
+        (5, "2024-01-01 00:02:00", "delta doc body"),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, ts_s string, text string"
+    ).selectExpr(
+        "doc_id", "cast(ts_s as timestamp) as ts", "text"
+    ).coalesce(1).write.mode("overwrite").parquet(in_dir)
+
+    src = spark.readStream.schema(
+        "doc_id long, ts timestamp, text string"
+    ).parquet(in_dir)
+    out = stream_dedup_exact(src, watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from dedup_sink").collect()
+    texts = sorted(r["text"] for r in got)
+    assert texts == sorted(
+        ["alpha doc body", "beta doc body", "gamma doc body", "delta doc body"]
+    )
+    # first-arrival wins: the surviving doc_ids are the earliest per text
+    by_text = {r["text"]: r["doc_id"] for r in got}
+    assert by_text["alpha doc body"] == 0 and by_text["beta doc body"] == 1

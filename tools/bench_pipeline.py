@@ -143,6 +143,15 @@ def main() -> None:
                 reps=5,
             ) * 1000, 1,
         )
+        # the low-latency tier: one-time driver preload, then the shared
+        # cost-model kernels per query
+        t0 = time.monotonic()
+        fmp = FieldedMultiSegmentSearcher(spark, fseg, preload=True)
+        out["fielded_multiseg_preload_init_sec"] = round(time.monotonic() - t0, 1)
+        out["fielded_multiseg_preload_p50_ms"] = round(
+            p50(lambda: fmp.search(QUERIES[0], WEIGHTS, top_k=10), reps=7)
+            * 1000, 1,
+        )
 
         t0 = time.monotonic()
         for par in (0, 1):
