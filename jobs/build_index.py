@@ -27,6 +27,9 @@ def main(argv=None) -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True)
     ap.add_argument("--output", required=True)
+    ap.add_argument("--input-option", action="append", default=None,
+                    help="reader option key=value for --input (repeatable); "
+                         "e.g. Iceberg snapshot-id=... / as-of-timestamp=...")
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--text-col", default="text")
@@ -38,9 +41,13 @@ def main(argv=None) -> None:
     from sifter_mrc_search_engine_spark.functions.cleaning import extract_html_udf
     from sifter_mrc_search_engine_spark.operators.index_build import combine_search_fields
     from sifter_mrc_search_engine_spark.plans.checkpoint import build_index_resumable
+    from sifter_mrc_search_engine_spark.sources.tables import (
+        parse_reader_options,
+        read_corpus,
+    )
 
     spark = SparkSession.builder.getOrCreate()
-    docs = spark.read.parquet(args.input)
+    docs = read_corpus(spark, args.input, parse_reader_options(args.input_option))
     text_col = args.text_col
     if args.html:
         docs = docs.withColumn("text", extract_html_udf(F.col("html")))

@@ -47,6 +47,9 @@ def main(argv=None) -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True)
     ap.add_argument("--output", required=True)
+    ap.add_argument("--input-option", action="append", default=None,
+                    help="reader option key=value for --input (repeatable); "
+                         "e.g. Iceberg snapshot-id=... / as-of-timestamp=...")
     ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--html", action="store_true")
@@ -69,6 +72,10 @@ def main(argv=None) -> None:
     )
     from sifter_mrc_search_engine_spark.operators.nsp import mask_tokens, nsp_pairs
     from sifter_mrc_search_engine_spark.operators.packing import materialize_chunks
+    from sifter_mrc_search_engine_spark.sources.tables import (
+        parse_reader_options,
+        read_corpus,
+    )
     from sifter_mrc_search_engine_spark.plans.prepare import (
         materialize_prepared_corpus,
         prepare_corpus,
@@ -83,7 +90,7 @@ def main(argv=None) -> None:
         SparkSession.getActiveSession() is None and default_session is None
     )
     spark = SparkSession.builder.appName("sifter-make-training-data").getOrCreate()
-    pages = spark.read.parquet(args.input)
+    pages = read_corpus(spark, args.input, parse_reader_options(args.input_option))
 
     clean, audit = prepare_corpus(
         pages,
@@ -95,7 +102,7 @@ def main(argv=None) -> None:
         text_col=args.text_col,
         gopher=args.gopher,
         redact=args.redact,
-        bench=spark.read.parquet(args.bench) if args.bench else None,
+        bench=read_corpus(spark, args.bench) if args.bench else None,
     )
     prepare_opts = {
         "input": args.input,

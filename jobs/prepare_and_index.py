@@ -30,6 +30,9 @@ def main(argv=None) -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True)
     ap.add_argument("--output", required=True)
+    ap.add_argument("--input-option", action="append", default=None,
+                    help="reader option key=value for --input (repeatable); "
+                         "e.g. Iceberg snapshot-id=... / as-of-timestamp=...")
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--text-col", default="text")
@@ -43,6 +46,10 @@ def main(argv=None) -> None:
     args = ap.parse_args(argv)
 
     from sifter_mrc_search_engine_spark.plans.checkpoint import build_index_resumable
+    from sifter_mrc_search_engine_spark.sources.tables import (
+        parse_reader_options,
+        read_corpus,
+    )
     from sifter_mrc_search_engine_spark.plans.prepare import (
         materialize_prepared_corpus,
         prepare_corpus,
@@ -61,7 +68,7 @@ def main(argv=None) -> None:
         SparkSession.getActiveSession() is None and default_session is None
     )
     spark = SparkSession.builder.appName("sifter-prepare-and-index").getOrCreate()
-    pages = spark.read.parquet(args.input)
+    pages = read_corpus(spark, args.input, parse_reader_options(args.input_option))
 
     clean, audit = prepare_corpus(
         pages,
@@ -72,7 +79,7 @@ def main(argv=None) -> None:
         text_col=args.text_col,
         gopher=args.gopher,
         redact=args.redact,
-        bench=spark.read.parquet(args.bench) if args.bench else None,
+        bench=read_corpus(spark, args.bench) if args.bench else None,
     )
     # materialize the cleaned corpus ONCE: audit, doclens, and the index
     # encode each consume it, and without this the extraction + dedup
