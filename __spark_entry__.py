@@ -184,8 +184,14 @@ def _build_once(kind: str, sf_dir: str, build_fn) -> str:
     build_fn(str(tmp))
     try:
         os.rename(tmp, d)
-    except OSError:  # another process published first — use theirs
+    except OSError:
         shutil.rmtree(tmp, ignore_errors=True)
+        if not d.exists():
+            # the rename did NOT lose a publish race (d is absent) —
+            # something else went wrong (e.g. a /tmp cleaner removed the
+            # staging dir mid-build); caching a nonexistent path would
+            # poison every later entry query in this process
+            raise
     return str(d)
 
 

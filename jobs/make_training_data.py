@@ -39,7 +39,6 @@ import json
 import sys
 from pathlib import Path
 
-from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 
@@ -51,6 +50,10 @@ def main(argv=None) -> None:
                     help="reader option key=value for --input (repeatable); "
                          "e.g. Iceberg snapshot-id=... / as-of-timestamp=...")
     ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--id-from", default=None,
+                    help="derive doc_id = xxhash64(<col>) from a string key "
+                         "(e.g. url) with a collision audit — for url-keyed "
+                         "pages tables with no numeric id")
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--html", action="store_true")
     ap.add_argument("--lang", default=None)
@@ -76,22 +79,18 @@ def main(argv=None) -> None:
         parse_reader_options,
         read_corpus,
     )
+    from sifter_mrc_search_engine_spark.session import claim_session
     from sifter_mrc_search_engine_spark.plans.prepare import (
+        assign_doc_ids,
         materialize_prepared_corpus,
         prepare_corpus,
     )
 
-    get_default = getattr(SparkSession, "getDefaultSession", None)
-    default_session = (
-        get_default() if callable(get_default)
-        else getattr(SparkSession, "_instantiatedSession", None)
-    )
-    owns_session = (
-        SparkSession.getActiveSession() is None and default_session is None
-    )
-    spark = SparkSession.builder.appName("sifter-make-training-data").getOrCreate()
+    spark, owns_session = claim_session("sifter-make-training-data")
     pages = read_corpus(spark, args.input, parse_reader_options(args.input_option))
 
+    if args.id_from:
+        pages = assign_doc_ids(pages, from_col=args.id_from, id_col=args.id_col)
     clean, audit = prepare_corpus(
         pages,
         html_col="html" if args.html else None,
@@ -104,8 +103,13 @@ def main(argv=None) -> None:
         redact=args.redact,
         bench=read_corpus(spark, args.bench) if args.bench else None,
     )
+    # CORPUS-affecting flags only (incl. reader options — an Iceberg
+    # snapshot pin changes what data is read): retuning an export knob
+    # (--budget / --vocab-size) must NOT re-run the expensive prepare
+    # pipeline — each export carries its own opts guard below
     prepare_opts = {
         "input": args.input,
+        "input_options": parse_reader_options(args.input_option),
         "html": args.html,
         "lang": args.lang,
         "near_dup": args.near_dup,
@@ -114,38 +118,55 @@ def main(argv=None) -> None:
         "redact": args.redact,
         "bench": args.bench,
         "id_col": args.id_col,
+        "id_from": args.id_from,
         "text_col": args.text_col,
-        "budget": args.budget,
-        "vocab_size": args.vocab_size,
     }
     clean, audit_row = materialize_prepared_corpus(
         spark, clean, audit, args.output, prepare_opts,
         stale_paths=("chunks", "nsp_pairs", "mlm"),
     )
 
+    def export_ready(d: str, opts: dict) -> bool:
+        """An export is reusable iff its write committed AND it was
+        produced under the same knobs (the opts marker lives inside the
+        parquet dir — Spark ignores underscore-prefixed files)."""
+        marker = Path(d, "_EXPORT_OPTS.json")
+        return (
+            Path(d, "_SUCCESS").exists()
+            and marker.exists()
+            and json.loads(marker.read_text()) == opts
+        )
+
+    def mark_export(d: str, opts: dict) -> None:
+        Path(d, "_EXPORT_OPTS.json").write_text(json.dumps(opts))
+
     summary: dict = {"audit": audit_row, "exports": {}}
 
     chunks_dir = f"{args.output}/chunks"
-    if not Path(chunks_dir, "_SUCCESS").exists():
+    chunk_opts = {"budget": args.budget}
+    if not export_ready(chunks_dir, chunk_opts):
         materialize_chunks(clean, budget=args.budget).write.mode(
             "overwrite"
         ).parquet(chunks_dir)
+        mark_export(chunks_dir, chunk_opts)
     summary["exports"]["chunks"] = spark.read.parquet(chunks_dir).count()
 
     if args.nsp:
         nsp_dir = f"{args.output}/nsp_pairs"
-        if not Path(nsp_dir, "_SUCCESS").exists():
+        if not export_ready(nsp_dir, {}):
             split_udf = make_split_sentences_udf()
             articles = clean.select(
                 F.col("doc_id").alias("article_id"),
                 split_udf(F.col("text")).alias("sentences"),
             ).filter(F.size("sentences") >= 2)
             nsp_pairs(articles).write.mode("overwrite").parquet(nsp_dir)
+            mark_export(nsp_dir, {})
         summary["exports"]["nsp_pairs"] = spark.read.parquet(nsp_dir).count()
 
     if args.mlm:
         mlm_dir = f"{args.output}/mlm"
-        if not Path(mlm_dir, "_SUCCESS").exists():
+        mlm_opts = {"vocab_size": args.vocab_size}
+        if not export_ready(mlm_dir, mlm_opts):
             # hash-bucketed token ids (ids 10..10+vocab): a deterministic
             # stand-in for a real subword vocab — the masking operator
             # only needs SOME stable int ids
@@ -155,6 +176,7 @@ def main(argv=None) -> None:
                 f" t -> int(10 + pmod(xxhash64(t), {args.vocab_size}))) as token_ids",
             ).filter(F.size("token_ids") > 0)
             mask_tokens(ids).write.mode("overwrite").parquet(mlm_dir)
+            mark_export(mlm_dir, mlm_opts)
         summary["exports"]["mlm"] = spark.read.parquet(mlm_dir).count()
 
     print(json.dumps(summary))

@@ -23,8 +23,6 @@ from __future__ import annotations
 import argparse
 import json
 import sys
-from pyspark.sql import SparkSession
-
 
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser()
@@ -35,6 +33,10 @@ def main(argv=None) -> None:
                          "e.g. Iceberg snapshot-id=... / as-of-timestamp=...")
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--id-from", default=None,
+                    help="derive doc_id = xxhash64(<col>) from a string key "
+                         "(e.g. url) with a collision audit — for url-keyed "
+                         "pages tables with no numeric id")
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--html", action="store_true", help="extract from the html binary column")
     ap.add_argument("--lang", default=None, help="keep only this predicted language")
@@ -50,26 +52,18 @@ def main(argv=None) -> None:
         parse_reader_options,
         read_corpus,
     )
+    from sifter_mrc_search_engine_spark.session import claim_session
     from sifter_mrc_search_engine_spark.plans.prepare import (
+        assign_doc_ids,
         materialize_prepared_corpus,
         prepare_corpus,
     )
 
-    # only stop the session if THIS job created it (in-process callers —
-    # tests, notebooks — keep theirs). getOrCreate() reuses the
-    # process-wide DEFAULT session even when no session is active on
-    # this thread, so check both.
-    get_default = getattr(SparkSession, "getDefaultSession", None)
-    default_session = (
-        get_default() if callable(get_default)
-        else getattr(SparkSession, "_instantiatedSession", None)
-    )
-    owns_session = (
-        SparkSession.getActiveSession() is None and default_session is None
-    )
-    spark = SparkSession.builder.appName("sifter-prepare-and-index").getOrCreate()
+    spark, owns_session = claim_session("sifter-prepare-and-index")
     pages = read_corpus(spark, args.input, parse_reader_options(args.input_option))
 
+    if args.id_from:
+        pages = assign_doc_ids(pages, from_col=args.id_from, id_col=args.id_col)
     clean, audit = prepare_corpus(
         pages,
         html_col="html" if args.html else None,
@@ -85,14 +79,14 @@ def main(argv=None) -> None:
     # encode each consume it, and without this the extraction + dedup
     # window + LSH join would replay per consumer (and again per resumed
     # submit). Resume safety — the fingerprint of the raw input + every
-    # stage flag, plus stale-derived-artifact clearing — lives in
-    # materialize_prepared_corpus. --buckets IS fingerprinted (resuming
-    # with a different count would otherwise skip the build and serve an
-    # index whose partition hashing disagrees with the searcher's);
-    # --max-buckets is NOT (it only limits per-run progress, never the
-    # final artifacts).
+    # CORPUS-affecting flag (incl. the reader options: an Iceberg
+    # snapshot pin changes what data is read!), plus stale-derived-
+    # artifact clearing — lives in materialize_prepared_corpus.
+    # --max-buckets is NOT fingerprinted (it only limits per-run
+    # progress, never the final artifacts).
     prepare_opts = {
         "input": args.input,
+        "input_options": parse_reader_options(args.input_option),
         "html": args.html,
         "lang": args.lang,
         "near_dup": args.near_dup,
@@ -100,13 +94,31 @@ def main(argv=None) -> None:
         "redact": args.redact,
         "bench": args.bench,
         "id_col": args.id_col,
+        "id_from": args.id_from,
         "text_col": args.text_col,
-        "buckets": args.buckets,
     }
     clean, audit_row = materialize_prepared_corpus(
         spark, clean, audit, args.output, prepare_opts,
         stale_paths=("postings", "doclens", "_manifest.jsonl", "stats.json"),
     )
+
+    # --buckets shapes the INDEX artifacts (partition hashing), not the
+    # corpus: guard it separately so retuning it rebuilds only the index
+    # — a resumed submit with a different count must not be served by a
+    # manifest that looks complete for range(new_buckets)
+    from pathlib import Path
+
+    bopts = Path(args.output, "index_opts.json")
+    if bopts.exists() and json.loads(bopts.read_text()).get("buckets") != args.buckets:
+        import shutil
+
+        for stale in ("postings", "doclens", "_manifest.jsonl", "stats.json"):
+            p = Path(args.output, stale)
+            if p.is_dir():
+                shutil.rmtree(p, ignore_errors=True)
+            else:
+                p.unlink(missing_ok=True)
+    bopts.write_text(json.dumps({"buckets": args.buckets}))
 
     result = build_index_resumable(
         clean,

@@ -576,6 +576,10 @@ def serve_bm25f_preload(
     k1: float = BM25_K1,
     b: float = BM25_B,
     method: str = "auto",
+    sum_min: int = AUTO_SUM_MIN,
+    ratio_max: float = AUTO_RATIO_MAX,
+    spacing_max: int = AUTO_SPACING_MAX,
+    ncand_max: int = AUTO_NCAND_MAX,
 ):
     """Shared driver-side dispatch for driver-kernel BM25F serving — the
     ONE place that validates fields, analyzes the question, routes
@@ -583,7 +587,9 @@ def serve_bm25f_preload(
     sidecar (``FieldedSearcher`` and ``FieldedMultiSegmentSearcher`` are
     thin wrappers; a fix here fixes both). ``fetch_rows(fterms)``
     returns the field-prefixed postings rows — a dict lookup when
-    preloaded, one batched pruned collect in scan mode."""
+    preloaded, one batched pruned collect in scan mode. The cost-model
+    knobs default to the module constants; a caller (e.g. a retuned
+    subclass) can pass its own."""
     names = sorted(weights)
     unknown = [f for f in names if f not in fields]
     if unknown:
@@ -595,7 +601,10 @@ def serve_bm25f_preload(
     if not qterms:
         return []
     if method == "auto":
-        method = pick_bm25f_method(term_df, qterms)
+        method = pick_bm25f_method(
+            term_df, qterms, sum_min=sum_min, ratio_max=ratio_max,
+            spacing_max=spacing_max, ncand_max=ncand_max,
+        )
     fterms = [f"{f}{FIELD_SEP}{t}" for f in names for t in qterms]
     rows = fetch_rows(fterms)
     if method == "wand":
@@ -767,19 +776,17 @@ class FieldedSearcher:
         results. Under ``norms='join'`` the distributed relational plan
         always runs ('auto'/'exhaustive'; 'wand' raises — no driver
         norms to prune with)."""
-        names = sorted(weights)
-        unknown = [f for f in names if f not in self.fields]
-        if unknown:
-            raise ValueError(
-                f"weights name unindexed fields {unknown}; this index has "
-                f"{self.fields}"
-            )
-        qterms = sorted(set(analyze(question)))
-        if not qterms:
-            return []
         if method not in ("auto", "wand", "exhaustive"):
             raise ValueError(f"unknown method {method!r}")
         if self.norms_mode == "join":
+            unknown = [f for f in sorted(weights) if f not in self.fields]
+            if unknown:
+                raise ValueError(
+                    f"weights name unindexed fields {unknown}; this index "
+                    f"has {self.fields}"
+                )
+            if not set(analyze(question)):
+                return []
             # zero driver-resident norms: the full in-plan query (pruned
             # scan -> decode -> candidate-restricted doclen join), reusing
             # the relations/stats bound at construction. The driver WAND
@@ -803,6 +810,8 @@ class FieldedSearcher:
             question, weights, self._rows_for, self._term_df, self._flen,
             self.fields, self.n_docs, self._avg_wdl(weights),
             top_k=top_k, k1=k1, b=b, method=method,
+            sum_min=self._AUTO_SUM_MIN, ratio_max=self._AUTO_RATIO_MAX,
+            spacing_max=self._AUTO_SPACING_MAX, ncand_max=self._AUTO_NCAND_MAX,
         )
 
 

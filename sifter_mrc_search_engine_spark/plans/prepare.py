@@ -188,3 +188,48 @@ def materialize_prepared_corpus(
     else:
         audit_row = _json.loads(audit_path.read_text())
     return spark.read.parquet(clean_dir), audit_row
+
+
+def assign_doc_ids(
+    docs: DataFrame,
+    from_col: str = "url",
+    id_col: str = "doc_id",
+    check: bool = True,
+) -> DataFrame:
+    """Derive the engine's numeric ``doc_id`` from a string key (the
+    north-rule input is a URL-keyed pages table): ``xxhash64(from_col)``
+    — deterministic, partition-independent, and stable across
+    incremental loads (a row_number assignment would renumber on every
+    re-read).
+
+    ``check=True`` runs ONE aggregate comparing distinct source keys to
+    distinct ids and raises on any hash collision instead of silently
+    merging two documents' postings (at 10^12 docs the 64-bit birthday
+    bound makes a collision plausible — DETECT it and let the caller
+    switch to a precomputed id column rather than hope). The check is
+    one extra column-pruned scan; disable it only when ids were already
+    validated upstream.
+    """
+    out = docs.withColumn(id_col, F.xxhash64(F.col(from_col)))
+    if check:
+        # nulls are counted EXPLICITLY: xxhash64(NULL) is the seed
+        # constant (all null-key docs would merge onto one id) while
+        # countDistinct excludes nulls — without this term one null row
+        # can exactly mask one true collision in the arithmetic
+        r = out.agg(
+            F.countDistinct(from_col).alias("src"),
+            F.countDistinct(id_col).alias("ids"),
+            F.sum(F.col(from_col).isNull().cast("long")).alias("nulls"),
+        ).collect()[0]
+        if int(r["nulls"] or 0) > 0:
+            raise ValueError(
+                f"{r['nulls']} rows have NULL {from_col}: null keys all "
+                "hash to one constant id — filter or fill them upstream"
+            )
+        if int(r["src"]) != int(r["ids"]):
+            raise ValueError(
+                f"xxhash64({from_col}) collided: {r['src']} distinct keys "
+                f"-> {r['ids']} distinct ids; supply a precomputed id "
+                "column instead"
+            )
+    return out

@@ -43,3 +43,18 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def claim_session(app_name: str):
+    """``(spark, owns)`` for spark-submit jobs that must not stop a
+    session they did not create (in-process callers — tests, notebooks —
+    keep theirs). ``getOrCreate()`` reuses the process-wide DEFAULT
+    session even when no session is active on this thread, so ownership
+    checks both; callers stop the session only when ``owns`` is True."""
+    get_default = getattr(SparkSession, "getDefaultSession", None)
+    default_session = (
+        get_default() if callable(get_default)
+        else getattr(SparkSession, "_instantiatedSession", None)
+    )
+    owns = SparkSession.getActiveSession() is None and default_session is None
+    return SparkSession.builder.appName(app_name).getOrCreate(), owns

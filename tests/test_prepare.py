@@ -187,11 +187,12 @@ def test_prepare_and_index_resume_bucket_change_rebuilds(spark, tmp_path):
         "doc_id long, text string",
     ).write.parquet(inp)
     job_main(["--input", inp, "--output", out, "--buckets", "8"])
-    assert json.loads(Path(out, "prepare_audit.json").read_text())[
-        "_prepare_opts"]["buckets"] == 8
+    assert json.loads(Path(out, "index_opts.json").read_text())["buckets"] == 8
+    corpus_mt = Path(out, "clean_corpus", "_SUCCESS").stat().st_mtime_ns
     job_main(["--input", inp, "--output", out, "--buckets", "4"])
-    audit = json.loads(Path(out, "prepare_audit.json").read_text())
-    assert audit["_prepare_opts"]["buckets"] == 4
+    assert json.loads(Path(out, "index_opts.json").read_text())["buckets"] == 4
+    # buckets is an INDEX knob: the corpus must be reused, not re-prepared
+    assert Path(out, "clean_corpus", "_SUCCESS").stat().st_mtime_ns == corpus_mt
     # the rebuilt index really has the new bucket count end to end
     import pyspark.sql.functions as F
 
@@ -243,7 +244,11 @@ def test_make_training_data_job(spark, tmp_path, capsys):
               "--nsp", "--mlm"])
     assert Path(out, "chunks", "_SUCCESS").stat().st_mtime_ns == mt
 
-    # changed budget -> fingerprint mismatch -> chunks rebuilt
+    # changed budget -> the CHUNKS export rebuilds (its own opts guard)
+    # but the expensive prepare pipeline does NOT re-run: budget is an
+    # export knob, not a corpus-affecting flag
+    corpus_mt = Path(out, "clean_corpus", "_SUCCESS").stat().st_mtime_ns
+    nsp_mt = Path(out, "nsp_pairs", "_SUCCESS").stat().st_mtime_ns
     job_main(["--input", inp, "--output", out, "--budget", "16",
               "--nsp", "--mlm"])
     sizes16 = [
@@ -251,3 +256,67 @@ def test_make_training_data_job(spark, tmp_path, capsys):
         for r in spark.read.parquet(f"{out}/chunks").orderBy("chunk_id").collect()
     ]
     assert all(s == 16 for s in sizes16[:-1])
+    assert Path(out, "clean_corpus", "_SUCCESS").stat().st_mtime_ns == corpus_mt
+    assert Path(out, "nsp_pairs", "_SUCCESS").stat().st_mtime_ns == nsp_mt
+
+
+def test_hint_shaped_input_end_to_end(spark, tmp_path, capsys):
+    """The north-rule input shape — a URL-keyed pages table with
+    (url, warc_ts, html binary, text, lang) and NO numeric id — runs
+    through the full job via --id-from url --html: ids assigned by
+    audited xxhash64, text extracted from the html bytes, index built."""
+    import datetime
+    import json
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from jobs.prepare_and_index import main as job_main
+
+    rows = [
+        (
+            f"https://example.org/site/{i}",
+            datetime.datetime(2024, 1, 1, 0, 0, i),
+            f"<html><body><p>the crawled page number {i} has plenty of words"
+            f"</p></body></html>".encode(),
+            "",  # raw text column unused when --html extracts
+            "en",
+        )
+        for i in range(9)
+    ]
+    inp = str(tmp_path / "pages")
+    spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    ).write.parquet(inp)
+    out = str(tmp_path / "idx")
+    job_main([
+        "--input", inp, "--output", out, "--buckets", "4",
+        "--html", "--id-from", "url",
+    ])
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["audit"]["input"] == 9
+    assert summary["build"]["n_docs"] == 9
+    clean = spark.read.parquet(f"{out}/clean_corpus")
+    texts = {r["text"] for r in clean.collect()}
+    assert all(t.startswith("the crawled page number") for t in texts)
+
+
+def test_assign_doc_ids_deterministic_and_audited(spark):
+    """id assignment is a pure function of the key (stable across
+    re-reads/incremental loads) and the audit passes on distinct keys;
+    a true 64-bit collision is impractical to synthesize, so the raise
+    path is covered by the audit arithmetic itself (distinct keys vs
+    distinct ids)."""
+    from sifter_mrc_search_engine_spark.plans.prepare import assign_doc_ids
+
+    ok = spark.createDataFrame(
+        [(f"u{i}",) for i in range(50)], "url string"
+    )
+    ids = assign_doc_ids(ok, from_col="url")
+    assert ids.select("doc_id").distinct().count() == 50
+    # true hash collisions are impractical to synthesize; disable the
+    # check and verify determinism instead (same key -> same id)
+    again = assign_doc_ids(ok, from_col="url", check=False)
+    a = {r["url"]: r["doc_id"] for r in ids.collect()}
+    b = {r["url"]: r["doc_id"] for r in again.collect()}
+    assert a == b
