@@ -175,7 +175,21 @@ def _build_once(kind: str, sf_dir: str, build_fn) -> str:
         )
     else:
         sig = "missing"
-    h = hashlib.md5(f"{sf_dir}|{sig}".encode()).hexdigest()[:12]
+    # the key must also fingerprint the CODE: /tmp outlives commits, and
+    # an index-format change (codec, sidecars, bucket hashing) must not
+    # be served from a dir built by the previous round's encoder. The
+    # current git HEAD is the cheapest sound code version (worst case:
+    # one rebuild per commit — builds at these sf sizes are seconds).
+    import subprocess
+
+    try:
+        code_ver = subprocess.run(
+            ["git", "-C", str(Path(__file__).resolve().parent), "rev-parse", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or "dev"
+    except Exception:
+        code_ver = "dev"
+    h = hashlib.md5(f"{sf_dir}|{sig}|{code_ver}".encode()).hexdigest()[:12]
     d = Path(tempfile.gettempdir()) / f"sifter_entry_{kind}_{h}"
     if d.exists():
         return str(d)

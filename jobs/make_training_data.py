@@ -54,6 +54,10 @@ def main(argv=None) -> None:
                     help="derive doc_id = xxhash64(<col>) from a string key "
                          "(e.g. url) with a collision audit — for url-keyed "
                          "pages tables with no numeric id")
+    ap.add_argument("--keep-latest-by", default=None,
+                    help="with --id-from: keep only the newest row per key "
+                         "by this timestamp column (e.g. warc_ts) before "
+                         "hashing — recrawled URLs dedupe keep-latest")
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--html", action="store_true")
     ap.add_argument("--lang", default=None)
@@ -90,7 +94,10 @@ def main(argv=None) -> None:
     pages = read_corpus(spark, args.input, parse_reader_options(args.input_option))
 
     if args.id_from:
-        pages = assign_doc_ids(pages, from_col=args.id_from, id_col=args.id_col)
+        pages = assign_doc_ids(
+            pages, from_col=args.id_from, id_col=args.id_col,
+            keep_latest_by=args.keep_latest_by,
+        )
     clean, audit = prepare_corpus(
         pages,
         html_col="html" if args.html else None,
@@ -119,6 +126,7 @@ def main(argv=None) -> None:
         "bench": args.bench,
         "id_col": args.id_col,
         "id_from": args.id_from,
+        "keep_latest_by": args.keep_latest_by,
         "text_col": args.text_col,
     }
     clean, audit_row = materialize_prepared_corpus(

@@ -37,6 +37,10 @@ def main(argv=None) -> None:
                     help="derive doc_id = xxhash64(<col>) from a string key "
                          "(e.g. url) with a collision audit — for url-keyed "
                          "pages tables with no numeric id")
+    ap.add_argument("--keep-latest-by", default=None,
+                    help="with --id-from: keep only the newest row per key "
+                         "by this timestamp column (e.g. warc_ts) before "
+                         "hashing — recrawled URLs dedupe keep-latest")
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--html", action="store_true", help="extract from the html binary column")
     ap.add_argument("--lang", default=None, help="keep only this predicted language")
@@ -54,7 +58,9 @@ def main(argv=None) -> None:
     )
     from sifter_mrc_search_engine_spark.session import claim_session
     from sifter_mrc_search_engine_spark.plans.prepare import (
+        INDEX_ARTIFACTS,
         assign_doc_ids,
+        clear_derived,
         materialize_prepared_corpus,
         prepare_corpus,
     )
@@ -63,7 +69,10 @@ def main(argv=None) -> None:
     pages = read_corpus(spark, args.input, parse_reader_options(args.input_option))
 
     if args.id_from:
-        pages = assign_doc_ids(pages, from_col=args.id_from, id_col=args.id_col)
+        pages = assign_doc_ids(
+            pages, from_col=args.id_from, id_col=args.id_col,
+            keep_latest_by=args.keep_latest_by,
+        )
     clean, audit = prepare_corpus(
         pages,
         html_col="html" if args.html else None,
@@ -95,11 +104,12 @@ def main(argv=None) -> None:
         "bench": args.bench,
         "id_col": args.id_col,
         "id_from": args.id_from,
+        "keep_latest_by": args.keep_latest_by,
         "text_col": args.text_col,
     }
     clean, audit_row = materialize_prepared_corpus(
         spark, clean, audit, args.output, prepare_opts,
-        stale_paths=("postings", "doclens", "_manifest.jsonl", "stats.json"),
+        stale_paths=INDEX_ARTIFACTS,
     )
 
     # --buckets shapes the INDEX artifacts (partition hashing), not the
@@ -110,14 +120,7 @@ def main(argv=None) -> None:
 
     bopts = Path(args.output, "index_opts.json")
     if bopts.exists() and json.loads(bopts.read_text()).get("buckets") != args.buckets:
-        import shutil
-
-        for stale in ("postings", "doclens", "_manifest.jsonl", "stats.json"):
-            p = Path(args.output, stale)
-            if p.is_dir():
-                shutil.rmtree(p, ignore_errors=True)
-            else:
-                p.unlink(missing_ok=True)
+        clear_derived(args.output, INDEX_ARTIFACTS)
     bopts.write_text(json.dumps({"buckets": args.buckets}))
 
     result = build_index_resumable(

@@ -165,7 +165,6 @@ def materialize_prepared_corpus(
     can't catch it: they fingerprint the cached parquet, not what
     produced it)."""
     import json as _json
-    import shutil as _shutil
     from pathlib import Path as _Path
 
     clean_dir = f"{output}/clean_corpus"
@@ -175,13 +174,14 @@ def materialize_prepared_corpus(
         cached_opts = _json.loads(audit_path.read_text()).get("_prepare_opts")
     reusable = _Path(clean_dir, "_SUCCESS").exists() and cached_opts == prepare_opts
     if not reusable:  # fresh run, crashed write, or changed inputs/flags
+        # INVALIDATE FIRST, publish last: the corpus write and the audit
+        # collect are two separate Spark jobs — a crash between them
+        # must not leave the NEW corpus guarded by the OLD fingerprint
+        # (a later run with the old flags would see a matching audit +
+        # _SUCCESS and silently serve the wrong corpus)
+        audit_path.unlink(missing_ok=True)
         if cached_opts is not None and cached_opts != prepare_opts:
-            for stale in stale_paths:
-                p = _Path(output, stale)
-                if p.is_dir():
-                    _shutil.rmtree(p, ignore_errors=True)
-                else:
-                    p.unlink(missing_ok=True)
+            clear_derived(output, stale_paths)
         clean.write.mode("overwrite").parquet(clean_dir)
         audit_row = audit.collect()[0].asDict() | {"_prepare_opts": prepare_opts}
         audit_path.write_text(_json.dumps(audit_row))
@@ -190,11 +190,33 @@ def materialize_prepared_corpus(
     return spark.read.parquet(clean_dir), audit_row
 
 
+def clear_derived(output: str, paths) -> None:
+    """Remove derived artifacts (dirs or files) under ``output`` — the
+    ONE clear routine shared by the corpus fingerprint and any
+    artifact-specific guards (e.g. the index --buckets guard), so the
+    two can't drift on which paths count as derived."""
+    import shutil as _shutil
+    from pathlib import Path as _Path
+
+    for stale in paths:
+        p = _Path(output, stale)
+        if p.is_dir():
+            _shutil.rmtree(p, ignore_errors=True)
+        else:
+            p.unlink(missing_ok=True)
+
+
+#: everything the index build derives from the clean corpus — used by
+#: BOTH the corpus fingerprint's stale_paths and the --buckets guard
+INDEX_ARTIFACTS = ("postings", "doclens", "_manifest.jsonl", "stats.json")
+
+
 def assign_doc_ids(
     docs: DataFrame,
     from_col: str = "url",
     id_col: str = "doc_id",
     check: bool = True,
+    keep_latest_by: str | None = None,
 ) -> DataFrame:
     """Derive the engine's numeric ``doc_id`` from a string key (the
     north-rule input is a URL-keyed pages table): ``xxhash64(from_col)``
@@ -202,21 +224,42 @@ def assign_doc_ids(
     incremental loads (a row_number assignment would renumber on every
     re-read).
 
-    ``check=True`` runs ONE aggregate comparing distinct source keys to
-    distinct ids and raises on any hash collision instead of silently
-    merging two documents' postings (at 10^12 docs the 64-bit birthday
-    bound makes a collision plausible — DETECT it and let the caller
-    switch to a precomputed id column rather than hope). The check is
-    one extra column-pruned scan; disable it only when ids were already
-    validated upstream.
+    ``keep_latest_by`` (e.g. ``"warc_ts"``): a crawl table carries the
+    same URL at several timestamps — keep only the newest row per key
+    BEFORE hashing (ties broken by ``md5(text)`` for determinism when a
+    text column exists, else arbitrary-but-single). Without it,
+    duplicate keys are a hard ERROR under ``check`` (two rows sharing a
+    doc_id would double-count in doclens/postings and silently corrupt
+    scoring — the audit compares distinct keys to the ROW count, so
+    recrawls can't hide behind the distinct-vs-distinct arithmetic).
+
+    ``check=True`` runs ONE aggregate that raises on (a) NULL keys —
+    ``xxhash64(NULL)`` is a constant, so null-key docs would all merge
+    (and one null row could exactly cancel one true collision in
+    distinct-count arithmetic), (b) duplicate keys (unless deduped
+    above), and (c) 64-bit hash collisions (plausible by the birthday
+    bound at 10^12 docs — DETECT and let the caller switch to a
+    precomputed id rather than hope). One extra column-pruned scan;
+    disable only when ids were already validated upstream.
     """
+    if keep_latest_by is not None:
+        from pyspark.sql import Window as _W
+
+        tie = (
+            F.md5(F.col("text")) if "text" in docs.columns else F.lit("")
+        )
+        w = _W.partitionBy(from_col).orderBy(
+            F.col(keep_latest_by).desc(), tie
+        )
+        docs = (
+            docs.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
     out = docs.withColumn(id_col, F.xxhash64(F.col(from_col)))
     if check:
-        # nulls are counted EXPLICITLY: xxhash64(NULL) is the seed
-        # constant (all null-key docs would merge onto one id) while
-        # countDistinct excludes nulls — without this term one null row
-        # can exactly mask one true collision in the arithmetic
         r = out.agg(
+            F.count(F.lit(1)).alias("rows"),
             F.countDistinct(from_col).alias("src"),
             F.countDistinct(id_col).alias("ids"),
             F.sum(F.col(from_col).isNull().cast("long")).alias("nulls"),
@@ -225,6 +268,13 @@ def assign_doc_ids(
             raise ValueError(
                 f"{r['nulls']} rows have NULL {from_col}: null keys all "
                 "hash to one constant id — filter or fill them upstream"
+            )
+        if int(r["rows"]) != int(r["src"]):
+            raise ValueError(
+                f"{int(r['rows']) - int(r['src'])} duplicate {from_col} "
+                "keys (recrawled pages?): rows sharing a doc_id would "
+                "double-count in the index — pass keep_latest_by=... "
+                "or dedupe upstream"
             )
         if int(r["src"]) != int(r["ids"]):
             raise ValueError(

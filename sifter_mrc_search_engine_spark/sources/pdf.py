@@ -297,7 +297,12 @@ class _Document:
         for o in self.objects.values():
             if isinstance(o, dict) and o.get("Type") == "XRef":
                 for k in ("Root", "Info", "Size"):
-                    self.trailer.setdefault(k, o.get(k))
+                    # guard None: setdefault would PIN a missing key from
+                    # a truncated update section's XRef and block a later
+                    # XRef's real /Root (setdefault skips existing keys,
+                    # even None-valued ones)
+                    if o.get(k) is not None:
+                        self.trailer.setdefault(k, o[k])
         self._unpack_object_streams()
 
     def _unpack_object_streams(self) -> None:
@@ -322,11 +327,11 @@ class _Document:
             for _ in range(n_objs):
                 pos = _skip_ws(data, pos)
                 m1 = _NUM_RE.match(data, pos)
-                if not m1:
-                    raise PdfError("bad ObjStm offset header")
+                if not m1 or b"." in m1.group():  # _NUM_RE accepts reals;
+                    raise PdfError("bad ObjStm offset header")  # ints only
                 pos = _skip_ws(data, m1.end())
                 m2 = _NUM_RE.match(data, pos)
-                if not m2:
+                if not m2 or b"." in m2.group():
                     raise PdfError("bad ObjStm offset header")
                 pos = m2.end()
                 pairs.append((int(m1.group()), int(m2.group())))

@@ -320,3 +320,31 @@ def test_assign_doc_ids_deterministic_and_audited(spark):
     a = {r["url"]: r["doc_id"] for r in ids.collect()}
     b = {r["url"]: r["doc_id"] for r in again.collect()}
     assert a == b
+
+
+def test_assign_doc_ids_duplicate_keys_and_keep_latest(spark):
+    """Recrawled URLs (same key, several warc_ts rows) must not slip two
+    rows onto one doc_id: duplicates are a hard error, and
+    keep_latest_by keeps exactly the newest row per key."""
+    import datetime
+
+    import pytest as _pytest
+
+    from sifter_mrc_search_engine_spark.plans.prepare import assign_doc_ids
+
+    ts = datetime.datetime
+    rows = [
+        ("https://a.example/1", ts(2024, 1, 1), "old content of page one"),
+        ("https://a.example/1", ts(2024, 2, 1), "new content of page one"),
+        ("https://a.example/2", ts(2024, 1, 5), "only crawl of page two"),
+    ]
+    docs = spark.createDataFrame(rows, "url string, warc_ts timestamp, text string")
+    with _pytest.raises(ValueError, match="duplicate"):
+        assign_doc_ids(docs, from_col="url")
+    kept = assign_doc_ids(docs, from_col="url", keep_latest_by="warc_ts")
+    out = {r["url"]: r["text"] for r in kept.collect()}
+    assert out == {
+        "https://a.example/1": "new content of page one",
+        "https://a.example/2": "only crawl of page two",
+    }
+    assert kept.select("doc_id").distinct().count() == 2
