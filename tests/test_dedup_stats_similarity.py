@@ -591,6 +591,26 @@ def _numpy_ivf(M, ids, k, iters, seed, qi, nprobe, topk=10):
     return [(int(ids[i]), float(np.round(sims[qi][i], 4))) for i in top], assign
 
 
+def test_ivf_duckdb_oracle_parity(emb, con):
+    """sql_ivf_topk — the Lloyd loop UNROLLED as a bounded CTE chain —
+    must match the Spark operator exactly, across several query ids and
+    quantizer configurations (the entry contract exercises only one)."""
+    for qid, k_cl, nprobe, iters in [(0, 8, 3, 3), (123, 8, 2, 2), (7, 4, 1, 4)]:
+        got = [
+            (r["vec_id"], r["cos"])
+            for r in S.ivf_topk(
+                emb, qid, k=10, n_clusters=k_cl, nprobe=nprobe, iters=iters
+            ).collect()
+        ]
+        exp = [
+            (int(v), float(c))
+            for v, c in con.execute(
+                S.sql_ivf_topk(qid, k=10, n_clusters=k_cl, nprobe=nprobe, iters=iters)
+            ).fetchall()
+        ]
+        assert got == exp, (qid, k_cl, nprobe, iters)
+
+
 def test_ivf_spark_matches_numpy_twin(emb):
     import numpy as np
 
