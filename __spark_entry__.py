@@ -386,34 +386,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: entries allowed to fall off the end are variants whose operator is
 #: already covered by an earlier entry.
 _HEAD = [
-    # r3 driver-skipped (incl. rel_user_sessions, r2's one red cell)
-    "rel_user_sessions",
-    "rel_lineitem_summary",
-    "rel_revenue_by_nation",
-    "rel_customers_without_orders",
-    "rel_deterministic_sample",
-    "rel_event_props_extract",
-    "rel_source_prefix_counts",
-    "rel_events_daily_window",
-    # r3's only no-oracle cell (now oracled) + operators changed this round
-    "sim_ivf_topk",
-    "pipeline_chunk_texts",
-    "dedup_connected_components",
-]
-_TAIL = [
-    # parameter variants of bm25_topk_flagship
+    # entries whose oracle/twin changed THIS round — must get a driver row
+    "rel_user_sessions",  # r4 red cell: windowed sum now CAST AS BIGINT
+    "sim_ivf_topk",  # twin now orders by the rounded cos like the engine
+    # r4 driver-skipped tail (rotation per VERDICT r4 item 3): every entry
+    # gets a driver row within two rounds
     "bm25_topk_multi",
     "bm25_topk_single",
-    # query-time BM25F; the indexed + multisegment paths share its oracle
     "bm25f_topk",
-    # df is a column of index_postings_lists
     "index_doc_frequencies",
-    # upstream stages of dedup_lsh_candidate_pairs (verified transitively)
     "dedup_shingles",
     "dedup_minhash_signatures",
-    # subsumed by text_quality_scores / the ANN exact-scoring oracles
     "text_token_counts",
     "sim_cosine_topk",
+]
+_TAIL = [
+    # ALL driver-verified green in CORRECTNESS_r04; each is a parameter /
+    # deployment variant of an entry that stays inside the 50-prefix
+    "bm25_multisegment",  # variant of bm25_topk_flagship
+    "bm25f_multisegment",  # variant of bm25f_topk_indexed
+    "bm25_topk_wand_compressed",  # variant of bm25_topk_flagship
+    "dedup_embedding_cosine_multiprobe",  # variant of dedup_embedding_cosine
+    "sim_ann_multiprobe_topk",  # variant of sim_ann_lsh_topk
+    "rel_top3_per_customer",  # variant of rel_topk_orders_customer
+    "rel_orders_page_two",  # paging over the same ordered scan
+    "rel_next_event_pairs",  # lead/lag window family, same scan as sessions
 ]
 
 

@@ -88,6 +88,7 @@ def main(argv=None) -> None:
         assign_doc_ids,
         materialize_prepared_corpus,
         prepare_corpus,
+        raw_input_fingerprint,
     )
 
     spark, owns_session = claim_session("sifter-make-training-data")
@@ -116,6 +117,7 @@ def main(argv=None) -> None:
     # pipeline — each export carries its own opts guard below
     prepare_opts = {
         "input": args.input,
+        "input_content": raw_input_fingerprint(args.input),
         "input_options": parse_reader_options(args.input_option),
         "html": args.html,
         "lang": args.lang,

@@ -63,6 +63,7 @@ def main(argv=None) -> None:
         clear_derived,
         materialize_prepared_corpus,
         prepare_corpus,
+        raw_input_fingerprint,
     )
 
     spark, owns_session = claim_session("sifter-prepare-and-index")
@@ -95,6 +96,7 @@ def main(argv=None) -> None:
     # progress, never the final artifacts).
     prepare_opts = {
         "input": args.input,
+        "input_content": raw_input_fingerprint(args.input),
         "input_options": parse_reader_options(args.input_option),
         "html": args.html,
         "lang": args.lang,

@@ -78,7 +78,7 @@ pairs AS (
   WHERE e.vec_id != {query_vec_id}
 )
 SELECT vec_id, round(dot / (na * nb), {round_to}) AS cos
-FROM pairs ORDER BY dot / (na * nb) DESC, vec_id ASC LIMIT {k}
+FROM pairs ORDER BY round(dot / (na * nb), {round_to}) DESC, vec_id ASC LIMIT {k}
 """
 
 
@@ -162,7 +162,7 @@ scored AS (
   WHERE b.bucket IN ({", ".join(probes)}) AND b.vec_id != {query_vec_id}
 )
 SELECT vec_id, round(dot / (na * nb), {round_to}) AS cos
-FROM scored ORDER BY dot / (na * nb) DESC, vec_id ASC LIMIT {k}
+FROM scored ORDER BY round(dot / (na * nb), {round_to}) DESC, vec_id ASC LIMIT {k}
 """
 
 
@@ -462,7 +462,7 @@ scored AS (
   WHERE ({ors}) AND b.vec_id != {query_vec_id}
 )
 SELECT vec_id, round(dot / (na * nb), {round_to}) AS cos
-FROM scored ORDER BY dot / (na * nb) DESC, vec_id ASC LIMIT {k}
+FROM scored ORDER BY round(dot / (na * nb), {round_to}) DESC, vec_id ASC LIMIT {k}
 """
 
 
@@ -767,6 +767,6 @@ scored AS (
   WHERE a.vec_id != {query_vec_id}
 )
 SELECT vec_id, round(dot / (na * nb), {round_to}) AS cos
-FROM scored ORDER BY dot / (na * nb) DESC, vec_id ASC LIMIT {k}
+FROM scored ORDER BY round(dot / (na * nb), {round_to}) DESC, vec_id ASC LIMIT {k}
 """
     return q

@@ -156,14 +156,17 @@ def materialize_prepared_corpus(
 ):
     """Write ``<output>/clean_corpus`` + ``prepare_audit.json`` ONCE and
     return ``(clean_from_disk, audit_row)``. A resumed run reuses the
-    cached corpus only when the recorded fingerprint of the RAW input +
-    every prepare option matches ``prepare_opts``; on mismatch the
-    corpus AND every path in ``stale_paths`` (derived artifacts: index
-    state, chunk exports…) are cleared and rebuilt — a submit that
-    changed ``--input`` or a stage flag must never silently consume the
-    previous run's corpus (the downstream builds' own fingerprints
-    can't catch it: they fingerprint the cached parquet, not what
-    produced it)."""
+    cached corpus only when the recorded ``prepare_opts`` (every prepare
+    flag; callers also include :func:`raw_input_fingerprint` of the
+    input so in-place data mutation at the same path is detected)
+    match; whenever the corpus is REBUILT — for any reason: fresh run,
+    crashed write, changed inputs/flags, or a missing/old-format audit
+    file — every path in ``stale_paths`` (derived artifacts: index
+    state, chunk exports…) is cleared first. Clearing must not be
+    conditional on a *detected* opts mismatch: a crash between the
+    audit unlink and the clear, or a hand-deleted audit, would
+    otherwise leave exports from the PREVIOUS corpus passing their own
+    ``_EXPORT_OPTS`` check against a corpus rebuilt under new flags."""
     import json as _json
     from pathlib import Path as _Path
 
@@ -180,14 +183,37 @@ def materialize_prepared_corpus(
         # (a later run with the old flags would see a matching audit +
         # _SUCCESS and silently serve the wrong corpus)
         audit_path.unlink(missing_ok=True)
-        if cached_opts is not None and cached_opts != prepare_opts:
-            clear_derived(output, stale_paths)
+        clear_derived(output, stale_paths)
         clean.write.mode("overwrite").parquet(clean_dir)
         audit_row = audit.collect()[0].asDict() | {"_prepare_opts": prepare_opts}
         audit_path.write_text(_json.dumps(audit_row))
     else:
         audit_row = _json.loads(audit_path.read_text())
     return spark.read.parquet(clean_dir), audit_row
+
+
+def raw_input_fingerprint(path: str) -> str:
+    """Content identity of a filesystem input for ``prepare_opts``:
+    md5 over the sorted (relative path, size, mtime_ns) of every file —
+    the same signal :func:`~..plans.checkpoint.input_fingerprint` uses,
+    but computable without a Spark scan. Detects data mutated IN PLACE
+    at the same path (e.g. a re-crawled parquet dir), which a
+    path-string-only record cannot. Non-filesystem refs (catalog
+    tables) fall back to ``ref:<name>`` — pin a snapshot via
+    ``--input-option`` to guard those."""
+    import hashlib as _hashlib
+    from pathlib import Path as _Path
+
+    p = _Path(path)
+    if not p.exists():
+        return f"ref:{path}"
+    files = sorted(x for x in p.rglob("*") if x.is_file()) if p.is_dir() else [p]
+    h = _hashlib.md5()
+    for f_ in files:
+        st = f_.stat()
+        rel = f_.relative_to(p) if p.is_dir() else f_.name
+        h.update(f"{rel}|{st.st_size}|{st.st_mtime_ns}\n".encode())
+    return h.hexdigest()
 
 
 def clear_derived(output: str, paths) -> None:

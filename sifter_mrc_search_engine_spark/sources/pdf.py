@@ -293,16 +293,16 @@ class _Document:
         # PDF 1.5+: the trailer dict may live in a cross-reference
         # STREAM instead of a `trailer` keyword — merge its entries
         # (we need /Root; the binary xref data itself is irrelevant to
-        # a body scan)
-        for o in self.objects.values():
+        # a body scan). LAST XRef stream in file order wins, matching
+        # both the `trailer`-keyword update() above and incremental-
+        # update semantics (the newest update section appends last, and
+        # its catalog must shadow the original's /Root; a truncated
+        # XRef's missing key must not erase an earlier real one).
+        for o in self.objects.values():  # dict preserves body-scan file order
             if isinstance(o, dict) and o.get("Type") == "XRef":
                 for k in ("Root", "Info", "Size"):
-                    # guard None: setdefault would PIN a missing key from
-                    # a truncated update section's XRef and block a later
-                    # XRef's real /Root (setdefault skips existing keys,
-                    # even None-valued ones)
                     if o.get(k) is not None:
-                        self.trailer.setdefault(k, o[k])
+                        self.trailer[k] = o[k]
         self._unpack_object_streams()
 
     def _unpack_object_streams(self) -> None:

@@ -34,7 +34,11 @@ def is_table_ref(ref: str) -> bool:
     """Heuristic split between filesystem paths and table identifiers:
     a path separator or an existing local file/dir means parquet; a
     bare (possibly dotted) identifier means catalog table. Ambiguity is
-    resolvable by the caller passing an absolute path."""
+    resolvable explicitly: prefix ``table:`` to force catalog
+    resolution (even when a same-named local file exists), or pass an
+    absolute/relative path containing ``/`` to force parquet."""
+    if ref.startswith("table:"):
+        return True
     if "/" in ref or ref.endswith(".parquet"):
         return False
     return not Path(ref).exists()
@@ -46,12 +50,28 @@ def read_corpus(
     """Load the input corpus from a parquet path or a catalog table
     reference (see module doc). ``options`` reach the underlying reader
     (e.g. Iceberg snapshot pinning); they are reader-level, so formats
-    that don't understand a key simply ignore it."""
+    that don't understand a key simply ignore it.
+
+    A mistyped slash-free path would otherwise surface as a bare
+    Spark ``TABLE_OR_VIEW_NOT_FOUND`` — resolution failures re-raise
+    with the path-vs-table heuristic spelled out."""
     reader = spark.read
     for k, v in (options or {}).items():
         reader = reader.option(k, v)
     if is_table_ref(ref):
-        return reader.table(ref)
+        name = ref.removeprefix("table:")
+        try:
+            return reader.table(name)
+        except Exception as exc:  # AnalysisException, no hard pyspark dep here
+            if "TABLE_OR_VIEW_NOT_FOUND" not in str(exc):
+                raise
+            raise ValueError(
+                f"input {ref!r} has no '/' and does not exist locally, so it "
+                f"was resolved as a catalog table — which was not found "
+                f"either. If you meant a file, pass a path containing '/' "
+                f"(e.g. './{name}'); to force table resolution use "
+                f"'table:{name}'. Original error: {exc}"
+            ) from exc
     return reader.parquet(ref)
 
 

@@ -234,3 +234,39 @@ def test_malformed_tounicode_degrades_to_raw_bytes():
     assert all(isinstance(v, str) for v in m.values())
     # genuinely malformed hex -> whole cmap rejected, not an exception
     assert _parse_tounicode(b"1 beginbfchar\n<zz> <0041>\nendbfchar\n") == {}
+
+
+def test_incremental_update_last_xref_root_wins():
+    """A PDF 1.5 incremental update appends a new catalog + XRef stream
+    at the end of the file; its /Root must shadow the original's (last
+    XRef in file order wins, matching trailer-keyword precedence —
+    ADVICE r4: setdefault pinned the FIRST XRef's stale catalog)."""
+    import zlib as _zlib
+
+    base = synthesize_pdf([["original text."]], objstm=True, compress=False)
+    n = 50  # safely above every object number the writer emits
+    content = b"BT /F1 12 Tf (updated text.) Tj ET"
+    upd = bytearray(base)
+    dict_objs = {
+        n: f"<< /Type /Catalog /Pages {n + 1} 0 R >>",
+        n + 1: f"<< /Type /Pages /Kids [{n + 2} 0 R] /Count 1 >>",
+        n + 2: (
+            f"<< /Type /Page /Parent {n + 1} 0 R /Contents {n + 3} 0 R "
+            f"/Resources << /Font << /F1 {n + 4} 0 R >> >> >>"
+        ),
+        n + 4: "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    }
+    for num, body in dict_objs.items():
+        upd += f"{num} 0 obj\n{body}\nendobj\n".encode()
+    upd += (
+        f"{n + 3} 0 obj\n<< /Length {len(content)} >>\nstream\n".encode()
+        + content + b"\nendstream\nendobj\n"
+    )
+    zx = _zlib.compress(b"\x00\x00\x00\x00\x00\xff\xff")
+    upd += (
+        f"{n + 5} 0 obj\n<< /Type /XRef /Size {n + 6} /W [1 4 2] "
+        f"/Root {n} 0 R /Filter /FlateDecode /Length {len(zx)} >>\nstream\n"
+        .encode() + zx + b"\nendstream\nendobj\nstartxref\n0\n%%EOF\n"
+    )
+    assert extract_pdf_text(base) == "original text."
+    assert extract_pdf_text(bytes(upd)) == "updated text."

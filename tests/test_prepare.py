@@ -348,3 +348,105 @@ def test_assign_doc_ids_duplicate_keys_and_keep_latest(spark):
         "https://a.example/2": "only crawl of page two",
     }
     assert kept.select("doc_id").distinct().count() == 2
+
+
+def test_rebuild_clears_stale_exports_without_detected_mismatch(spark, tmp_path, capsys):
+    """Any corpus rebuild clears derived exports — even when no opts
+    MISMATCH is detectable (crash between the audit unlink and the
+    clear, a hand-deleted audit, an old-format audit file). Exports'
+    own ``_EXPORT_OPTS`` record only export knobs, so without the
+    unconditional clear they would pass their check against a corpus
+    rebuilt under different prepare flags (ADVICE r4)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from jobs.make_training_data import main as job_main
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    spark.createDataFrame(
+        [(i, "the corpus sentence number one has words. "
+             f"and sentence two follows it {i}.") for i in range(6)],
+        "doc_id long, text string",
+    ).write.parquet(inp)
+    job_main(["--input", inp, "--output", out, "--budget", "32"])
+    capsys.readouterr()
+
+    # simulate the crash window: the audit is gone but exports remain
+    Path(out, "prepare_audit.json").unlink()
+    sentinel = Path(out, "chunks", "stale_part_from_old_corpus.parquet")
+    sentinel.write_text("stale")
+
+    job_main(["--input", inp, "--output", out, "--budget", "32"])
+    capsys.readouterr()
+    assert not sentinel.exists(), "stale export survived a corpus rebuild"
+    assert Path(out, "chunks", "_SUCCESS").exists()  # rebuilt, not just wiped
+
+
+def test_input_content_mutation_invalidates_corpus(spark, tmp_path, capsys):
+    """Data mutated IN PLACE at the same --input path (a re-crawl that
+    overwrites the parquet dir) must rebuild the corpus: prepare_opts
+    record a content fingerprint (sizes+mtimes), not just the path
+    string (ADVICE r4)."""
+    import json
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from jobs.prepare_and_index import main as job_main
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    spark.createDataFrame(
+        [(i, f"alpha corpus document number {i} with plenty of words")
+         for i in range(8)],
+        "doc_id long, text string",
+    ).write.parquet(inp)
+    job_main(["--input", inp, "--output", out])
+    capsys.readouterr()
+
+    # overwrite the SAME path with different data
+    spark.createDataFrame(
+        [(i, f"mutated corpus document number {i} with plenty of words")
+         for i in range(5)],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(inp)
+    job_main(["--input", inp, "--output", out])
+    capsys.readouterr()
+    audit = json.loads(Path(out, "prepare_audit.json").read_text())
+    assert audit["input"] == 5
+    texts = {r["text"] for r in spark.read.parquet(f"{out}/clean_corpus").collect()}
+    assert all("mutated" in t for t in texts)
+
+
+def test_lang_change_invalidates_exports(spark, tmp_path, capsys):
+    """A changed corpus-affecting flag (--lang) on make_training_data
+    must invalidate the EXPORTS too, not just the corpus: exports'
+    _EXPORT_OPTS only record export knobs, so the prepare-opts guard is
+    what protects them (VERDICT r4 item 9)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from jobs.make_training_data import main as job_main
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    spark.createDataFrame(
+        [(i, "the corpus sentence number one has many common english "
+             f"words in it. and the second sentence follows it {i}.")
+         for i in range(6)],
+        "doc_id long, text string",
+    ).write.parquet(inp)
+
+    job_main(["--input", inp, "--output", out, "--budget", "32"])
+    capsys.readouterr()
+    mt = Path(out, "chunks", "_SUCCESS").stat().st_mtime_ns
+
+    job_main(["--input", inp, "--output", out, "--budget", "32",
+              "--lang", "en"])
+    capsys.readouterr()
+    assert Path(out, "chunks", "_SUCCESS").stat().st_mtime_ns != mt, (
+        "chunks export served stale after a corpus-affecting flag change"
+    )

@@ -64,3 +64,22 @@ def test_jobs_accept_table_refs(spark, tmp_path, capsys):
     summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert summary["audit"]["input"] == 10
     assert summary["build"]["n_docs"] == 10
+
+
+def test_is_table_ref_explicit_prefix(tmp_path, monkeypatch):
+    """``table:`` forces catalog resolution even when a same-named
+    local file exists (the silent-parquet-shadowing hazard, ADVICE r4)."""
+    monkeypatch.chdir(tmp_path)
+    (tmp_path / "pages").mkdir()  # name collision with a local dir
+    assert not is_table_ref("pages")  # heuristic: local dir wins
+    assert is_table_ref("table:pages")  # explicit: catalog wins
+
+
+def test_read_corpus_table_prefix_and_missing_table_error(spark, tmp_path):
+    df = spark.createDataFrame([(1, "t")], "doc_id long, text string")
+    df.createOrReplaceTempView("prefixed_ref_view")
+    assert read_corpus(spark, "table:prefixed_ref_view").count() == 1
+    # a mistyped slash-free path surfaces the heuristic, not a bare
+    # TABLE_OR_VIEW_NOT_FOUND
+    with pytest.raises(ValueError, match="path containing '/'"):
+        read_corpus(spark, "no_such_input_xyz")

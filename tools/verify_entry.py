@@ -18,29 +18,60 @@ import __spark_entry__ as e
 from sifter_mrc_search_engine_spark.session import get_spark
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
 def norm_cell(v):
-    if isinstance(v, float):
-        return f"{v:.6g}"
+    """Dtype-faithful stringify: the driver hashes ``5.0`` (float64) and
+    ``5`` (int64) DIFFERENTLY, so format floats with ``repr`` (keeps the
+    trailing ``.0``) and ints bare.  The old ``%.6g`` formatting collapsed
+    ``5.0`` to ``"5"`` and masked the r2/r4 DuckDB-HUGEINT→float64 oracle
+    bug twice (VERDICT r4 item 2).
+    """
+    import numpy as np
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, (float, np.floating)):
+        if v != v:
+            return "NULL"
+        return repr(float(v))
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
     return str(v)
 
 
-def norm_rows(cols, rows):
+_KIND = {"u": "i"}  # unsigned ints count as ints
+
+
+def dtype_kind_mismatches(spdf, ddf, order):
+    """Per-column pandas dtype *kind* comparison (int vs float vs object
+    vs datetime).  DuckDB HUGEINT comes back float64 ('f') while Spark
+    BIGINT is int64 ('i') — the driver sees that as a hash mismatch, so
+    the local gate must too."""
+    bad = []
+    for c in order:
+        ks = _KIND.get(spdf[c].dtype.kind, spdf[c].dtype.kind)
+        kd = _KIND.get(ddf[c].dtype.kind, ddf[c].dtype.kind)
+        if ks != kd:
+            bad.append(f"{c}: spark={spdf[c].dtype} vs duckdb={ddf[c].dtype}")
+    return bad
+
+
+def norm_rows(pdf, cols):
     """Mirror the DRIVER's canonicalizer: pandas sort_values over all
     columns sorted by name. Crucially this THROWS on unhashable cells
     (lists/arrays), exactly like the driver — r1 shipped three
     array-column queries because the old stringify here masked that.
     """
-    import pandas as pd
-
     order = sorted(cols)
-    pdf = pd.DataFrame(list(rows), columns=list(cols))[order]
-    pdf = pdf.sort_values(order).reset_index(drop=True)  # raises on list cells
-    return sorted(
-        "|".join(norm_cell(r[c]) for c in order) for _, r in pdf.iterrows()
-    )
+    pdf = pdf[order].sort_values(order).reset_index(drop=True)  # raises on list cells
+    # Column-wise stringify: iterrows() upcasts mixed-dtype rows to a
+    # common float64, which both masks int-vs-float drift and corrupts
+    # int64 values past 2**53.  .tolist() keeps each column's own dtype.
+    cols_str = [[norm_cell(v) for v in pdf[c].tolist()] for c in order]
+    return sorted("|".join(vals) for vals in zip(*cols_str))
 
 
 def main():
@@ -51,16 +82,20 @@ def main():
         if Path(p).exists():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
-    res = e.entry(spark)
-    rows = res.collect()
-    print(f"entry: {len(rows)} rows, schema={res.columns}")
+    if ONLY is None:
+        res = e.entry(spark)
+        rows = res.collect()
+        print(f"entry: {len(rows)} rows, schema={res.columns}")
 
     qs, oracles = e.queries(), e.oracle_sql()
     failures = 0
     for name, fn in qs.items():
+        if ONLY is not None and name not in ONLY:
+            continue
         sdf = fn(spark, SF_DIR)
         scols = sdf.columns
-        srows = [tuple(r) for r in sdf.collect()]
+        spdf = sdf.toPandas()
+        srows = [tuple(r) for r in spdf.itertuples(index=False)]
         # Driver-hash hazard: raw timestamp outputs with sub-second
         # precision hash differently between Arrow (ns) and DuckDB (µs)
         # even for equal instants (r2's rel_user_sessions red cell).
@@ -86,16 +121,24 @@ def main():
             continue
         dres = con.execute(oracles[name])
         dcols = [d[0] for d in dres.description]
-        drows = dres.fetchall()
+        ddf = dres.df()
+        drows = [tuple(r) for r in ddf.itertuples(index=False)]
         ok_cols = sorted(scols) == sorted(dcols)
+        kind_bad = (
+            dtype_kind_mismatches(spdf, ddf, sorted(scols))
+            if ok_cols and len(srows) and len(drows)
+            else []
+        )
         ok_count = len(srows) == len(drows)
-        ok_vals = norm_rows(scols, srows) == norm_rows(dcols, drows)
-        status = "OK" if (ok_cols and ok_count and ok_vals) else "FAIL"
+        ok_vals = (
+            ok_cols and norm_rows(spdf, scols) == norm_rows(ddf, dcols)
+        )
+        status = "OK" if (ok_cols and ok_count and ok_vals and not kind_bad) else "FAIL"
         if status == "FAIL":
             failures += 1
-            print(f"{name:32s} {status} cols={ok_cols}({scols} vs {dcols}) count={ok_count}({len(srows)} vs {len(drows)}) vals={ok_vals}")
+            print(f"{name:32s} {status} cols={ok_cols}({scols} vs {dcols}) count={ok_count}({len(srows)} vs {len(drows)}) vals={ok_vals} dtypes={kind_bad or 'ok'}")
             if ok_cols and ok_count and not ok_vals:
-                a, b = norm_rows(scols, srows), norm_rows(dcols, drows)
+                a, b = norm_rows(spdf, scols), norm_rows(ddf, dcols)
                 diffs = [(x, y) for x, y in zip(a, b) if x != y][:3]
                 for x, y in diffs:
                     print(f"   spark={x[:120]}\n   duck ={y[:120]}")
