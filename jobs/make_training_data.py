@@ -5,7 +5,8 @@ training sequences, with optional NSP-pair and MLM-mask exports.
     spark-submit --py-files sifter_pkg.zip jobs/make_training_data.py \
         --input  /path/to/pages_parquet \
         --output /path/to/training_dir \
-        [--html] [--lang en] [--near-dup] [--transitive] [--gopher] \
+        [--html] [--lang en] [--near-dup] [--lsh-max-bucket 256] \
+        [--transitive] [--gopher] \
         [--redact] [--bench bench_parquet] [--budget 1024] \
         [--nsp] [--mlm] [--vocab-size 20000] \
         [--id-col doc_id] [--text-col text]
@@ -62,6 +63,10 @@ def main(argv=None) -> None:
     ap.add_argument("--html", action="store_true")
     ap.add_argument("--lang", default=None)
     ap.add_argument("--near-dup", action="store_true")
+    ap.add_argument("--lsh-max-bucket", type=int, default=256,
+                    help="with --near-dup: drop LSH buckets larger than this "
+                         "before the pair join (skew cap; audit records the "
+                         "dropped-bucket count). 0 disables the cap")
     ap.add_argument("--transitive", action="store_true",
                     help="transitively-safe near-dup drop (connected components)")
     ap.add_argument("--gopher", action="store_true")
@@ -104,6 +109,7 @@ def main(argv=None) -> None:
         html_col="html" if args.html else None,
         lang=args.lang,
         near_dup=args.near_dup,
+        lsh_max_bucket=args.lsh_max_bucket or None,
         near_dup_transitive=args.transitive,
         id_col=args.id_col,
         text_col=args.text_col,
@@ -122,6 +128,7 @@ def main(argv=None) -> None:
         "html": args.html,
         "lang": args.lang,
         "near_dup": args.near_dup,
+        "lsh_max_bucket": args.lsh_max_bucket or None,
         "transitive": args.transitive,
         "gopher": args.gopher,
         "redact": args.redact,

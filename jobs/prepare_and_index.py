@@ -6,8 +6,9 @@ lineage written next to the index.
     spark-submit --py-files sifter_pkg.zip jobs/prepare_and_index.py \
         --input  /path/to/pages_parquet \
         --output /path/to/index_dir \
-        [--html] [--lang en] [--near-dup] [--buckets 64] \
-        [--id-col doc_id] [--text-col text] [--max-buckets N]
+        [--html] [--lang en] [--near-dup] [--lsh-max-bucket 256] \
+        [--buckets 64] [--id-col doc_id] [--text-col text] \
+        [--max-buckets N]
 
 The reference runs the analogous extract→clean→filter→train chain as
 single-process Python (modules/lm_post_training/train.py:49-70); here
@@ -45,6 +46,10 @@ def main(argv=None) -> None:
     ap.add_argument("--html", action="store_true", help="extract from the html binary column")
     ap.add_argument("--lang", default=None, help="keep only this predicted language")
     ap.add_argument("--near-dup", action="store_true", help="drop MinHash-LSH near-dups")
+    ap.add_argument("--lsh-max-bucket", type=int, default=256,
+                    help="with --near-dup: drop LSH buckets larger than this "
+                         "before the pair join (skew cap; audit records the "
+                         "dropped-bucket count). 0 disables the cap")
     ap.add_argument("--gopher", action="store_true", help="apply the Gopher quality gates")
     ap.add_argument("--redact", action="store_true", help="redact PII before all stages")
     ap.add_argument("--bench", default=None, help="parquet of benchmark docs to decontaminate against")
@@ -79,6 +84,7 @@ def main(argv=None) -> None:
         html_col="html" if args.html else None,
         lang=args.lang,
         near_dup=args.near_dup,
+        lsh_max_bucket=args.lsh_max_bucket or None,
         id_col=args.id_col,
         text_col=args.text_col,
         gopher=args.gopher,
@@ -101,6 +107,7 @@ def main(argv=None) -> None:
         "html": args.html,
         "lang": args.lang,
         "near_dup": args.near_dup,
+        "lsh_max_bucket": args.lsh_max_bucket or None,
         "gopher": args.gopher,
         "redact": args.redact,
         "bench": args.bench,

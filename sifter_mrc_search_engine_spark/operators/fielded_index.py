@@ -46,6 +46,7 @@ from ..constants import BM25_B, BM25_K1, DEFAULT_TOP_K, TERM_BUCKETS
 from ..functions.analyzer import analyze, tokenize_expr
 from ..functions.xxhash import term_bucket
 from .bm25 import bm25_contrib_expr, score_fold
+from .compressed_index import DEFAULT_PRELOAD_BUDGET_BYTES, check_preload_budget
 from .compressed_index import decode_index_df, encode_tf, write_index
 
 #: joins field and term in the stored term key; the analyzer's token
@@ -645,11 +646,15 @@ class FieldedSearcher:
         buckets: int = TERM_BUCKETS,
         preload: bool = False,
         norms: str = "preload",
+        preload_budget_bytes: int | None = DEFAULT_PRELOAD_BUDGET_BYTES,
     ):
         """``norms='join'`` keeps per-field doclens cluster-resident —
         queries route through :func:`search_bm25f`'s in-plan doclen join
         with zero driver norm state (the 10^12-doc shape); 'preload'
-        collects them once for the low-latency driver kernels."""
+        collects them once for the low-latency driver kernels. Driver
+        collects are size-estimated first and refused above
+        ``preload_budget_bytes`` (default 4 GiB; ``None`` disables the
+        check) — a clear error beats an OOMed driver."""
         import numpy as np
 
         if norms not in ("preload", "join"):
@@ -684,6 +689,10 @@ class FieldedSearcher:
                 self._term_df[r["term"]] = int(r["df"])
         self._mem: dict[str, list] | None = None
         if preload:
+            check_preload_budget(
+                self.postings, f"fielded postings of {index_dir}",
+                preload_budget_bytes,
+            )
             self._mem = {}
             for r in self.postings.collect():
                 self._mem.setdefault(r["term"], []).append(r)

@@ -44,6 +44,7 @@ def prepare_corpus(
     bench: DataFrame | None = None,
     decontaminate_k: int = 8,
     near_dup_transitive: bool = False,
+    lsh_max_bucket: int | None = 256,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (clean_docs, audit). ``clean_docs`` has (doc_id, text);
     ``audit`` is a lazy one-row DataFrame of per-stage survivor counts.
@@ -61,6 +62,16 @@ def prepare_corpus(
     ships); ``bench`` drops docs sharing any ``decontaminate_k``-token
     shingle with the given benchmark table (broadcast semi-join,
     audited as ``after_decontamination``).
+
+    ``lsh_max_bucket`` (production default 256, vs
+    :func:`~..operators.dedup.lsh_candidate_pairs`'s reference-exact
+    ``None``): with ``near_dup=True``, LSH buckets holding more than
+    this many docs are dropped before the pair join — one degenerate
+    boilerplate signature otherwise emits B·(B−1)/2 pairs and goes
+    quadratic at corpus scale. Never silent: the audit row gains
+    ``lsh_dropped_buckets`` / ``lsh_dropped_bucket_rows`` (zeros when
+    nothing was capped; the count costs one extra signature pass, paid
+    only at the single audit collect). ``None`` disables the cap.
     """
     from ..functions.text_stats import redact_pii
 
@@ -104,7 +115,13 @@ def prepare_corpus(
 
     clean = flags.filter(F.col("_d")).select("doc_id", "text")
     if near_dup:
-        pairs = lsh_candidate_pairs(clean)
+        pairs = lsh_candidate_pairs(clean, max_bucket=lsh_max_bucket)
+        if lsh_max_bucket is not None:
+            from ..operators.dedup import lsh_dropped_bucket_stats
+
+            audit = audit.crossJoin(
+                lsh_dropped_bucket_stats(clean, lsh_max_bucket)
+            )
         if near_dup_transitive:
             # cluster-safe: keep exactly the min doc_id of each
             # connected component (docs linked only THROUGH a middleman

@@ -39,6 +39,11 @@ from pyspark.sql.types import (
 from ..constants import DEFAULT_TOP_K, MAX_TOP_K, TERM_BUCKETS
 from ..functions.analyzer import analyze
 from ..functions.xxhash import term_bucket
+from ..operators.compressed_index import (
+    DEFAULT_PRELOAD_BUDGET_BYTES,
+    PreloadBudgetExceeded,
+    check_preload_budget,
+)
 from ..operators.wand import wand_topk
 
 _DOCLEN_CACHE: dict[tuple, tuple] = {}
@@ -101,12 +106,17 @@ class IndexSearcher:
         buckets: int = TERM_BUCKETS,
         preload: bool = False,
         norms: str = "preload",
+        preload_budget_bytes: int | None = DEFAULT_PRELOAD_BUDGET_BYTES,
     ):
         """``preload=True`` pulls the postings table into a driver-side
         term->rows dict — the low-latency serving mode (sub-ms routing, no
         Spark job per query). Appropriate while the hot index fits driver
         memory; at 10^12 docs serving runs against the bucket-pruned scan
-        (default) or an external KV tier.
+        (default) or an external KV tier. Before collecting, the
+        postings size is ESTIMATED (one cheap aggregate) and the preload
+        refused with :class:`PreloadBudgetExceeded` above
+        ``preload_budget_bytes`` (default 4 GiB) — a clear error naming
+        the knob beats an OOMed driver. ``None`` disables the check.
 
         ``norms``: 'preload' loads the doclens sidecar into driver memory
         on first use (lowest latency; bounded by the norms table fitting
@@ -126,6 +136,9 @@ class IndexSearcher:
         self._doclen = None  # lazy: join-mode never touches it
         self._mem: dict[str, list] | None = None
         if preload:
+            check_preload_budget(
+                self.postings, f"postings of {index_dir}", preload_budget_bytes
+            )
             self._mem = {}
             for r in self.postings.collect():
                 self._mem.setdefault(r["term"], []).append(r)

@@ -394,9 +394,10 @@ class _Document:
         return order
 
     def page_fonts(self, page_num: int) -> dict:
-        """``{font_resource_name: {code: str}}`` for the page's fonts
-        that carry a parseable single-byte /ToUnicode CMap. Resources
-        are inherited through the /Parent chain per ISO 32000 §7.7.3.4."""
+        """``{font_resource_name: _CMap}`` for the page's fonts that
+        carry a parseable 1- or 2-byte /ToUnicode CMap (simple and
+        CID/Type0 fonts respectively). Resources are inherited through
+        the /Parent chain per ISO 32000 §7.7.3.4."""
         node = self.resolve(self.objects.get(page_num))
         res = None
         hops = 0
@@ -443,9 +444,27 @@ class _Document:
         return b"\n".join(parts)
 
 
+class _CMap(dict):
+    """/ToUnicode mapping ``{code: unicode_str}``; ``code_len`` is the
+    uniform source-code width in BYTES — 1 for simple fonts, 2 for the
+    CID/Identity-H subset fonts common in CJK PDFs (the case the
+    reference handles via pdfminer, file_parser/pdf_parser.py:12-33)."""
+
+    code_len = 1
+
+
 def _decode_pdf_string(raw: bytes, cmap: dict | None = None) -> str:
     if cmap is not None:
-        return "".join(cmap.get(b, chr(b)) for b in raw)
+        w = getattr(cmap, "code_len", 1)
+        if w == 1:
+            return "".join(cmap.get(b, chr(b)) for b in raw)
+        out = []
+        for i in range(0, len(raw) - w + 1, w):
+            code = int.from_bytes(raw[i : i + w], "big")
+            out.append(cmap.get(code, chr(code)))
+        if len(raw) % w:  # dangling odd byte: degrade, don't drop
+            out.append(chr(raw[-1]))
+        return "".join(out)
     if raw.startswith(b"\xfe\xff"):
         return raw[2:].decode("utf-16-be", errors="replace")
     return raw.decode("latin-1")
@@ -457,14 +476,25 @@ _HEX_RE = re.compile(rb"<([0-9A-Fa-f]+)>")
 
 
 def _parse_tounicode(cmap_bytes: bytes) -> dict:
-    """``{byte_code: unicode_str}`` from a /ToUnicode CMap's bfchar and
-    bfrange sections. Single-byte source codes only (2-hex-digit src
-    strings); destinations are UTF-16BE per the CMap spec. Anything the
-    subset grammar can't handle — multi-byte codespaces, array-form
-    bfrange, malformed/overflowing hex — returns {} so the caller falls
-    back to raw-byte decoding (a broken CMap must degrade the text, not
-    crash per-document ingestion with a non-PdfError)."""
-    out: dict = {}
+    """``_CMap {code: unicode_str}`` from a /ToUnicode CMap's bfchar and
+    bfrange sections. Source codes may be 1-byte (2 hex digits, simple
+    fonts) or 2-byte (4 hex digits, CID subset fonts) but must be
+    UNIFORM across the cmap; destinations are UTF-16BE per the CMap
+    spec. Anything the subset grammar can't handle — mixed/other code
+    widths, array-form bfrange, malformed/overflowing hex — returns an
+    empty map so the caller falls back to raw-byte decoding (a broken
+    CMap must degrade the text, not crash per-document ingestion with a
+    non-PdfError)."""
+    out = _CMap()
+    width: int | None = None  # hex digits per source code, pinned by 1st
+
+    def src_ok(tok: bytes) -> bool:
+        nonlocal width
+        if len(tok) not in (2, 4):
+            return False
+        if width is None:
+            width = len(tok)
+        return len(tok) == width
 
     def dst_str(hx: bytes) -> str:
         s = hx.decode()
@@ -476,8 +506,8 @@ def _parse_tounicode(cmap_bytes: bytes) -> dict:
         for m in _BFCHAR_RE.finditer(cmap_bytes):
             toks = _HEX_RE.findall(m.group(1))
             for src, dst in zip(toks[::2], toks[1::2]):
-                if len(src) != 2:
-                    return {}
+                if not src_ok(src):
+                    return _CMap()
                 out[int(src, 16)] = dst_str(dst)
         for m in _BFRANGE_RE.finditer(cmap_bytes):
             body = m.group(1)
@@ -485,17 +515,18 @@ def _parse_tounicode(cmap_bytes: bytes) -> dict:
             # rare in simple fonts and unsupported (whole cmap rejected
             # so decoding stays all-or-nothing)
             if b"[" in body:
-                return {}
+                return _CMap()
             toks = _HEX_RE.findall(body)
             for lo, hi, dst in zip(toks[::3], toks[1::3], toks[2::3]):
-                if len(lo) != 2 or len(hi) != 2:
-                    return {}
+                if not (src_ok(lo) and src_ok(hi)):
+                    return _CMap()
                 base = int(dst, 16)
-                width = len(dst)
+                dwidth = len(dst)
                 for c in range(int(lo, 16), int(hi, 16) + 1):
-                    out[c] = dst_str(f"{base + c - int(lo, 16):0{width}x}".encode())
+                    out[c] = dst_str(f"{base + c - int(lo, 16):0{dwidth}x}".encode())
     except ValueError:
-        return {}
+        return _CMap()
+    out.code_len = (width or 2) // 2
     return out
 
 
@@ -581,6 +612,7 @@ def synthesize_pdf(
     utf16: bool = False,
     objstm: bool = False,
     tounicode: bool = False,
+    cid: bool = False,
 ) -> bytes:
     """Deterministic classic-xref PDF fixture: one content stream per
     page, each paragraph shown with ``Tj`` and separated by two ``T*``
@@ -602,7 +634,14 @@ def synthesize_pdf(
     shown byte is the character code PLUS ONE, and the font carries a
     /ToUnicode CMap (bfchar entries) mapping the shifted codes back —
     raw-byte decoding yields ciphertext, so extraction is only correct
-    if the reader interprets the CMap."""
+    if the reader interprets the CMap.
+
+    ``cid=True`` emulates the CJK subset-font shape instead: a Type0 /
+    Identity-H composite font whose shown strings are 2-BYTE codes
+    (``ord(char) + 0x100``), with a /ToUnicode CMap carrying 4-hex-digit
+    sources — two bfchar entries plus one bfrange spanning the rest, so
+    both 2-byte forms are exercised. Raw or 1-byte decoding yields
+    garbage; only a CID-aware reader recovers the text."""
     objs: dict[int, bytes] = {}
     n_pages = len(pages)
     font_num = 3 + 2 * n_pages
@@ -622,7 +661,12 @@ def synthesize_pdf(
         for j, p in enumerate(paras):
             if j:
                 body += b"T* T*\n"
-            if tounicode:
+            if cid:
+                codes = b"".join(
+                    (ord(c) + 0x100).to_bytes(2, "big") for c in p
+                )
+                body += b"<" + codes.hex().encode() + b"> Tj\n"
+            elif tounicode:
                 shifted = bytes((ord(c) + 1) & 0xFF for c in p)
                 body += b"<" + shifted.hex().encode() + b"> Tj\n"
             elif utf16:
@@ -639,7 +683,41 @@ def synthesize_pdf(
             b"<< " + filt + f"/Length {len(data)} >>".encode()
             + b"\nstream\n" + data + b"\nendstream"
         )
-    if tounicode:
+    if cid:
+        cmap_num, desc_num = font_num + 1, font_num + 2
+        used = sorted({ord(c) for paras in pages for p in paras for c in p})
+        # first two codes as bfchar, the rest as single-step bfranges —
+        # both 2-byte source forms on the wire
+        bfchars = "\n".join(
+            f"<{c + 0x100:04x}> <{c:04x}>" for c in used[:2]
+        )
+        bfranges = "\n".join(
+            f"<{c + 0x100:04x}> <{c + 0x100:04x}> <{c:04x}>" for c in used[2:]
+        )
+        cmap_body = (
+            "/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n"
+            "/CMapName /SifterCid2 def\n/CMapType 2 def\n"
+            "1 begincodespacerange\n<0000> <ffff>\nendcodespacerange\n"
+            f"{max(len(used[:2]), 1)} beginbfchar\n{bfchars}\nendbfchar\n"
+            f"{max(len(used[2:]), 1)} beginbfrange\n{bfranges}\nendbfrange\n"
+            "endcmap\nCMapName currentdict /CMap defineresource pop\nend\nend"
+        ).encode()
+        zc = zlib.compress(cmap_body)
+        objs[cmap_num] = (
+            f"<< /Filter /FlateDecode /Length {len(zc)} >>".encode()
+            + b"\nstream\n" + zc + b"\nendstream"
+        )
+        objs[desc_num] = (
+            b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /SifterCJK "
+            b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+            b"/Supplement 0 >> >>"
+        )
+        objs[font_num] = (
+            f"<< /Type /Font /Subtype /Type0 /BaseFont /SifterCJK "
+            f"/Encoding /Identity-H /DescendantFonts [{desc_num} 0 R] "
+            f"/ToUnicode {cmap_num} 0 R >>"
+        ).encode()
+    elif tounicode:
         cmap_num = font_num + 1
         used = sorted({ord(c) for paras in pages for p in paras for c in p})
         bfchars = "\n".join(f"<{(c + 1) & 0xFF:02x}> <{c:04x}>" for c in used)

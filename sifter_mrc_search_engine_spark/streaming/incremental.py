@@ -32,7 +32,11 @@ from pyspark.sql import functions as F
 
 from ..constants import BM25_B, BM25_K1, DEFAULT_TOP_K, MAX_TOP_K, TERM_BUCKETS
 from ..functions.analyzer import analyze, tokenize_expr
-from ..operators.compressed_index import build_compressed_index
+from ..operators.compressed_index import (
+    DEFAULT_PRELOAD_BUDGET_BYTES,
+    build_compressed_index,
+    check_preload_budget,
+)
 from ..operators.wand import wand_topk
 
 PAGES_DDL = "doc_id long, text string"
@@ -121,9 +125,12 @@ class MultiSegmentSearcher:
         index_dir: str,
         buckets: int = TERM_BUCKETS,
         norms: str = "preload",
+        preload_budget_bytes: int | None = DEFAULT_PRELOAD_BUDGET_BYTES,
     ):
         """``norms='preload'`` collects every segment's doclens into a
-        driver dict (lowest latency; bounded by driver memory).
+        driver dict (lowest latency; bounded by driver memory — the
+        collect is size-estimated first and refused above
+        ``preload_budget_bytes``, default 4 GiB; ``None`` disables).
         ``norms='join'`` keeps norms cluster-resident — queries score
         through an in-plan doclen join over the lazy unioned sidecars —
         the mode that holds at 10^12 docs."""
@@ -147,6 +154,9 @@ class MultiSegmentSearcher:
         self.doclens_df = dl  # lazy union; never collected in join mode
         self.doclen: dict[int, int] = {}
         if norms == "preload":
+            check_preload_budget(
+                dl, f"doclens of {index_dir}", preload_budget_bytes
+            )
             for r in dl.collect():
                 self.doclen[r["doc_id"]] = r["doc_len"]
             distinct = len(self.doclen)
@@ -377,13 +387,17 @@ class FieldedMultiSegmentSearcher:
         index_dir: str,
         buckets: int = TERM_BUCKETS,
         preload: bool = False,
+        preload_budget_bytes: int | None = DEFAULT_PRELOAD_BUDGET_BYTES,
     ):
         """``preload=True`` collects every segment's postings, per-field
         doclens and term_df sidecars into driver memory once, unlocking
         the same low-latency driver kernels (cost-model auto /
         exhaustive / WAND) as ``FieldedSearcher(preload=True)`` — the
         serving tier for streamed fielded segments (the default
-        relational path stays the zero-driver-state posture)."""
+        relational path stays the zero-driver-state posture). The
+        postings+doclens collect is size-estimated first and refused
+        above ``preload_budget_bytes`` (default 4 GiB; ``None``
+        disables) — a clear error beats an OOMed driver."""
         self.spark = spark
         self.buckets = buckets
         self.preload = preload
@@ -452,6 +466,14 @@ class FieldedMultiSegmentSearcher:
         self._term_df: dict[str, int] = {}
         self._avg_wdl_memo: dict[tuple, float] = {}
         if preload:
+            check_preload_budget(
+                self.postings, f"fielded postings of {index_dir}",
+                preload_budget_bytes,
+            )
+            check_preload_budget(
+                self.doclens, f"fielded doclens of {index_dir}",
+                preload_budget_bytes,
+            )
             self._mem = {}
             for row in self.postings.collect():
                 self._mem.setdefault(row["term"], []).append(row)

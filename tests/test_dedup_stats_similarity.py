@@ -782,7 +782,9 @@ def test_connected_components_long_chain_log_rounds(spark):
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
     ).repartition(8)
-    labels, rounds = D.connected_components(chain, return_rounds=True)
+    labels, rounds = D.connected_components(
+        chain, return_rounds=True, algorithm="jump"
+    )
     rows = labels.collect()
     assert len(rows) == n
     assert {r["component"] for r in rows} == {0}
@@ -799,4 +801,123 @@ def test_connected_components_nonconvergence_raises(spark):
         [(i, i + 1) for i in range(63)], "doc_a long, doc_b long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        D.connected_components(chain, max_iters=2)
+        D.connected_components(chain, max_iters=2, algorithm="jump")
+
+
+def test_lsh_cap_drops_only_oversized_buckets_at_10k(spark):
+    """Degenerate-bucket fixture (VERDICT r4 item 5): 10k byte-identical
+    boilerplate docs collapse into ONE bucket per band — uncapped that
+    bucket alone emits ~50M pairs. With the production cap the join
+    runs over the tiny remainder: the boilerplate pairs are gone, while
+    a 3-doc near-dup group below the cap still pairs. The group's texts
+    are byte-DISTINCT but share an identical shingle SET (cyclic token
+    repetition), so their MinHash signatures are provably identical."""
+    boiler = [
+        (i, "the boiler plate cookie banner text repeated on every page")
+        for i in range(10_000)
+    ]
+    cyc = [
+        (100_000 + r, " ".join(["alpha", "beta", "gamma"] * (2 + r)))
+        for r in range(3)
+    ]
+    docs = spark.createDataFrame(boiler + cyc, "doc_id long, text string")
+    capped = D.lsh_candidate_pairs(docs, max_bucket=256)
+    got = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    assert got == {
+        (100_000, 100_001), (100_000, 100_002), (100_001, 100_002)
+    }, "cap must drop ONLY the oversized boilerplate bucket"
+    stats = D.lsh_dropped_bucket_stats(docs, 256).collect()[0]
+    assert stats["lsh_dropped_buckets"] == D.DEFAULT_BANDS
+    assert stats["lsh_dropped_bucket_rows"] == 10_000 * D.DEFAULT_BANDS
+
+
+def test_prepare_audit_records_dropped_lsh_buckets(spark):
+    """prepare_corpus(near_dup=True) caps by default and NEVER silently:
+    the audit row carries how many buckets/rows the cap discarded, and
+    capped docs are kept (recall tradeoff is visible, not hidden)."""
+    from sifter_mrc_search_engine_spark.plans.prepare import prepare_corpus
+
+    # 5 byte-distinct docs with identical shingle sets -> one size-5
+    # bucket per band; 6 docs with fully disjoint token sets -> no pairs
+    cyc = [
+        (i, " ".join(["omega", "delta", "sigma"] * (2 + i))) for i in range(5)
+    ]
+    normal = [
+        (100 + i, " ".join(f"tok{i}x{j}" for j in range(8))) for i in range(6)
+    ]
+    docs = spark.createDataFrame(cyc + normal, "doc_id long, text string")
+
+    clean, audit = prepare_corpus(docs, near_dup=True, lsh_max_bucket=3)
+    row = audit.collect()[0]
+    assert row["lsh_dropped_buckets"] == D.DEFAULT_BANDS
+    assert row["lsh_dropped_bucket_rows"] == 5 * D.DEFAULT_BANDS
+    assert clean.count() == 11  # capped docs kept, not silently dropped
+
+    # cap high enough (default 256): nothing dropped, near-dups removed
+    clean2, audit2 = prepare_corpus(docs, near_dup=True)
+    row2 = audit2.collect()[0]
+    assert row2["lsh_dropped_buckets"] == 0
+    assert row2["lsh_dropped_bucket_rows"] == 0
+    assert clean2.count() == 7  # min-id of the 5-cluster + 6 normal
+
+    # cap off: no audit columns (reference-exact semantics preserved)
+    _, audit3 = prepare_corpus(docs, near_dup=True, lsh_max_bucket=None)
+    assert "lsh_dropped_buckets" not in audit3.columns
+
+
+def test_connected_components_star_matches_jump(spark, docs, con):
+    """algorithm='star' (alternating large-star/small-star) must honor
+    the identical output contract as the jump default — same labels on
+    the real LSH pair graph, a chain, a skewed hub, and singletons; the
+    1,000-doc chain also converges in O(log n) rounds; non-convergence
+    raises."""
+    import pytest
+
+    pairs = D.lsh_candidate_pairs(docs)
+    jump = {
+        tuple(r) for r in D.connected_components(pairs, nodes=docs).collect()
+    }
+    star = {
+        tuple(r)
+        for r in D.connected_components(
+            pairs, nodes=docs, algorithm="star"
+        ).collect()
+    }
+    assert star == jump
+
+    # skewed hub (one huge star) + chain + isolated pair
+    rows = [(0, i) for i in range(1, 200)]
+    rows += [(500, 501), (501, 502), (502, 503)]
+    rows += [(900, 901)]
+    g = spark.createDataFrame(rows, "doc_a long, doc_b long")
+    expect = {
+        r["doc_id"]: r["component"] for r in D.connected_components(g).collect()
+    }
+    got = {
+        r["doc_id"]: r["component"]
+        for r in D.connected_components(g, algorithm="star").collect()
+    }
+    assert got == expect
+    assert got[503] == 500 and got[199] == 0 and got[901] == 900
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(999)], "doc_a long, doc_b long"
+    ).repartition(8)
+    labels, rounds = D.connected_components(
+        chain, return_rounds=True, algorithm="star"
+    )
+    lrows = labels.collect()
+    assert len(lrows) == 1000
+    assert {r["component"] for r in lrows} == {0}
+    assert rounds <= 16, rounds
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.connected_components(
+            spark.createDataFrame(
+                [(i, i + 1) for i in range(63)], "doc_a long, doc_b long"
+            ),
+            max_iters=1,
+            algorithm="star",
+        )
+    with pytest.raises(ValueError, match="unknown CC algorithm"):
+        D.connected_components(chain, algorithm="bogus")

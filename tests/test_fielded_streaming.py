@@ -218,3 +218,23 @@ def test_fielded_multiseg_partial_sidecar_stays_exact(spark, fstreamed, tmp_path
             assert [d for d, _ in got] == [d for d, _ in exp], (q, method)
             for (_, gs), (_, es) in zip(got, exp):
                 assert gs == pytest.approx(es, rel=1e-12, abs=1e-12)
+
+
+def test_fielded_multisegment_preload_budget(spark, fstreamed):
+    """preload=True on the streamed fielded tier must refuse an
+    over-budget postings/doclens collect with a clear error (VERDICT r4
+    item 6) instead of OOMing the driver at scale."""
+    from sifter_mrc_search_engine_spark.operators.compressed_index import (
+        PreloadBudgetExceeded,
+    )
+
+    _, idx_dir = fstreamed
+    with pytest.raises(PreloadBudgetExceeded, match="preload_budget_bytes"):
+        FieldedMultiSegmentSearcher(
+            spark, idx_dir, buckets=8, preload=True, preload_budget_bytes=16
+        )
+    # non-preload construction ignores the budget (nothing collected)
+    s = FieldedMultiSegmentSearcher(
+        spark, idx_dir, buckets=8, preload_budget_bytes=16
+    )
+    assert s._mem is None

@@ -123,3 +123,63 @@ def test_pipeline_ops_plan_shapes(spark, corpus_on_disk):
     # window would carry no partition key and collapse to one task)
     win_detail = plan[plan.index(") Window") :]
     assert "_pid#" in win_detail.split("\n\n")[0], win_detail[:800]
+
+
+def test_preload_budget_refuses_oversized_collect(
+    spark, corpus_on_disk, tmp_path_factory
+):
+    """preload=True must size-estimate BEFORE collect() and refuse above
+    the budget with an error naming the knob — at 10^12-doc scale an
+    unguarded preload is a dead driver JVM, not a slow one (VERDICT r4
+    item 6). None disables the check; the 4 GiB default admits every
+    serving-head index the tests build."""
+    import pytest
+
+    from sifter_mrc_search_engine_spark.operators.compressed_index import (
+        PreloadBudgetExceeded,
+        estimate_collect_bytes,
+    )
+    from sifter_mrc_search_engine_spark.plans.query import IndexSearcher
+
+    idx = str(tmp_path_factory.mktemp("plan_idx_budget"))
+    docs = spark.read.parquet(corpus_on_disk)
+    build_index_resumable(docs, idx, buckets=8)
+
+    with pytest.raises(PreloadBudgetExceeded, match="preload_budget_bytes"):
+        IndexSearcher(spark, idx, buckets=8, preload=True, preload_budget_bytes=64)
+    # the estimate is a real number, not a constant
+    est = estimate_collect_bytes(spark.read.parquet(f"{idx}/postings"))
+    assert est > 64
+    # default budget and explicit None both admit a small index
+    s = IndexSearcher(spark, idx, buckets=8, preload=True)
+    assert s._mem
+    s2 = IndexSearcher(
+        spark, idx, buckets=8, preload=True, preload_budget_bytes=None
+    )
+    assert s2._mem
+
+
+def test_preload_budget_guards_fielded_searcher(spark, tmp_path_factory):
+    """Same guard on the fielded serving tier (the multisegment tiers
+    are covered in test_streaming / test_fielded_streaming, which own
+    the segment fixtures)."""
+    import pytest
+
+    from sifter_mrc_search_engine_spark.operators.compressed_index import (
+        PreloadBudgetExceeded,
+    )
+    from sifter_mrc_search_engine_spark.operators.fielded_index import (
+        FieldedSearcher,
+        build_fielded_index,
+    )
+
+    rows = [
+        (i, f"title words number {i}", f"body content with shared words {i}")
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, title string, body string")
+    fidx = str(tmp_path_factory.mktemp("budget_fielded"))
+    build_fielded_index(docs, ("title", "body"), fidx, buckets=4)
+    with pytest.raises(PreloadBudgetExceeded, match="preload_budget_bytes"):
+        FieldedSearcher(spark, fidx, buckets=4, preload=True, preload_budget_bytes=32)
+    assert FieldedSearcher(spark, fidx, buckets=4, preload=True)._mem

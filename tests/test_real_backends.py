@@ -108,3 +108,26 @@ def test_pdfminer_vs_stdlib_reader_same_paragraphs():
     # pdfminer layout analysis may fold whitespace differently; compare
     # word sequences, the signal the index actually consumes
     assert [p.split() for p in via_lib] == [p.split() for p in via_stdlib]
+
+
+@pytest.mark.skipif(not pdfminer_available, reason="pdfminer not installed")
+def test_pdfminer_vs_stdlib_reader_cid_korean():
+    """Korean text behind a 2-byte Identity-H /ToUnicode CMap: when
+    pdfminer lands, pin that its CID decoding and the stdlib reader's
+    recover the same word sequence from the same fixture bytes."""
+    from sifter_mrc_search_engine_spark.constants import MIN_PARAGRAPH_LEN
+    from sifter_mrc_search_engine_spark.sources.parsers import parse_pdf_buffer
+    from sifter_mrc_search_engine_spark.sources.pdf import (
+        extract_pdf_text,
+        synthesize_pdf,
+    )
+
+    pages = [["검색 엔진 문서 구축 파이프라인 테스트 문단",
+              "두번째 한국어 문단 역시 충분히 길게 작성"]]
+    buf = synthesize_pdf(pages, cid=True)
+    via_lib = parse_pdf_buffer(buf)
+    via_stdlib = [
+        p for p in extract_pdf_text(buf).split("\n\n")
+        if len(p) > MIN_PARAGRAPH_LEN
+    ]
+    assert [p.split() for p in via_lib] == [p.split() for p in via_stdlib]

@@ -271,3 +271,20 @@ def test_multisegment_search_df_contract(spark, streamed):
     empty = s.search_df("!!! ...", top_k=5)
     assert empty.count() == 0
     assert [f.name for f in empty.schema.fields] == ["doc_id", "score"]
+
+
+def test_multisegment_norms_preload_budget(spark, streamed):
+    """norms='preload' must size-estimate the unioned doclens before
+    collecting and refuse above the budget, naming the knob."""
+    from sifter_mrc_search_engine_spark.operators.compressed_index import (
+        PreloadBudgetExceeded,
+    )
+
+    _, idx_dir = streamed
+    with pytest.raises(PreloadBudgetExceeded, match="preload_budget_bytes"):
+        MultiSegmentSearcher(spark, idx_dir, buckets=8, preload_budget_bytes=16)
+    # join mode never collects norms: the tiny budget is irrelevant
+    s = MultiSegmentSearcher(
+        spark, idx_dir, buckets=8, norms="join", preload_budget_bytes=16
+    )
+    assert s.doclen == {}

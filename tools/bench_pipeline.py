@@ -101,15 +101,22 @@ def main() -> None:
         out["lsh_pairs_sec"] = round(dt, 1)
         out["lsh_pairs_docs_per_sec"] = round(N_DOCS / dt, 1)
 
-        t0 = time.monotonic()
-        labels, rounds = connected_components(
-            pairs, nodes=pages, return_rounds=True
-        )
-        out["cc_components"] = labels.filter("doc_id = component").count()
-        dt = time.monotonic() - t0
-        out["cc_sec"] = round(dt, 1)
-        out["cc_rounds"] = rounds
-        out["cc_docs_per_sec"] = round(N_DOCS / dt, 1)
+        # both CC algorithms head-to-head on the SAME persisted pair
+        # graph (VERDICT r4 item 8). Measured r5 at 2.4M/72.3M edges:
+        # star 75 s / 5 rounds vs jump 233 s / 9 rounds, identical
+        # components -> 'star' took the default
+        for algo in ("jump", "star"):
+            t0 = time.monotonic()
+            labels, rounds = connected_components(
+                pairs, nodes=pages, return_rounds=True, algorithm=algo
+            )
+            n_comp = labels.filter("doc_id = component").count()
+            dt = time.monotonic() - t0
+            sfx = "" if algo == "jump" else "_star"
+            out[f"cc_components{sfx}"] = n_comp
+            out[f"cc_sec{sfx}"] = round(dt, 1)
+            out[f"cc_rounds{sfx}"] = rounds
+            out[f"cc_docs_per_sec{sfx}"] = round(N_DOCS / dt, 1)
         pairs.unpersist()
 
         two_field = pages.select(
