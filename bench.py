@@ -91,9 +91,8 @@ def main() -> None:
             "cast(split(url, '/')[4] as long) as doc_id", "text"
         ).write.mode("overwrite").parquet(corpus_dir)
         pages = spark.read.parquet(corpus_dir)
-        # warm-up build (JIT + Python-daemon spawn) so the measured runs are
-        # the steady state a long-lived cluster sees; min-of-2 guards the
-        # headline number against ambient host-load spikes
+        # warm-up build (JIT + Python-daemon spawn) so the measured runs
+        # approach the steady state a long-lived cluster sees
         build_index_resumable(pages.limit(PAGES_DOCS // 6), warm_dir, buckets=64)
         # min-of-3 for the build specifically: measured r5, the JIT +
         # shuffle warm-in is progressive across FULL builds ([18.9,

@@ -102,7 +102,7 @@ def main(argv=None) -> None:
     # progress, never the final artifacts).
     prepare_opts = {
         "input": args.input,
-        "input_content": raw_input_fingerprint(args.input),
+        "input_content": raw_input_fingerprint(args.input, spark),
         "input_options": parse_reader_options(args.input_option),
         "html": args.html,
         "lang": args.lang,

@@ -77,16 +77,31 @@ class PreloadBudgetExceeded(RuntimeError):
 
 def estimate_collect_bytes(df: DataFrame) -> int:
     """Driver-memory estimate for ``df.collect()``: one column-pruned
-    aggregate summing every binary/string payload plus a per-row,
-    per-field object overhead. Deliberately cheap relative to the
-    collect it guards (an agg streams; a collect materializes)."""
-    from pyspark.sql.types import BinaryType as _B, StringType as _S
+    aggregate summing every variable-width payload plus a per-row,
+    per-field object overhead. Binary/string columns are measured with
+    ``octet_length``; nested columns (array/map/struct — a silent
+    near-zero estimate there would defeat the guard) through their JSON
+    serialization, a same-order proxy for the collected Row objects.
+    Deliberately cheap relative to the collect it guards (an agg
+    streams; a collect materializes)."""
+    from pyspark.sql.types import (
+        ArrayType as _A,
+        BinaryType as _B,
+        MapType as _M,
+        StringType as _S,
+        StructType as _T,
+    )
 
     blob = F.lit(0).cast("long")
     for fld in df.schema.fields:
         if isinstance(fld.dataType, (_B, _S)):
             blob = blob + F.coalesce(
                 F.octet_length(F.col(fld.name)).cast("long"), F.lit(0)
+            )
+        elif isinstance(fld.dataType, (_A, _M, _T)):
+            blob = blob + F.coalesce(
+                F.octet_length(F.to_json(F.col(fld.name))).cast("long"),
+                F.lit(0),
             )
     row = df.agg(
         F.count(F.lit(1)).alias("n"), F.sum(blob).alias("b")
@@ -98,22 +113,25 @@ def estimate_collect_bytes(df: DataFrame) -> int:
 
 def check_preload_budget(
     df: DataFrame, what: str, budget_bytes: int | None
-) -> None:
+) -> int:
     """Refuse a driver preload whose estimated size exceeds the budget —
     at 10^12-doc scale ``preload=True`` on a full index is an OOM, and
     the right failure is a clear error naming the knob, not a dead JVM.
-    ``budget_bytes=None`` disables the check (caller takes the risk)."""
+    ``budget_bytes=None`` disables the check (caller takes the risk).
+    Returns the estimate so a constructor making SEVERAL collects can
+    charge them against one budget (pass ``budget - spent_so_far``)."""
     if budget_bytes is None:
-        return
+        return 0
     est = estimate_collect_bytes(df)
     if est > budget_bytes:
         raise PreloadBudgetExceeded(
             f"refusing to preload {what}: estimated {est:,} bytes of driver "
-            f"memory exceeds the {budget_bytes:,}-byte budget. Serve this "
-            f"index with preload off (bucket-pruned scans / norms='join'), "
-            f"or raise preload_budget_bytes if the driver really has the "
-            f"headroom."
+            f"memory exceeds the remaining {budget_bytes:,}-byte budget. "
+            f"Serve this index with preload off (bucket-pruned scans / "
+            f"norms='join'), or raise preload_budget_bytes if the driver "
+            f"really has the headroom."
         )
+    return est
 
 
 _LAST_TF: DataFrame | None = None

@@ -717,21 +717,47 @@ def _cc_star(edges: DataFrame, base: DataFrame, max_iters: int):
 
     At the joint fixpoint every component is a star centered on its
     minimum, so the edge set IS the label table. Per-round state is
-    materialized to PARQUET and read back (the iterate-via-table
+    MATERIALIZED SERIALIZED and read back (the iterate-via-table
     pattern): the new E is referenced several times next round, so the
     logical plan would multiply without truncation, and a deserialized
     in-memory checkpoint of a 10^8-edge table is a driver-heap OOM
-    (live-repro'd at 72M edges / 8g heap) — a serialized columnar
-    round-trip is the shape that survives any edge count. Raises on
-    non-convergence like the jump variant."""
+    (live-repro'd at 72M edges / 8g heap). On a cluster, set
+    ``sc.setCheckpointDir`` (shared storage) and rounds go through
+    reliable ``.checkpoint(eager=True)``; in local mode a temp parquet
+    round-trip is used instead (a driver-local path would be invisible
+    to real executors, so a cluster WITHOUT a checkpoint dir raises
+    rather than silently corrupting — use ``algorithm='jump'`` there if
+    no shared dir exists). Raises on non-convergence like the jump
+    variant."""
     import shutil as _shutil
     import tempfile as _tempfile
 
     spark = edges.sparkSession
+    sc = spark.sparkContext
+    ckpt_dir = None
+    try:
+        ckpt_dir = sc.getCheckpointDir()
+    except Exception:
+        pass
+    reliable = ckpt_dir is not None
+    if not reliable and not str(sc.master or "").startswith("local"):
+        raise RuntimeError(
+            "connected_components(algorithm='star') on a cluster needs "
+            "spark.sparkContext.setCheckpointDir(<shared storage>): "
+            "per-round edge state must be visible to every executor, and "
+            "a driver-local temp dir is not. Set a checkpoint dir, or use "
+            "algorithm='jump'."
+        )
     root = _tempfile.mkdtemp(prefix="cc_star_rounds_")
     prev_dir: str | None = None
 
     def materialize(df: DataFrame, tag: str) -> DataFrame:
+        if reliable:
+            # serialized to the shared checkpoint dir; lineage truncated.
+            # Old checkpoint files free via the context cleaner when the
+            # previous round's DataFrame reference drops
+            # (spark.cleaner.referenceTracking.cleanCheckpoints).
+            return df.checkpoint(eager=True)
         path = f"{root}/{tag}"
         df.write.mode("overwrite").parquet(path)
         return spark.read.parquet(path)

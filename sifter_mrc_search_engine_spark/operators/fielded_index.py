@@ -671,8 +671,16 @@ class FieldedSearcher:
         # lazy relation, bound once; join-mode queries reuse it instead of
         # re-instantiating a parquet relation per call
         self.doclens_df = spark.read.parquet(f"{index_dir}/doclens")
+        # ONE budget across every driver collect this constructor makes
+        # (norms + term_df sidecar + optionally postings): per-collect
+        # checks would admit 3x the budget jointly (review r5)
+        spent = 0
         self._flen: dict[str, dict[int, int]] = {f: {} for f in self.fields}
         if norms == "preload":
+            spent += check_preload_budget(
+                self.doclens_df, f"fielded doclens of {index_dir}",
+                preload_budget_bytes,
+            )
             for r in self.doclens_df.collect():
                 self._flen[r["field"]][r["doc_id"]] = r["doc_len"]
         self._doc_ids = sorted({d for m in self._flen.values() for d in m})
@@ -685,13 +693,20 @@ class FieldedSearcher:
         # union-df sidecar (idf is weight-independent) -> WAND-prunable
         self._term_df: dict[str, int] = {}
         if (Path(index_dir) / "term_df").exists():
-            for r in spark.read.parquet(f"{index_dir}/term_df").collect():
+            tdf = spark.read.parquet(f"{index_dir}/term_df")
+            spent += check_preload_budget(
+                tdf, f"term_df sidecar of {index_dir}",
+                None if preload_budget_bytes is None
+                else preload_budget_bytes - spent,
+            )
+            for r in tdf.collect():
                 self._term_df[r["term"]] = int(r["df"])
         self._mem: dict[str, list] | None = None
         if preload:
             check_preload_budget(
                 self.postings, f"fielded postings of {index_dir}",
-                preload_budget_bytes,
+                None if preload_budget_bytes is None
+                else preload_budget_bytes - spent,
             )
             self._mem = {}
             for r in self.postings.collect():

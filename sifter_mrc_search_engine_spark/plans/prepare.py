@@ -209,28 +209,58 @@ def materialize_prepared_corpus(
     return spark.read.parquet(clean_dir), audit_row
 
 
-def raw_input_fingerprint(path: str) -> str:
+def raw_input_fingerprint(path: str, spark=None) -> str:
     """Content identity of a filesystem input for ``prepare_opts``:
-    md5 over the sorted (relative path, size, mtime_ns) of every file —
-    the same signal :func:`~..plans.checkpoint.input_fingerprint` uses,
-    but computable without a Spark scan. Detects data mutated IN PLACE
-    at the same path (e.g. a re-crawled parquet dir), which a
-    path-string-only record cannot. Non-filesystem refs (catalog
-    tables) fall back to ``ref:<name>`` — pin a snapshot via
-    ``--input-option`` to guard those."""
+    md5 over the sorted (path, size, mtime) of every file — the same
+    signal :func:`~..plans.checkpoint.input_fingerprint` uses, but
+    computable without a Spark job. Detects data mutated IN PLACE at
+    the same path (e.g. a re-crawled parquet dir), which a
+    path-string-only record cannot.
+
+    Non-local paths (``s3://``, ``hdfs://``…) are listed through the
+    Hadoop FileSystem of ``spark`` when provided — the production
+    deployments this guard targets — so a re-crawl over the same
+    remote dir is detected too. Only refs no filesystem can list
+    (catalog tables) fall back to the constant ``ref:<name>``; pin a
+    snapshot via ``--input-option`` to guard those."""
     import hashlib as _hashlib
     from pathlib import Path as _Path
 
     p = _Path(path)
-    if not p.exists():
-        return f"ref:{path}"
-    files = sorted(x for x in p.rglob("*") if x.is_file()) if p.is_dir() else [p]
-    h = _hashlib.md5()
-    for f_ in files:
-        st = f_.stat()
-        rel = f_.relative_to(p) if p.is_dir() else f_.name
-        h.update(f"{rel}|{st.st_size}|{st.st_mtime_ns}\n".encode())
-    return h.hexdigest()
+    if p.exists():
+        files = (
+            sorted(x for x in p.rglob("*") if x.is_file())
+            if p.is_dir()
+            else [p]
+        )
+        h = _hashlib.md5()
+        for f_ in files:
+            st = f_.stat()
+            rel = f_.relative_to(p) if p.is_dir() else f_.name
+            h.update(f"{rel}|{st.st_size}|{st.st_mtime_ns}\n".encode())
+        return h.hexdigest()
+    if spark is not None:
+        try:
+            jvm = spark._jvm
+            hconf = spark._jsc.hadoopConfiguration()
+            hpath = jvm.org.apache.hadoop.fs.Path(path)
+            fs = hpath.getFileSystem(hconf)
+            if fs.exists(hpath):
+                entries = []
+                it = fs.listFiles(hpath, True)  # recursive
+                while it.hasNext():
+                    st = it.next()
+                    entries.append(
+                        f"{st.getPath().toString()}|{st.getLen()}|"
+                        f"{st.getModificationTime()}"
+                    )
+                h = _hashlib.md5()
+                for line in sorted(entries):  # listing order is not stable
+                    h.update((line + "\n").encode())
+                return h.hexdigest()
+        except Exception:
+            pass  # not a filesystem ref (catalog table) — fall through
+    return f"ref:{path}"
 
 
 def clear_derived(output: str, paths) -> None:

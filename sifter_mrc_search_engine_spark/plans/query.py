@@ -134,6 +134,7 @@ class IndexSearcher:
         stats = json.loads((Path(index_dir) / "stats.json").read_text())
         self.n_docs, self.avgdl = int(stats["n_docs"]), float(stats["avgdl"])
         self._doclen = None  # lazy: join-mode never touches it
+        self._preload_budget = preload_budget_bytes
         self._mem: dict[str, list] | None = None
         if preload:
             check_preload_budget(
@@ -145,8 +146,17 @@ class IndexSearcher:
 
     @property
     def doclen(self):
-        """Driver-resident norms, loaded lazily (preload mode only)."""
+        """Driver-resident norms, loaded lazily (preload mode only).
+        The norms collect is budget-checked like every other driver
+        preload — one row per doc is exactly the collect that kills the
+        driver at 10^12 docs (review r5: the lazy path bypassed the
+        constructor guard)."""
         if self._doclen is None:
+            check_preload_budget(
+                self.spark.read.parquet(f"{self.index_dir}/doclens"),
+                f"doclens of {self.index_dir}",
+                self._preload_budget,
+            )
             self._doclen, _, _ = _load_norms(self.spark, self.index_dir)
         return self._doclen
 

@@ -239,6 +239,7 @@ class _Document:
             raise PdfError("missing %PDF- header")
         self.objects: dict[int, object] = {}
         self.streams: dict[int, bytes] = {}
+        self._obj_pos: dict[int, int] = {}  # file offset of each "N 0 obj"
         pos = 0
         while True:
             m = _OBJ_RE.search(data, pos)
@@ -278,31 +279,38 @@ class _Document:
                 p = end + len(b"endstream")
                 self.streams[num] = raw
             self.objects[num] = obj
+            self._obj_pos[num] = m.start()
             e = data.find(b"endobj", p)
             pos = e + len(b"endobj") if e >= 0 else p
         if not self.objects:
             raise PdfError("no indirect objects found")
-        self.trailer: dict = {}
+        # Trailer resolution: an incrementally-updated file appends its
+        # newest update section LAST, and that section's catalog must
+        # shadow every earlier one — whether it arrives as a classic
+        # `trailer` keyword or a PDF 1.5 /Type /XRef STREAM. So merge
+        # BOTH sources in FILE ORDER (r5 review: ordering only the XRef
+        # streams regressed the hybrid case where a classic-trailer
+        # update follows an XRef-stream base). A truncated source's
+        # missing key must not erase an earlier real one (None guard).
+        sources: list[tuple[int, dict]] = []
         for m in re.finditer(rb"trailer\b", data):
             try:
                 t, _ = _parse_object(data, m.end())
             except PdfError:
                 continue
             if isinstance(t, dict):
-                self.trailer.update(t)
-        # PDF 1.5+: the trailer dict may live in a cross-reference
-        # STREAM instead of a `trailer` keyword — merge its entries
-        # (we need /Root; the binary xref data itself is irrelevant to
-        # a body scan). LAST XRef stream in file order wins, matching
-        # both the `trailer`-keyword update() above and incremental-
-        # update semantics (the newest update section appends last, and
-        # its catalog must shadow the original's /Root; a truncated
-        # XRef's missing key must not erase an earlier real one).
-        for o in self.objects.values():  # dict preserves body-scan file order
+                sources.append((m.start(), t))
+        for num, o in self.objects.items():
             if isinstance(o, dict) and o.get("Type") == "XRef":
-                for k in ("Root", "Info", "Size"):
-                    if o.get(k) is not None:
-                        self.trailer[k] = o[k]
+                # only the trailer-relevant keys — /W, /Filter, /Index
+                # etc. describe the xref stream itself, not the document
+                keep = {k: o[k] for k in ("Root", "Info", "Size") if k in o}
+                sources.append((self._obj_pos.get(num, 0), keep))
+        self.trailer: dict = {}
+        for _, t in sorted(sources, key=lambda s: s[0]):
+            for k, v in t.items():
+                if v is not None:
+                    self.trailer[k] = v
         self._unpack_object_streams()
 
     def _unpack_object_streams(self) -> None:

@@ -63,7 +63,11 @@ def read_corpus(
         try:
             return reader.table(name)
         except Exception as exc:  # AnalysisException, no hard pyspark dep here
-            if "TABLE_OR_VIEW_NOT_FOUND" not in str(exc):
+            if "TABLE_OR_VIEW_NOT_FOUND" not in str(exc) or ref.startswith(
+                "table:"
+            ):
+                # explicit table: refs asked for catalog resolution —
+                # the heuristic explanation would be noise there
                 raise
             raise ValueError(
                 f"input {ref!r} has no '/' and does not exist locally, so it "

@@ -466,13 +466,16 @@ class FieldedMultiSegmentSearcher:
         self._term_df: dict[str, int] = {}
         self._avg_wdl_memo: dict[tuple, float] = {}
         if preload:
-            check_preload_budget(
+            # ONE budget across all three collects (postings + doclens
+            # + term_df): per-collect checks would admit 3x jointly
+            spent = check_preload_budget(
                 self.postings, f"fielded postings of {index_dir}",
                 preload_budget_bytes,
             )
-            check_preload_budget(
+            spent += check_preload_budget(
                 self.doclens, f"fielded doclens of {index_dir}",
-                preload_budget_bytes,
+                None if preload_budget_bytes is None
+                else preload_budget_bytes - spent,
             )
             self._mem = {}
             for row in self.postings.collect():
@@ -494,12 +497,17 @@ class FieldedMultiSegmentSearcher:
                 if (Path(seg) / "term_df").exists()
             ]
             if len(paths) == len(self.segments):
-                for row in (
+                tdf = (
                     spark.read.parquet(*paths)
                     .groupBy("term")
                     .agg(F.sum("df").alias("df"))
-                    .collect()
-                ):
+                )
+                check_preload_budget(
+                    tdf, f"term_df sidecars of {index_dir}",
+                    None if preload_budget_bytes is None
+                    else preload_budget_bytes - spent,
+                )
+                for row in tdf.collect():
                     self._term_df[row["term"]] = int(row["df"])
 
     def _avg_wdl(self, weights) -> float:

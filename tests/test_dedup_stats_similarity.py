@@ -865,7 +865,7 @@ def test_prepare_audit_records_dropped_lsh_buckets(spark):
     assert "lsh_dropped_buckets" not in audit3.columns
 
 
-def test_connected_components_star_matches_jump(spark, docs, con):
+def test_connected_components_star_matches_jump(spark, docs):
     """algorithm='star' (alternating large-star/small-star) must honor
     the identical output contract as the jump default — same labels on
     the real LSH pair graph, a chain, a skewed hub, and singletons; the
@@ -875,7 +875,10 @@ def test_connected_components_star_matches_jump(spark, docs, con):
 
     pairs = D.lsh_candidate_pairs(docs)
     jump = {
-        tuple(r) for r in D.connected_components(pairs, nodes=docs).collect()
+        tuple(r)
+        for r in D.connected_components(
+            pairs, nodes=docs, algorithm="jump"
+        ).collect()
     }
     star = {
         tuple(r)
@@ -885,13 +888,16 @@ def test_connected_components_star_matches_jump(spark, docs, con):
     }
     assert star == jump
 
-    # skewed hub (one huge star) + chain + isolated pair
+    # skewed hub (one huge star) + chain + isolated pair — the baseline
+    # must be the OTHER algorithm, explicitly (the default flipped to
+    # star; an implicit default here would compare star to itself)
     rows = [(0, i) for i in range(1, 200)]
     rows += [(500, 501), (501, 502), (502, 503)]
     rows += [(900, 901)]
     g = spark.createDataFrame(rows, "doc_a long, doc_b long")
     expect = {
-        r["doc_id"]: r["component"] for r in D.connected_components(g).collect()
+        r["doc_id"]: r["component"]
+        for r in D.connected_components(g, algorithm="jump").collect()
     }
     got = {
         r["doc_id"]: r["component"]

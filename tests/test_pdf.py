@@ -302,3 +302,34 @@ def test_cid_cmap_parser_units():
         b"2 beginbfchar\n<41> <0042>\n<ac01> <ad00>\nendbfchar\n"
     )
     assert mixed == {}
+
+
+def test_incremental_update_classic_trailer_after_xref_base():
+    """The SYMMETRIC hybrid (r5 review): a PDF 1.5 base whose trailer
+    lives in an XRef STREAM receives a classic `trailer`-keyword update
+    appended last (signing/watermarking tools do this) — the update's
+    /Root must win. Trailer sources must merge in FILE ORDER across
+    both kinds, not keyword-pass-then-xref-pass."""
+    base = synthesize_pdf([["original text."]], objstm=True, compress=False)
+    n = 80
+    content = b"BT /F1 12 Tf (updated text.) Tj ET"
+    upd = bytearray(base)
+    for num, body in {
+        n: f"<< /Type /Catalog /Pages {n + 1} 0 R >>",
+        n + 1: f"<< /Type /Pages /Kids [{n + 2} 0 R] /Count 1 >>",
+        n + 2: (
+            f"<< /Type /Page /Parent {n + 1} 0 R /Contents {n + 3} 0 R "
+            f"/Resources << /Font << /F1 {n + 4} 0 R >> >> >>"
+        ),
+        n + 4: "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    }.items():
+        upd += f"{num} 0 obj\n{body}\nendobj\n".encode()
+    upd += (
+        f"{n + 3} 0 obj\n<< /Length {len(content)} >>\nstream\n".encode()
+        + content + b"\nendstream\nendobj\n"
+    )
+    upd += (
+        f"trailer\n<< /Size {n + 5} /Root {n} 0 R >>\n"
+        f"startxref\n0\n%%EOF\n".encode()
+    )
+    assert extract_pdf_text(bytes(upd)) == "updated text."

@@ -183,3 +183,31 @@ def test_preload_budget_guards_fielded_searcher(spark, tmp_path_factory):
     with pytest.raises(PreloadBudgetExceeded, match="preload_budget_bytes"):
         FieldedSearcher(spark, fidx, buckets=4, preload=True, preload_budget_bytes=32)
     assert FieldedSearcher(spark, fidx, buckets=4, preload=True)._mem
+
+
+def test_preload_budget_guards_lazy_norms(spark, corpus_on_disk, tmp_path_factory):
+    """norms='preload' (the DEFAULT) collects doclens lazily on first
+    use — that collect must hit the same budget gate as the constructor
+    preloads (r5 review: the lazy path bypassed it)."""
+    import pytest
+
+    from sifter_mrc_search_engine_spark.operators.compressed_index import (
+        PreloadBudgetExceeded,
+    )
+    from sifter_mrc_search_engine_spark.plans.query import (
+        IndexSearcher,
+        invalidate_norms_cache,
+    )
+
+    idx = str(tmp_path_factory.mktemp("plan_idx_norm_budget"))
+    docs = spark.read.parquet(corpus_on_disk)
+    build_index_resumable(docs, idx, buckets=8)
+    invalidate_norms_cache(idx)
+    s = IndexSearcher(spark, idx, buckets=8, preload_budget_bytes=16)
+    with pytest.raises(PreloadBudgetExceeded, match="preload_budget_bytes"):
+        _ = s.doclen
+    # join mode never touches driver norms: same budget is irrelevant
+    j = IndexSearcher(
+        spark, idx, buckets=8, norms="join", preload_budget_bytes=16
+    )
+    assert j.search("bababa", top_k=3) is not None

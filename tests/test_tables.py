@@ -83,3 +83,12 @@ def test_read_corpus_table_prefix_and_missing_table_error(spark, tmp_path):
     # TABLE_OR_VIEW_NOT_FOUND
     with pytest.raises(ValueError, match="path containing '/'"):
         read_corpus(spark, "no_such_input_xyz")
+
+
+def test_read_corpus_explicit_prefix_raises_plain_catalog_error(spark):
+    """A missing table behind an explicit table: prefix should raise
+    Spark's own catalog error — the path-vs-table heuristic explanation
+    would be noise for a user who already forced table resolution."""
+    with pytest.raises(Exception) as ei:
+        read_corpus(spark, "table:definitely_missing_xyz")
+    assert not isinstance(ei.value, ValueError)
