@@ -43,6 +43,17 @@ from pathlib import Path
 from pyspark.sql import functions as F
 
 
+def _nonneg(v: str) -> int:
+    i = int(v)
+    if i < 0:
+        raise argparse.ArgumentTypeError(
+            "must be >= 0 (0 disables the cap; a negative cap would "
+            "silently drop EVERY LSH bucket and turn --near-dup into a "
+            "no-op)"
+        )
+    return i
+
+
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True)
@@ -63,12 +74,16 @@ def main(argv=None) -> None:
     ap.add_argument("--html", action="store_true")
     ap.add_argument("--lang", default=None)
     ap.add_argument("--near-dup", action="store_true")
-    ap.add_argument("--lsh-max-bucket", type=int, default=256,
+    ap.add_argument("--lsh-max-bucket", type=_nonneg, default=256,
                     help="with --near-dup: drop LSH buckets larger than this "
                          "before the pair join (skew cap; audit records the "
                          "dropped-bucket count). 0 disables the cap")
     ap.add_argument("--transitive", action="store_true",
                     help="transitively-safe near-dup drop (connected components)")
+    ap.add_argument("--cc-algorithm", choices=("star", "jump"), default="star",
+                    help="connected-components variant for --transitive: "
+                         "'star' (faster; needs sc.setCheckpointDir on a "
+                         "cluster) or 'jump' (no shared storage needed)")
     ap.add_argument("--gopher", action="store_true")
     ap.add_argument("--redact", action="store_true")
     ap.add_argument("--bench", default=None)
@@ -111,6 +126,7 @@ def main(argv=None) -> None:
         near_dup=args.near_dup,
         lsh_max_bucket=args.lsh_max_bucket or None,
         near_dup_transitive=args.transitive,
+        cc_algorithm=args.cc_algorithm,
         id_col=args.id_col,
         text_col=args.text_col,
         gopher=args.gopher,

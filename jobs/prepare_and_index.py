@@ -25,6 +25,17 @@ import argparse
 import json
 import sys
 
+def _nonneg(v: str) -> int:
+    i = int(v)
+    if i < 0:
+        raise argparse.ArgumentTypeError(
+            "must be >= 0 (0 disables the cap; a negative cap would "
+            "silently drop EVERY LSH bucket and turn --near-dup into a "
+            "no-op)"
+        )
+    return i
+
+
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True)
@@ -46,7 +57,7 @@ def main(argv=None) -> None:
     ap.add_argument("--html", action="store_true", help="extract from the html binary column")
     ap.add_argument("--lang", default=None, help="keep only this predicted language")
     ap.add_argument("--near-dup", action="store_true", help="drop MinHash-LSH near-dups")
-    ap.add_argument("--lsh-max-bucket", type=int, default=256,
+    ap.add_argument("--lsh-max-bucket", type=_nonneg, default=256,
                     help="with --near-dup: drop LSH buckets larger than this "
                          "before the pair join (skew cap; audit records the "
                          "dropped-bucket count). 0 disables the cap")

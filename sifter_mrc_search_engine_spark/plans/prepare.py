@@ -45,6 +45,7 @@ def prepare_corpus(
     decontaminate_k: int = 8,
     near_dup_transitive: bool = False,
     lsh_max_bucket: int | None = 256,
+    cc_algorithm: str = "star",
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (clean_docs, audit). ``clean_docs`` has (doc_id, text);
     ``audit`` is a lazy one-row DataFrame of per-stage survivor counts.
@@ -128,7 +129,12 @@ def prepare_corpus(
             # dedupe too, which the pairwise rule below misses)
             from ..operators.dedup import connected_components
 
-            cc = connected_components(pairs)
+            # cc_algorithm selects HOW, never WHAT (identical labels,
+            # pinned by pytest) — so it is not a fingerprinted corpus
+            # flag. 'star' needs sc.setCheckpointDir on a real cluster;
+            # 'jump' is the no-shared-storage fallback, reachable from
+            # the job CLI (--cc-algorithm), not just code.
+            cc = connected_components(pairs, algorithm=cc_algorithm)
             drop = cc.filter(F.col("doc_id") != F.col("component")).select(
                 "doc_id"
             )
@@ -258,8 +264,22 @@ def raw_input_fingerprint(path: str, spark=None) -> str:
                 for line in sorted(entries):  # listing order is not stable
                     h.update((line + "\n").encode())
                 return h.hexdigest()
-        except Exception:
-            pass  # not a filesystem ref (catalog table) — fall through
+        except Exception as exc:
+            # Fall through to ref:<name> ONLY for refs no filesystem can
+            # address (catalog tables: unknown scheme / unparsable URI).
+            # A transient listing failure (network, auth, throttling)
+            # must RAISE — silently recording the constant would make
+            # the NEXT healthy run see a fingerprint mismatch and
+            # rebuild the corpus + clear every derived artifact for no
+            # reason (r5 review).
+            msg = str(exc)
+            if not (
+                "No FileSystem for scheme" in msg
+                or "IllegalArgumentException" in msg
+                or "URISyntaxException" in msg
+                or "Malformed" in msg
+            ):
+                raise
     return f"ref:{path}"
 
 

@@ -60,7 +60,9 @@ def invalidate_norms_cache(index_dir: str | None = None) -> None:
         del _DOCLEN_CACHE[k]
 
 
-def _load_norms(spark: SparkSession, index_dir: str):
+def _load_norms(
+    spark: SparkSession, index_dir: str, budget_bytes: int | None = None
+):
     """(doclen lookup, n_docs, avgdl), cached per (index_dir, freshness).
 
     The freshness token is stats.json's mtime_ns: rebuilding or
@@ -68,6 +70,10 @@ def _load_norms(spark: SparkSession, index_dir: str):
     stale doc lengths. Dense numpy array when doc_ids are nonnegative
     and reasonably packed (fast vectorized lookups); dict fallback for
     sparse / hash-derived / negative id spaces.
+
+    ``budget_bytes`` gates ONLY the cache-miss collect: a cache hit
+    costs zero additional driver memory, so it must neither pay the
+    estimate aggregate nor be refusable (r5 review).
     """
     stats_path = Path(index_dir) / "stats.json"
     key = (index_dir, stats_path.stat().st_mtime_ns)
@@ -78,7 +84,9 @@ def _load_norms(spark: SparkSession, index_dir: str):
     for stale in [k for k in _DOCLEN_CACHE if k[0] == index_dir]:
         del _DOCLEN_CACHE[stale]
     stats = json.loads(stats_path.read_text())
-    rows = spark.read.parquet(f"{index_dir}/doclens").collect()
+    doclens_df = spark.read.parquet(f"{index_dir}/doclens")
+    check_preload_budget(doclens_df, f"doclens of {index_dir}", budget_bytes)
+    rows = doclens_df.collect()
     ids = [r["doc_id"] for r in rows]
     min_id, max_id = min(ids), max(ids)
     if min_id >= 0 and max_id < max(8 * len(ids), 1_000_000):
@@ -135,9 +143,10 @@ class IndexSearcher:
         self.n_docs, self.avgdl = int(stats["n_docs"]), float(stats["avgdl"])
         self._doclen = None  # lazy: join-mode never touches it
         self._preload_budget = preload_budget_bytes
+        self._preload_spent = 0  # postings + lazy norms share ONE budget
         self._mem: dict[str, list] | None = None
         if preload:
-            check_preload_budget(
+            self._preload_spent = check_preload_budget(
                 self.postings, f"postings of {index_dir}", preload_budget_bytes
             )
             self._mem = {}
@@ -147,17 +156,20 @@ class IndexSearcher:
     @property
     def doclen(self):
         """Driver-resident norms, loaded lazily (preload mode only).
-        The norms collect is budget-checked like every other driver
-        preload — one row per doc is exactly the collect that kills the
-        driver at 10^12 docs (review r5: the lazy path bypassed the
-        constructor guard)."""
+        The cache-miss collect is budget-checked like every other
+        driver preload — one row per doc is exactly the collect that
+        kills the driver at 10^12 docs — and charged against the SAME
+        budget the constructor's postings preload spent from (two
+        full-budget checks would admit 2x jointly; r5 review)."""
         if self._doclen is None:
-            check_preload_budget(
-                self.spark.read.parquet(f"{self.index_dir}/doclens"),
-                f"doclens of {self.index_dir}",
-                self._preload_budget,
+            remaining = (
+                None
+                if self._preload_budget is None
+                else self._preload_budget - self._preload_spent
             )
-            self._doclen, _, _ = _load_norms(self.spark, self.index_dir)
+            self._doclen, _, _ = _load_norms(
+                self.spark, self.index_dir, remaining
+            )
         return self._doclen
 
     def candidate_rows(self, terms: Sequence[str]) -> list:

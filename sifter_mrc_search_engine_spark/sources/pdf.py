@@ -469,7 +469,14 @@ def _decode_pdf_string(raw: bytes, cmap: dict | None = None) -> str:
         out = []
         for i in range(0, len(raw) - w + 1, w):
             code = int.from_bytes(raw[i : i + w], "big")
-            out.append(cmap.get(code, chr(code)))
+            got = cmap.get(code)
+            if got is None:
+                # unmapped CID fallback: chr() of a code in the UTF-16
+                # surrogate range would yield a str that can't be UTF-8
+                # encoded — crashing the parquet write downstream, not
+                # here — so degrade those to U+FFFD instead
+                got = "�" if 0xD800 <= code <= 0xDFFF else chr(code)
+            out.append(got)
         if len(raw) % w:  # dangling odd byte: degrade, don't drop
             out.append(chr(raw[-1]))
         return "".join(out)
