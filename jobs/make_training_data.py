@@ -38,20 +38,11 @@ from __future__ import annotations
 import argparse
 import json
 import sys
+
+from sifter_mrc_search_engine_spark.cli import nonneg_int
 from pathlib import Path
 
 from pyspark.sql import functions as F
-
-
-def _nonneg(v: str) -> int:
-    i = int(v)
-    if i < 0:
-        raise argparse.ArgumentTypeError(
-            "must be >= 0 (0 disables the cap; a negative cap would "
-            "silently drop EVERY LSH bucket and turn --near-dup into a "
-            "no-op)"
-        )
-    return i
 
 
 def main(argv=None) -> None:
@@ -74,7 +65,7 @@ def main(argv=None) -> None:
     ap.add_argument("--html", action="store_true")
     ap.add_argument("--lang", default=None)
     ap.add_argument("--near-dup", action="store_true")
-    ap.add_argument("--lsh-max-bucket", type=_nonneg, default=256,
+    ap.add_argument("--lsh-max-bucket", type=nonneg_int, default=256,
                     help="with --near-dup: drop LSH buckets larger than this "
                          "before the pair join (skew cap; audit records the "
                          "dropped-bucket count). 0 disables the cap")

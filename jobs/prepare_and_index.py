@@ -25,16 +25,7 @@ import argparse
 import json
 import sys
 
-def _nonneg(v: str) -> int:
-    i = int(v)
-    if i < 0:
-        raise argparse.ArgumentTypeError(
-            "must be >= 0 (0 disables the cap; a negative cap would "
-            "silently drop EVERY LSH bucket and turn --near-dup into a "
-            "no-op)"
-        )
-    return i
-
+from sifter_mrc_search_engine_spark.cli import nonneg_int
 
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser()
@@ -57,7 +48,7 @@ def main(argv=None) -> None:
     ap.add_argument("--html", action="store_true", help="extract from the html binary column")
     ap.add_argument("--lang", default=None, help="keep only this predicted language")
     ap.add_argument("--near-dup", action="store_true", help="drop MinHash-LSH near-dups")
-    ap.add_argument("--lsh-max-bucket", type=_nonneg, default=256,
+    ap.add_argument("--lsh-max-bucket", type=nonneg_int, default=256,
                     help="with --near-dup: drop LSH buckets larger than this "
                          "before the pair join (skew cap; audit records the "
                          "dropped-bucket count). 0 disables the cap")

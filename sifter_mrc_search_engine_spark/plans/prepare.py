@@ -245,41 +245,43 @@ def raw_input_fingerprint(path: str, spark=None) -> str:
             rel = f_.relative_to(p) if p.is_dir() else f_.name
             h.update(f"{rel}|{st.st_size}|{st.st_mtime_ns}\n".encode())
         return h.hexdigest()
-    if spark is not None:
+    # Classify by REF SHAPE (the same heuristic read_corpus resolves
+    # with — sources.tables.is_table_ref), not by sniffing exception
+    # prose: a Py4J error's stack trace contains arbitrary substrings,
+    # so matching on it misfires both ways (r5 review). Catalog refs
+    # never touch the JVM; filesystem refs DO, and listing failures
+    # RAISE — a silently-recorded constant would make the NEXT healthy
+    # run see a fingerprint mismatch and rebuild the corpus + clear
+    # every derived artifact for no reason.
+    from ..sources.tables import is_table_ref
+
+    if spark is not None and not is_table_ref(path):
         try:
             jvm = spark._jvm
-            hconf = spark._jsc.hadoopConfiguration()
-            hpath = jvm.org.apache.hadoop.fs.Path(path)
-            fs = hpath.getFileSystem(hconf)
-            if fs.exists(hpath):
-                entries = []
-                it = fs.listFiles(hpath, True)  # recursive
-                while it.hasNext():
-                    st = it.next()
-                    entries.append(
-                        f"{st.getPath().toString()}|{st.getLen()}|"
-                        f"{st.getModificationTime()}"
-                    )
-                h = _hashlib.md5()
-                for line in sorted(entries):  # listing order is not stable
-                    h.update((line + "\n").encode())
-                return h.hexdigest()
-        except Exception as exc:
-            # Fall through to ref:<name> ONLY for refs no filesystem can
-            # address (catalog tables: unknown scheme / unparsable URI).
-            # A transient listing failure (network, auth, throttling)
-            # must RAISE — silently recording the constant would make
-            # the NEXT healthy run see a fingerprint mismatch and
-            # rebuild the corpus + clear every derived artifact for no
-            # reason (r5 review).
-            msg = str(exc)
-            if not (
-                "No FileSystem for scheme" in msg
-                or "IllegalArgumentException" in msg
-                or "URISyntaxException" in msg
-                or "Malformed" in msg
-            ):
-                raise
+            jsc = spark._jsc
+        except AttributeError:
+            # Spark Connect exposes no JVM gateway: content listing is
+            # impossible there — degrade to the path-only record, the
+            # pre-JVM-listing behavior.
+            return f"ref:{path}"
+        hconf = jsc.hadoopConfiguration()
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(hconf)
+        if fs.exists(hpath):
+            entries = []
+            it = fs.listFiles(hpath, True)  # recursive
+            while it.hasNext():
+                st = it.next()
+                entries.append(
+                    f"{st.getPath().toString()}|{st.getLen()}|"
+                    f"{st.getModificationTime()}"
+                )
+            h = _hashlib.md5()
+            for line in sorted(entries):  # listing order is not stable
+                h.update((line + "\n").encode())
+            return h.hexdigest()
+        # nonexistent filesystem path: record the constant — the
+        # corpus read itself will fail loudly right after
     return f"ref:{path}"
 
 
