@@ -770,3 +770,94 @@ SELECT vec_id, round(dot / (na * nb), {round_to}) AS cos
 FROM scored ORDER BY round(dot / (na * nb), {round_to}) DESC, vec_id ASC LIMIT {k}
 """
     return q
+
+
+def ivf_search_vector(
+    vectors: DataFrame,
+    centroids: list,
+    query: list,
+    k: int = 10,
+    nprobe: int = 4,
+    round_to: int = 4,
+    exclude_vec_id: int | None = None,
+) -> DataFrame:
+    """IVF top-k for an ARBITRARY query vector (not a row of the table —
+    the serving shape: embeddings come from a model, not the corpus):
+    rank centroids driver-side (k·dim floats), scan only the ``nprobe``
+    nearest clusters of ``vectors`` (``(vec_id, embedding, cluster)``;
+    over the persisted layout the cluster filter is parquet PARTITION
+    PRUNING), score candidates exactly with the query inlined as
+    literals — no broadcast, no second scan."""
+    qv = [float(x) for x in query]
+    ranked = sorted(
+        range(len(centroids)),
+        key=lambda c: (
+            sum((a - b) * (a - b) for a, b in zip(qv, centroids[c])), c
+        ),
+    )[: max(nprobe, 1)]
+    cand = vectors.filter(F.col("cluster").isin([int(c) for c in ranked]))
+    if exclude_vec_id is not None:
+        cand = cand.filter(F.col("vec_id") != exclude_vec_id)
+    q_emb = F.array(*[F.lit(x) for x in qv])
+    return (
+        cand.select(
+            "vec_id",
+            F.round(cosine_expr(F.col("embedding"), q_emb), round_to).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+class IvfSearcher:
+    """Serve ANN queries from a persisted IVF layout
+    (:func:`write_ivf_embeddings`): centroids.json loads once
+    (driver-side, k·dim floats — constant in corpus size), every query
+    is one cluster-pruned scan over the partitioned vectors table.
+
+    This is the 10^12-vector posture: the driver holds ONLY the coarse
+    quantizer; candidate scoring stays a distributed codegen plan whose
+    scan reads ``nprobe/k`` of the partitions (PartitionFilters —
+    asserted in tests/test_plans.py). Contrast ``preload``-style ANN
+    serving, which would collect the vectors and die at scale."""
+
+    def __init__(self, spark, index_dir: str):
+        import json as _json
+        from pathlib import Path as _Path
+
+        self.spark = spark
+        self.index_dir = index_dir
+        self.centroids = _json.loads(
+            _Path(index_dir, "centroids.json").read_text()
+        )
+        self.vectors = spark.read.parquet(f"{index_dir}/vectors")
+
+    def search(
+        self, query: list, k: int = 10, nprobe: int = 4, round_to: int = 4
+    ) -> DataFrame:
+        """Top-k ``(vec_id, cos)`` for a raw query vector."""
+        return ivf_search_vector(
+            self.vectors, self.centroids, query, k=k, nprobe=nprobe,
+            round_to=round_to,
+        )
+
+    def search_id(
+        self, query_vec_id: int, k: int = 10, nprobe: int = 4,
+        round_to: int = 4,
+    ) -> DataFrame:
+        """Top-k for a vector already IN the index (itself excluded) —
+        identical results to :func:`ivf_topk` over the same centroids
+        (pinned by pytest)."""
+        row = (
+            self.vectors.filter(F.col("vec_id") == query_vec_id)
+            .select("embedding")
+            .collect()
+        )
+        if not row:
+            return self.spark.createDataFrame([], "vec_id long, cos double")
+        return ivf_search_vector(
+            self.vectors, self.centroids,
+            [float(x) for x in row[0]["embedding"]],
+            k=k, nprobe=nprobe, round_to=round_to,
+            exclude_vec_id=query_vec_id,
+        )

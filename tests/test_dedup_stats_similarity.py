@@ -927,3 +927,54 @@ def test_connected_components_star_matches_jump(spark, docs):
         )
     with pytest.raises(ValueError, match="unknown CC algorithm"):
         D.connected_components(chain, algorithm="bogus")
+
+
+def test_ivf_searcher_serves_persisted_layout(spark, tmp_path):
+    """IvfSearcher: centroids.json loads once, queries run cluster-pruned
+    scans. search_id == ivf_topk over the same centroids (exact parity);
+    search(raw vector) — the model-embedding serving shape — returns the
+    brute-force top-k whenever the true neighbors live in probed
+    clusters (clustered data, query near a center)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    centers = rng.standard_normal((6, 32)) * 3.0
+    assign = rng.randint(0, 6, size=300)
+    M = (centers[assign] + rng.standard_normal((300, 32)) * 0.25).astype(np.float32)
+    df = spark.createDataFrame(
+        [(int(i), M[i].tolist()) for i in range(300)],
+        "vec_id long, embedding array<float>",
+    )
+    path = str(tmp_path / "ivf")
+    cents = S.write_ivf_embeddings(df, path, k=6, iters=4, seed=42)
+    s = S.IvfSearcher(spark, path)
+    assert s.centroids == cents  # json round-trip is exact (9-dp rounded)
+
+    for q in (3, 42, 123):
+        via_topk = [
+            tuple(r)
+            for r in S.ivf_topk(
+                df, q, k=10, nprobe=2, centroids=cents
+            ).collect()
+        ]
+        via_searcher = [
+            tuple(r) for r in s.search_id(q, k=10, nprobe=2).collect()
+        ]
+        assert via_searcher == via_topk
+
+    # raw-vector serving: a NEW vector near a known center must retrieve
+    # that center's members, matching the brute-force ranking over the
+    # probed clusters' union — and the full brute force on clustered
+    # data (neighbors of a center live in its cluster)
+    qv = (centers[2] + rng.standard_normal(32) * 0.05).astype(np.float64)
+    got = [r["vec_id"] for r in s.search(qv.tolist(), k=10, nprobe=2).collect()]
+    Mn = M.astype(np.float64)
+    sims = (Mn / np.linalg.norm(Mn, axis=1, keepdims=True)) @ (
+        qv / np.linalg.norm(qv)
+    )
+    exact = np.lexsort((np.arange(300), -np.round(sims, 4)))[:10].tolist()
+    assert len(set(got) & set(exact)) >= 8  # clustered: high recall @nprobe=2
+
+    # missing id: empty typed frame, same schema
+    empty = s.search_id(999_999, k=5)
+    assert empty.columns == ["vec_id", "cos"] and empty.count() == 0

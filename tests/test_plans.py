@@ -211,3 +211,28 @@ def test_preload_budget_guards_lazy_norms(spark, corpus_on_disk, tmp_path_factor
         spark, idx, buckets=8, norms="join", preload_budget_bytes=16
     )
     assert j.search("bababa", top_k=3) is not None
+
+
+def test_ivf_searcher_plan_prunes_cluster_partitions(spark, tmp_path_factory):
+    """The IvfSearcher scan must show PartitionFilters on the cluster
+    column — at 10^12 vectors the probe IS partition pruning, not a
+    post-scan filter."""
+    import numpy as np
+
+    from sifter_mrc_search_engine_spark.operators.similarity import (
+        IvfSearcher,
+        write_ivf_embeddings,
+    )
+
+    rng = np.random.RandomState(3)
+    M = rng.standard_normal((200, 16)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(int(i), M[i].tolist()) for i in range(200)],
+        "vec_id long, embedding array<float>",
+    )
+    path = str(tmp_path_factory.mktemp("ivf_plan"))
+    write_ivf_embeddings(df, path, k=4, iters=2, seed=42)
+    s = IvfSearcher(spark, path)
+    q = s.search(M[0].tolist(), k=5, nprobe=2)
+    plan = _plan(q)
+    assert "PartitionFilters: [cluster" in plan, plan[:1500]
