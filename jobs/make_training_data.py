@@ -39,7 +39,6 @@ import argparse
 import json
 import sys
 
-from sifter_mrc_search_engine_spark.cli import nonneg_int
 from pathlib import Path
 
 from pyspark.sql import functions as F
@@ -65,7 +64,7 @@ def main(argv=None) -> None:
     ap.add_argument("--html", action="store_true")
     ap.add_argument("--lang", default=None)
     ap.add_argument("--near-dup", action="store_true")
-    ap.add_argument("--lsh-max-bucket", type=nonneg_int, default=256,
+    ap.add_argument("--lsh-max-bucket", type=int, default=256,
                     help="with --near-dup: drop LSH buckets larger than this "
                          "before the pair join (skew cap; audit records the "
                          "dropped-bucket count). 0 disables the cap")
@@ -84,6 +83,10 @@ def main(argv=None) -> None:
     ap.add_argument("--mlm", action="store_true", help="export MLM-masked token ids")
     ap.add_argument("--vocab-size", type=int, default=20000)
     args = ap.parse_args(argv)
+
+    from sifter_mrc_search_engine_spark.cli import validate_nonneg
+
+    validate_nonneg(ap, "--lsh-max-bucket", args.lsh_max_bucket)
 
     from sifter_mrc_search_engine_spark.functions.sentences import (
         make_split_sentences_udf,

@@ -25,7 +25,6 @@ import argparse
 import json
 import sys
 
-from sifter_mrc_search_engine_spark.cli import nonneg_int
 
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser()
@@ -48,7 +47,7 @@ def main(argv=None) -> None:
     ap.add_argument("--html", action="store_true", help="extract from the html binary column")
     ap.add_argument("--lang", default=None, help="keep only this predicted language")
     ap.add_argument("--near-dup", action="store_true", help="drop MinHash-LSH near-dups")
-    ap.add_argument("--lsh-max-bucket", type=nonneg_int, default=256,
+    ap.add_argument("--lsh-max-bucket", type=int, default=256,
                     help="with --near-dup: drop LSH buckets larger than this "
                          "before the pair join (skew cap; audit records the "
                          "dropped-bucket count). 0 disables the cap")
@@ -57,6 +56,10 @@ def main(argv=None) -> None:
     ap.add_argument("--bench", default=None, help="parquet of benchmark docs to decontaminate against")
     ap.add_argument("--max-buckets", type=int, default=None)
     args = ap.parse_args(argv)
+
+    from sifter_mrc_search_engine_spark.cli import validate_nonneg
+
+    validate_nonneg(ap, "--lsh-max-bucket", args.lsh_max_bucket)
 
     from sifter_mrc_search_engine_spark.plans.checkpoint import build_index_resumable
     from sifter_mrc_search_engine_spark.sources.tables import (

@@ -24,3 +24,17 @@ def nonneg_int(v: str) -> int:
             "no-op)"
         )
     return i
+
+
+def validate_nonneg(parser: argparse.ArgumentParser, flag: str, value: int):
+    """Post-parse twin of :func:`nonneg_int` for job scripts that must
+    stay stdlib-only at import time (``--help`` works without this
+    package on sys.path): the parser uses plain ``type=int`` and calls
+    this inside ``main()`` once the package is importable anyway."""
+    if value is not None and value < 0:
+        parser.error(
+            f"{flag}: must be >= 0 (0 disables the cap; a negative cap "
+            f"would silently drop EVERY LSH bucket and turn --near-dup "
+            f"into a no-op)"
+        )
+    return value

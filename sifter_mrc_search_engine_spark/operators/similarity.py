@@ -612,17 +612,51 @@ def write_ivf_embeddings(
 ) -> list:
     """Persist the IVF layout: embeddings PARTITIONED BY cluster (probes
     become parquet partition pruning — the 100 TB serving shape, same
-    pattern as :func:`write_bucketed_embeddings`) plus centroids.json.
-    Returns the centroids."""
+    pattern as :func:`write_bucketed_embeddings`) plus centroids.json,
+    written through the Hadoop FileSystem for remote index dirs so an
+    ``s3://``/``hdfs://`` layout works end to end, not just the parquet
+    half. Returns the centroids."""
     import json as _json
-    from pathlib import Path as _Path
 
     cents = kmeans_centroids(embeddings, k=k, iters=iters, seed=seed)
     ivf_assignments(embeddings, cents).write.mode("overwrite").partitionBy(
         "cluster"
     ).parquet(f"{path}/vectors")
-    _Path(path, "centroids.json").write_text(_json.dumps(cents))
+    _fs_write_text(
+        embeddings.sparkSession, f"{path}/centroids.json", _json.dumps(cents)
+    )
     return cents
+
+
+def _fs_write_text(spark, path: str, text: str) -> None:
+    """Write a small sidecar file on whatever filesystem ``path`` lives
+    on: local paths via pathlib, everything else through the JVM Hadoop
+    FileSystem (the same storage the parquet halves use)."""
+    from pathlib import Path as _Path
+
+    if "://" not in path:
+        p = _Path(path)
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_text(text)
+        return
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(hpath, True)
+    try:
+        out.write(bytearray(text.encode()))
+    finally:
+        out.close()
+
+
+def _fs_read_text(spark, path: str) -> str:
+    """Read a small sidecar file; remote paths go through
+    ``spark.read.text`` (tiny file, one collect)."""
+    from pathlib import Path as _Path
+
+    if "://" not in path:
+        return _Path(path).read_text()
+    return "\n".join(r[0] for r in spark.read.text(path).collect())
 
 
 def ivf_topk(
@@ -652,26 +686,12 @@ def ivf_topk(
     ).collect()
     if not qrow:
         return embeddings.sparkSession.createDataFrame([], "vec_id long, cos double")
-    qv = [float(x) for x in qrow[0]["embedding"]]
-    ranked = sorted(
-        range(len(centroids)),
-        key=lambda c: (
-            sum((a - b) * (a - b) for a, b in zip(qv, centroids[c])), c
-        ),
-    )[: max(nprobe, 1)]
-    cand = assignments.filter(F.col("cluster").isin([int(c) for c in ranked]))
-    # the query vector was already collected for centroid ranking —
-    # inline it as literals (the ann_topk pattern): no second source
-    # scan, no broadcast join
-    q_emb = F.array(*[F.lit(x) for x in qv])
-    return (
-        cand.filter(F.col("vec_id") != query_vec_id)
-        .select(
-            "vec_id",
-            F.round(cosine_expr(F.col("embedding"), q_emb), round_to).alias("cos"),
-        )
-        .orderBy(F.desc("cos"), F.asc("vec_id"))
-        .limit(k)
+    # ONE rank-probe-score implementation (ivf_search_vector) serves
+    # ivf_topk, IvfSearcher.search and .search_id — hand-synced copies
+    # are how "identical results" parity drifts (r5 review)
+    return ivf_search_vector(
+        assignments, centroids, [float(x) for x in qrow[0]["embedding"]],
+        k=k, nprobe=nprobe, round_to=round_to, exclude_vec_id=query_vec_id,
     )
 
 
@@ -789,6 +809,14 @@ def ivf_search_vector(
     PRUNING), score candidates exactly with the query inlined as
     literals — no broadcast, no second scan."""
     qv = [float(x) for x in query]
+    if centroids and len(qv) != len(centroids[0]):
+        # the likely serving-path mistake is a model/index dim mismatch;
+        # unchecked it would rank clusters on a silent zip-truncation
+        # and score every candidate to NULL (zip_with pads with nulls)
+        raise ValueError(
+            f"query vector has {len(qv)} dims but the index was built "
+            f"over {len(centroids[0])}-dim embeddings"
+        )
     ranked = sorted(
         range(len(centroids)),
         key=lambda c: (
@@ -823,12 +851,11 @@ class IvfSearcher:
 
     def __init__(self, spark, index_dir: str):
         import json as _json
-        from pathlib import Path as _Path
 
         self.spark = spark
         self.index_dir = index_dir
         self.centroids = _json.loads(
-            _Path(index_dir, "centroids.json").read_text()
+            _fs_read_text(spark, f"{index_dir}/centroids.json")
         )
         self.vectors = spark.read.parquet(f"{index_dir}/vectors")
 
@@ -847,17 +874,10 @@ class IvfSearcher:
     ) -> DataFrame:
         """Top-k for a vector already IN the index (itself excluded) —
         identical results to :func:`ivf_topk` over the same centroids
-        (pinned by pytest)."""
-        row = (
-            self.vectors.filter(F.col("vec_id") == query_vec_id)
-            .select("embedding")
-            .collect()
-        )
-        if not row:
-            return self.spark.createDataFrame([], "vec_id long, cos double")
-        return ivf_search_vector(
-            self.vectors, self.centroids,
-            [float(x) for x in row[0]["embedding"]],
-            k=k, nprobe=nprobe, round_to=round_to,
-            exclude_vec_id=query_vec_id,
+        (pinned by pytest; this IS ivf_topk over the persisted layout,
+        not a reimplementation)."""
+        return ivf_topk(
+            self.vectors, query_vec_id, k=k, nprobe=nprobe,
+            round_to=round_to, centroids=self.centroids,
+            assignments=self.vectors,
         )

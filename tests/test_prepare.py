@@ -450,3 +450,67 @@ def test_lang_change_invalidates_exports(spark, tmp_path, capsys):
     assert Path(out, "chunks", "_SUCCESS").stat().st_mtime_ns != mt, (
         "chunks export served stale after a corpus-affecting flag change"
     )
+
+
+def test_raw_input_fingerprint_classification(tmp_path):
+    """Shape-based classification (r5 review): catalog refs never touch
+    the JVM; local mutation changes the hash; a JVM-less session (Spark
+    Connect) degrades to the path record; a LISTING failure for a real
+    filesystem ref RAISES instead of silently recording the constant
+    (which would force a spurious full rebuild on the next healthy
+    run)."""
+    from types import SimpleNamespace
+
+    import pytest
+
+    from sifter_mrc_search_engine_spark.plans.prepare import (
+        raw_input_fingerprint,
+    )
+
+    class Untouchable:
+        """A 'spark' that fails the test if anything is accessed."""
+
+        def __getattr__(self, k):
+            raise AssertionError(f"JVM touched for a catalog ref ({k})")
+
+    # slash-free / table:-prefixed refs are catalog refs: constant
+    # record, zero JVM traffic even with a session available
+    assert raw_input_fingerprint("cat.db.pages", Untouchable()) == (
+        "ref:cat.db.pages"
+    )
+    assert raw_input_fingerprint("table:pages", Untouchable()) == (
+        "ref:table:pages"
+    )
+
+    # local content identity: same path, changed bytes -> changed hash
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "part-0.parquet").write_text("aaaa")
+    h1 = raw_input_fingerprint(str(d))
+    (d / "part-0.parquet").write_text("aaaabbbb")
+    h2 = raw_input_fingerprint(str(d))
+    assert h1 != h2 and "ref:" not in h1
+
+    class NoJvm:
+        """Spark Connect shape: no _jvm gateway at all."""
+
+        @property
+        def _jvm(self):
+            raise AttributeError("no JVM in Spark Connect")
+
+    missing = str(tmp_path / "definitely" / "missing")
+    assert raw_input_fingerprint(missing, NoJvm()) == f"ref:{missing}"
+
+    class Boom:
+        """Every attribute access returns itself; any CALL explodes —
+        the transient-listing-failure shape."""
+
+        def __getattr__(self, k):
+            return self
+
+        def __call__(self, *a, **kw):
+            raise RuntimeError("transient listing failure")
+
+    fake = SimpleNamespace(_jvm=Boom(), _jsc=Boom())
+    with pytest.raises(RuntimeError, match="transient"):
+        raw_input_fingerprint(missing, fake)
