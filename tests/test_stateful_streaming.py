@@ -179,3 +179,56 @@ def test_stream_dedup_exact(spark, tmp_path):
     # first-arrival wins: the surviving doc_ids are the earliest per text
     by_text = {r["text"]: r["doc_id"] for r in got}
     assert by_text["alpha doc body"] == 0 and by_text["beta doc body"] == 1
+
+
+def test_stream_near_dup_gate(spark, tmp_path):
+    """Streaming LSH near-dup gate: within a batch the min-doc_id of a
+    colliding pair survives; across batches the FIRST-ARRIVED survivor
+    blocks later near-dups via the persisted bucket store; unique docs
+    always pass. Near-dup groups use byte-DISTINCT texts with identical
+    shingle SETS (cyclic token repetition -> provably identical MinHash
+    signatures), so the outcome is deterministic, not probabilistic."""
+    from sifter_mrc_search_engine_spark.streaming.stateful import stream_near_dup
+
+    in_dir = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def cyc(r):  # same shingle set for every r >= 2
+        return " ".join(["alpha", "beta", "gamma"] * r)
+
+    uniq = lambda i: " ".join(f"tok{i}x{j}" for j in range(8))
+    chunk0 = [(10, cyc(2)), (20, cyc(3)), (30, uniq(0))]
+    chunk1 = [(40, cyc(4)), (50, uniq(1))]
+    for c, rows in enumerate((chunk0, chunk1)):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{in_dir}/chunk={c}")
+
+    stream_near_dup(
+        spark, f"{in_dir}/chunk=*", out, ckpt, max_files_per_trigger=1
+    )
+
+    got = {
+        r["doc_id"] for r in spark.read.parquet(f"{out}/docs").collect()
+    }
+    # 10 beats 20 in-batch; 40 blocked cross-batch by 10's stored
+    # buckets; 30 and 50 unique
+    assert got == {10, 30, 50}
+    # the store holds only survivors' buckets
+    store = spark.read.parquet(f"{out}/lsh_buckets")
+    assert set(
+        r["doc_id"] for r in store.select("doc_id").distinct().collect()
+    ) == {10, 30, 50}
+
+    # restart with the same checkpoint and a NEW chunk: the store still
+    # blocks near-dups of batch-0 survivors (state survives restarts)
+    chunk2 = [(60, cyc(5)), (70, uniq(2))]
+    spark.createDataFrame(chunk2, "doc_id long, text string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{in_dir}/chunk=2")
+    stream_near_dup(
+        spark, f"{in_dir}/chunk=*", out, ckpt, max_files_per_trigger=1
+    )
+    got2 = {r["doc_id"] for r in spark.read.parquet(f"{out}/docs").collect()}
+    assert got2 == {10, 30, 50, 70}
