@@ -8,29 +8,18 @@ from __future__ import annotations
 
 import argparse
 
-__all__ = ["nonneg_int"]
-
-
-def nonneg_int(v: str) -> int:
-    """argparse type for knobs where a NEGATIVE value would silently
-    invert the semantics (e.g. ``--lsh-max-bucket -1`` would drop EVERY
-    LSH bucket and turn ``--near-dup`` into a no-op). 0 stays legal —
-    jobs map it to "disabled"."""
-    i = int(v)
-    if i < 0:
-        raise argparse.ArgumentTypeError(
-            "must be >= 0 (0 disables the cap; a negative cap would "
-            "silently drop EVERY LSH bucket and turn --near-dup into a "
-            "no-op)"
-        )
-    return i
+__all__ = ["validate_nonneg"]
 
 
 def validate_nonneg(parser: argparse.ArgumentParser, flag: str, value: int):
-    """Post-parse twin of :func:`nonneg_int` for job scripts that must
-    stay stdlib-only at import time (``--help`` works without this
-    package on sys.path): the parser uses plain ``type=int`` and calls
-    this inside ``main()`` once the package is importable anyway."""
+    """Post-parse validator for knobs where a NEGATIVE value would
+    silently invert the semantics (e.g. ``--lsh-max-bucket -1`` would
+    drop EVERY LSH bucket and turn ``--near-dup`` into a no-op); 0 stays
+    legal — jobs map it to "disabled". Post-parse (not an argparse
+    ``type=``) so job scripts stay stdlib-only at import time
+    (``--help`` works without this package on sys.path): the parser
+    uses plain ``type=int`` and calls this inside ``main()`` once the
+    package is importable anyway."""
     if value is not None and value < 0:
         parser.error(
             f"{flag}: must be >= 0 (0 disables the cap; a negative cap "

@@ -167,7 +167,19 @@ def lsh_candidate_pairs(
     and still pair through their other bands; exact dedup catches byte
     dups regardless). None (default) keeps exact reference semantics.
     """
-    buckets = lsh_band_buckets(docs, perms, bands, k, text_col)
+    return lsh_pairs_from_buckets(
+        lsh_band_buckets(docs, perms, bands, k, text_col), max_bucket
+    )
+
+
+def lsh_pairs_from_buckets(
+    buckets: DataFrame, max_bucket: int | None = None
+) -> DataFrame:
+    """``(doc_a, doc_b)`` with ``doc_a < doc_b`` from precomputed
+    :func:`lsh_band_buckets` rows — the ONE cap+self-join implementation
+    behind :func:`lsh_candidate_pairs` and the streaming gate
+    (``streaming/stateful.stream_near_dup``); hand-synced copies of the
+    keeper rule are how batch/stream parity drifts."""
     if max_bucket is not None:
         from pyspark.sql import Window
 

@@ -622,9 +622,17 @@ def write_ivf_embeddings(
     ivf_assignments(embeddings, cents).write.mode("overwrite").partitionBy(
         "cluster"
     ).parquet(f"{path}/vectors")
-    _fs_write_text(
-        embeddings.sparkSession, f"{path}/centroids.json", _json.dumps(cents)
-    )
+    # slim (vec_id, cluster) sidecar, globally SORTED by vec_id so an
+    # in-index query lookup is a narrow scan with row-group min/max
+    # pruning + ONE pruned partition read — without it, search_id pays
+    # a full scan of the wide embedding table per query just to fetch
+    # the query row (r5 review). Derived from the written layout
+    # (column-pruned: the embedding column is never read back).
+    spark = embeddings.sparkSession
+    spark.read.parquet(f"{path}/vectors").select("vec_id", "cluster").sort(
+        "vec_id"
+    ).write.mode("overwrite").parquet(f"{path}/vec_clusters")
+    _fs_write_text(spark, f"{path}/centroids.json", _json.dumps(cents))
     return cents
 
 
@@ -647,6 +655,21 @@ def _fs_write_text(spark, path: str, text: str) -> None:
         out.write(bytearray(text.encode()))
     finally:
         out.close()
+
+
+def _fs_exists(spark, path: str) -> bool:
+    """Existence check on whatever filesystem ``path`` lives on (local
+    via pathlib, remote via the JVM Hadoop FileSystem) — deterministic
+    classification beats catching the reader's exception, which would
+    also swallow a corrupt layout."""
+    from pathlib import Path as _Path
+
+    if "://" not in path:
+        return _Path(path).exists()
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs.exists(hpath)
 
 
 def _fs_read_text(spark, path: str) -> str:
@@ -858,6 +881,14 @@ class IvfSearcher:
             _fs_read_text(spark, f"{index_dir}/centroids.json")
         )
         self.vectors = spark.read.parquet(f"{index_dir}/vectors")
+        clusters_dir = f"{index_dir}/vec_clusters"
+        # layouts written before the sidecar existed fall back to the
+        # unpruned vec_id lookup in search_id
+        self.vec_clusters = (
+            spark.read.parquet(clusters_dir)
+            if _fs_exists(spark, clusters_dir)
+            else None
+        )
 
     def search(
         self, query: list, k: int = 10, nprobe: int = 4, round_to: int = 4
@@ -874,10 +905,44 @@ class IvfSearcher:
     ) -> DataFrame:
         """Top-k for a vector already IN the index (itself excluded) —
         identical results to :func:`ivf_topk` over the same centroids
-        (pinned by pytest; this IS ivf_topk over the persisted layout,
-        not a reimplementation)."""
-        return ivf_topk(
-            self.vectors, query_vec_id, k=k, nprobe=nprobe,
-            round_to=round_to, centroids=self.centroids,
-            assignments=self.vectors,
+        (pinned by pytest; the probe/score path IS
+        :func:`ivf_search_vector`, not a reimplementation).
+
+        The query-row fetch goes through the ``vec_clusters`` sidecar
+        (sorted narrow scan -> cluster) and then ONE pruned partition of
+        the vectors table — NOT a vec_id filter over the full wide
+        table, which would full-scan all k partitions per query and
+        contradict the cluster-pruned posture above (r5 review)."""
+        qrow = None
+        if self.vec_clusters is not None:
+            hit = (
+                self.vec_clusters.filter(F.col("vec_id") == query_vec_id)
+                .select("cluster")
+                .collect()
+            )
+            if not hit:
+                return self.spark.createDataFrame(
+                    [], "vec_id long, cos double"
+                )
+            qrow = (
+                self.vectors.filter(
+                    (F.col("cluster") == hit[0]["cluster"])
+                    & (F.col("vec_id") == query_vec_id)
+                )
+                .select("embedding")
+                .collect()
+            )
+        else:  # pre-sidecar layout: unpruned lookup
+            qrow = (
+                self.vectors.filter(F.col("vec_id") == query_vec_id)
+                .select("embedding")
+                .collect()
+            )
+        if not qrow:
+            return self.spark.createDataFrame([], "vec_id long, cos double")
+        return ivf_search_vector(
+            self.vectors, self.centroids,
+            [float(x) for x in qrow[0]["embedding"]],
+            k=k, nprobe=nprobe, round_to=round_to,
+            exclude_vec_id=query_vec_id,
         )

@@ -124,6 +124,23 @@ def stream_dedup_exact(
     )
 
 
+def _dir_exists(spark, path: str) -> bool:
+    """Deterministic existence check on whatever filesystem ``path``
+    lives on: local via pathlib, remote through the JVM Hadoop
+    FileSystem — classifying first-batch-missing vs corrupt store by
+    CHECKING, not by sniffing exception classes (an ``AnalysisException``
+    catch around the read would also swallow an unreadable store and
+    silently re-admit duplicates)."""
+    if "://" not in path:
+        from pathlib import Path
+
+        return Path(path).exists()
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs.exists(hpath)
+
+
 def stream_near_dup(
     spark,
     input_dir: str,
@@ -152,19 +169,23 @@ def stream_near_dup(
       per batch ONE equi-join against it, no pairwise blowup; unlike
       watermark-keyed exact dedup the LSH state cannot expire (a
       near-dup horizon is corpus-wide by definition), so store size is
-      O(survivors x bands) rows — the operator to compact it is plain
-      ``spark.read.parquet(store).distinct()``.
-    * both writes go to ``batch=<id>`` subdirs with mode=overwrite, so
-      a replayed batch (failure/restart mid-commit) is IDEMPOTENT —
-      the foreachBatch exactly-once recipe.
+      O(survivors x bands) rows — :func:`compact_lsh_store` folds the
+      accumulated batch partitions into one distinct slot between runs.
+    * both writes go to ``batch=<id>`` subdirs with mode=overwrite, AND
+      the store read is restricted to partitions ``batch < batch_id``,
+      so a replayed batch (failure/restart mid-commit) is IDEMPOTENT —
+      without the restriction a replay would join against its own
+      first-attempt buckets, self-collide every survivor, and overwrite
+      ``docs/batch=<id>`` with an empty set (permanent loss on exactly
+      the crash path the recipe exists for).
     * ``max_bucket`` caps only the WITHIN-batch pair expansion (the
-      degenerate-boilerplate quadratic); the store join is linear in
-      matches and needs no cap.
+      degenerate-boilerplate quadratic) through the SAME
+      :func:`~..operators.dedup.lsh_pairs_from_buckets` the batch
+      operator uses; the store join is linear in matches and needs no
+      cap. ``0`` disables the cap (the jobs' ``--lsh-max-bucket``
+      convention); negatives are rejected rather than silently dropping
+      every bucket.
     """
-    from pathlib import Path
-
-    from pyspark.errors import AnalysisException
-    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from ..operators.dedup import (
@@ -172,12 +193,26 @@ def stream_near_dup(
         DEFAULT_MINHASH_PERMS,
         DEFAULT_SHINGLE_K,
         lsh_band_buckets,
+        lsh_pairs_from_buckets,
     )
 
     perms = DEFAULT_MINHASH_PERMS if perms is None else perms
     bands = DEFAULT_BANDS if bands is None else bands
     k = DEFAULT_SHINGLE_K if k is None else k
+    if max_bucket is not None and max_bucket < 0:
+        raise ValueError(
+            "max_bucket must be >= 0 (0 disables the cap; a negative "
+            "cap would silently drop every LSH bucket)"
+        )
+    if max_bucket == 0:
+        max_bucket = None
     store_dir = f"{output_dir}/lsh_buckets"
+    # band/bkey/doc_id from lsh_band_buckets, batch from the partition
+    # dir name. Declared explicitly so an existing-but-empty store dir
+    # (crash before the first part-file) reads as zero rows instead of
+    # dying in schema inference — and so a corrupt store FAILS the
+    # batch instead of being swallowed as "no store yet".
+    store_schema = "band int, bkey string, doc_id long, batch long"
 
     def gate(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -189,35 +224,24 @@ def stream_near_dup(
         )
         try:
             drops = None
-            if Path(store_dir).exists() or "://" in store_dir:
-                try:
-                    store = (
-                        spark.read.parquet(store_dir)
-                        .select("band", "bkey")
-                        .distinct()
-                    )
-                    drops = (
-                        b.join(store, ["band", "bkey"])
-                        .select("doc_id")
-                        .distinct()
-                    )
-                except AnalysisException:
-                    # first batch against a remote store_dir: the path
-                    # does not exist yet. Any OTHER failure (corrupt
-                    # store, permissions) must propagate — silently
-                    # treating it as "no store" would re-admit dups.
-                    drops = None
-            capped = b
-            if max_bucket is not None:
-                sz = F.count(F.lit(1)).over(Window.partitionBy("band", "bkey"))
-                capped = b.withColumn("_sz", sz).filter(
-                    F.col("_sz") <= max_bucket
-                ).drop("_sz")
-            a_, c_ = capped.alias("a"), capped.alias("c")
+            if _dir_exists(spark, store_dir):
+                store = (
+                    spark.read.schema(store_schema)
+                    .parquet(store_dir)
+                    # a replayed batch must not see its own (or any
+                    # later uncommitted) first-attempt buckets
+                    .where(F.col("batch") < F.lit(batch_id))
+                    .select("band", "bkey")
+                    .distinct()
+                )
+                drops = (
+                    b.join(store, ["band", "bkey"])
+                    .select("doc_id")
+                    .distinct()
+                )
             in_batch = (
-                a_.join(c_, ["band", "bkey"])
-                .filter(F.col("a.doc_id") > F.col("c.doc_id"))
-                .select(F.col("a.doc_id").alias("doc_id"))
+                lsh_pairs_from_buckets(b, max_bucket)
+                .select(F.col("doc_b").alias("doc_id"))
                 .distinct()
             )
             drops = in_batch if drops is None else drops.union(in_batch).distinct()
@@ -243,3 +267,65 @@ def stream_near_dup(
         q.awaitTermination()
         return q
     return writer.start()
+
+
+def compact_lsh_store(spark, output_dir: str) -> int:
+    """Fold :func:`stream_near_dup`'s accumulated ``lsh_buckets``
+    batch partitions into ONE distinct slot; returns the compacted row
+    count. Run it between stream runs, after the previous run DRAINED
+    CLEANLY (availableNow terminated) — compacting while a batch is
+    written-but-uncommitted would fold that batch's buckets into the
+    slot, where its own replay would see them.
+
+    Crash-safe by ordering, not by atomic rename: the distinct rows are
+    fully written to a temp dir, INSTALLED as a fresh negative
+    ``batch=<slot>`` partition (slot = min(existing) - 1, always below
+    any real batch id so every future ``batch < batch_id`` read
+    includes it and no install ever collides with a live partition),
+    and only THEN are the superseded partitions deleted. A crash at any
+    point leaves duplicate rows at worst — the gate's store read
+    distincts, so duplicates are harmless; rows are never removed
+    before their replacement is fully in place."""
+    import re as _re
+
+    store_dir = f"{output_dir}/lsh_buckets"
+    jvm = spark._jvm
+    hstore = jvm.org.apache.hadoop.fs.Path(store_dir)
+    fs = hstore.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hstore):
+        return 0
+    slots = []
+    for st in fs.listStatus(hstore):
+        m = _re.fullmatch(r"batch=(-?\d+)", st.getPath().getName())
+        if m:
+            slots.append(int(m.group(1)))
+    if len(slots) <= 1:
+        # nothing to fold (0 or 1 partition); still report the count
+        return (
+            spark.read.schema(
+                "band int, bkey string, doc_id long, batch long"
+            ).parquet(store_dir).count()
+            if slots
+            else 0
+        )
+    rows = (
+        spark.read.schema("band int, bkey string, doc_id long, batch long")
+        .parquet(store_dir)
+        .select("band", "bkey", "doc_id")
+        .distinct()
+    )
+    tmp = f"{output_dir}/lsh_buckets_compact_tmp"
+    htmp = jvm.org.apache.hadoop.fs.Path(tmp)
+    fs.delete(htmp, True)  # leftover from a crashed earlier compaction
+    rows.write.mode("overwrite").parquet(tmp)
+    n = spark.read.parquet(tmp).count()
+    slot = min(min(slots), 0) - 1
+    if not fs.rename(htmp, jvm.org.apache.hadoop.fs.Path(
+        f"{store_dir}/batch={slot}"
+    )):
+        raise IOError(f"could not install compacted slot batch={slot}")
+    for s in slots:  # delete AFTER the replacement is fully in place
+        fs.delete(
+            jvm.org.apache.hadoop.fs.Path(f"{store_dir}/batch={s}"), True
+        )
+    return n

@@ -975,6 +975,23 @@ def test_ivf_searcher_serves_persisted_layout(spark, tmp_path):
     exact = np.lexsort((np.arange(300), -np.round(sims, 4)))[:10].tolist()
     assert len(set(got) & set(exact)) >= 8  # clustered: high recall @nprobe=2
 
-    # missing id: empty typed frame, same schema
+    # missing id: empty typed frame, same schema (the sidecar-miss path)
+    assert s.vec_clusters is not None  # new layouts carry the sidecar
     empty = s.search_id(999_999, k=5)
     assert empty.columns == ["vec_id", "cos"] and empty.count() == 0
+
+    # pre-sidecar layouts (no vec_clusters dir) fall back to the
+    # unpruned vec_id lookup with identical results
+    import shutil
+
+    shutil.rmtree(f"{path}/vec_clusters")
+    s_old = S.IvfSearcher(spark, path)
+    assert s_old.vec_clusters is None
+    assert [
+        tuple(r) for r in s_old.search_id(3, k=10, nprobe=2).collect()
+    ] == [
+        tuple(r)
+        for r in S.ivf_topk(df, 3, k=10, nprobe=2, centroids=cents).collect()
+    ]
+    empty2 = s_old.search_id(999_999, k=5)
+    assert empty2.columns == ["vec_id", "cos"] and empty2.count() == 0

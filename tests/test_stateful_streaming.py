@@ -232,3 +232,158 @@ def test_stream_near_dup_gate(spark, tmp_path):
     )
     got2 = {r["doc_id"] for r in spark.read.parquet(f"{out}/docs").collect()}
     assert got2 == {10, 30, 50, 70}
+
+
+def test_stream_near_dup_replay_idempotent(spark, tmp_path):
+    """A replayed batch must not join against its own first-attempt
+    bucket-store partition: wiping the CHECKPOINT (not the output)
+    replays every batch with the store already fully populated. The
+    survivors must come out unchanged — the regression shape is every
+    survivor self-colliding with its own stored buckets and the
+    idempotent overwrite erasing ``docs/batch=<id>``."""
+    import shutil
+
+    from sifter_mrc_search_engine_spark.streaming.stateful import stream_near_dup
+
+    in_dir = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def cyc(r):
+        return " ".join(["alpha", "beta", "gamma"] * r)
+
+    uniq = lambda i: " ".join(f"tok{i}x{j}" for j in range(8))
+    chunks = (
+        [(10, cyc(2)), (20, cyc(3)), (30, uniq(0))],
+        [(40, cyc(4)), (50, uniq(1))],
+    )
+    for c, rows in enumerate(chunks):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{in_dir}/chunk={c}")
+
+    stream_near_dup(
+        spark, f"{in_dir}/chunk=*", out, ckpt, max_files_per_trigger=1
+    )
+    first = {r["doc_id"] for r in spark.read.parquet(f"{out}/docs").collect()}
+    assert first == {10, 30, 50}
+
+    shutil.rmtree(ckpt)  # lost checkpoint -> full replay over live output
+    stream_near_dup(
+        spark, f"{in_dir}/chunk=*", out, ckpt, max_files_per_trigger=1
+    )
+    replay = {r["doc_id"] for r in spark.read.parquet(f"{out}/docs").collect()}
+    assert replay == first
+    store = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{out}/lsh_buckets").collect()
+    }
+    assert store == first
+
+
+def test_stream_near_dup_cap_conventions(spark, tmp_path):
+    """``max_bucket=0`` means UNCAPPED (the jobs' --lsh-max-bucket
+    convention), not 'drop every bucket'; negatives are rejected up
+    front instead of silently disabling the gate."""
+    import pytest
+
+    from sifter_mrc_search_engine_spark.streaming.stateful import stream_near_dup
+
+    in_dir = str(tmp_path / "in")
+
+    def cyc(r):
+        return " ".join(["alpha", "beta", "gamma"] * r)
+
+    rows = [(10, cyc(2)), (20, cyc(3)), (30, "a unique body of tokens")]
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{in_dir}/chunk=0")
+
+    with pytest.raises(ValueError, match="max_bucket"):
+        stream_near_dup(
+            spark,
+            f"{in_dir}/chunk=*",
+            str(tmp_path / "out_neg"),
+            str(tmp_path / "ckpt_neg"),
+            max_bucket=-1,
+        )
+
+    out = str(tmp_path / "out0")
+    stream_near_dup(
+        spark, f"{in_dir}/chunk=*", out, str(tmp_path / "ckpt0"), max_bucket=0
+    )
+    got = {r["doc_id"] for r in spark.read.parquet(f"{out}/docs").collect()}
+    # uncapped: the near-dup pair still collapses to its min doc_id. A
+    # literal size<=0 filter would keep all three docs.
+    assert got == {10, 30}
+
+
+def test_compact_lsh_store(spark, tmp_path):
+    """compact_lsh_store folds all batch partitions into one negative
+    slot with the same distinct (band, bkey, doc_id) content; the gate
+    keeps blocking near-dups of pre-compaction survivors afterward, and
+    a second compaction (single slot) is a no-op that reports the row
+    count."""
+    import os
+
+    from sifter_mrc_search_engine_spark.streaming.stateful import (
+        compact_lsh_store,
+        stream_near_dup,
+    )
+
+    in_dir = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def cyc(r):
+        return " ".join(["alpha", "beta", "gamma"] * r)
+
+    uniq = lambda i: " ".join(f"tok{i}x{j}" for j in range(8))
+    chunks = ([(10, cyc(2)), (30, uniq(0))], [(50, uniq(1))])
+    for c, rows in enumerate(chunks):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{in_dir}/chunk={c}")
+    stream_near_dup(
+        spark, f"{in_dir}/chunk=*", out, ckpt, max_files_per_trigger=1
+    )
+    before = {
+        (r["band"], r["bkey"], r["doc_id"])
+        for r in spark.read.parquet(f"{out}/lsh_buckets").select(
+            "band", "bkey", "doc_id"
+        ).collect()
+    }
+
+    # missing store: 0, no crash
+    assert compact_lsh_store(spark, str(tmp_path / "nowhere")) == 0
+
+    n = compact_lsh_store(spark, out)
+    assert n == len(before)
+    dirs = sorted(
+        d for d in os.listdir(f"{out}/lsh_buckets") if d.startswith("batch=")
+    )
+    assert dirs == ["batch=-1"]
+    after = {
+        (r["band"], r["bkey"], r["doc_id"])
+        for r in spark.read.parquet(f"{out}/lsh_buckets").select(
+            "band", "bkey", "doc_id"
+        ).collect()
+    }
+    assert after == before
+
+    # single-slot store: no-op, same count
+    assert compact_lsh_store(spark, out) == n
+    assert sorted(
+        d for d in os.listdir(f"{out}/lsh_buckets") if d.startswith("batch=")
+    ) == ["batch=-1"]
+
+    # the compacted slot still gates: a near-dup of survivor 10 arriving
+    # in a NEW batch is blocked
+    spark.createDataFrame(
+        [(60, cyc(5)), (70, uniq(2))], "doc_id long, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{in_dir}/chunk=2")
+    stream_near_dup(
+        spark, f"{in_dir}/chunk=*", out, ckpt, max_files_per_trigger=1
+    )
+    got = {r["doc_id"] for r in spark.read.parquet(f"{out}/docs").collect()}
+    assert got == {10, 30, 50, 70}
