@@ -296,9 +296,86 @@ def _q_bm25f_multisegment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.round("score", 4).alias("score"))
 
 
+#: positional-index memo (build once per sf_dir per process, like the
+#: fielded index) — the phrase entry serves from the PERSISTED index so
+#: the driver row certifies the whole codec+serving path, not just the
+#: relational fallback
+_POS_IDX_DIRS: dict[str, str] = {}
+
+#: phrase chosen from the synthetic vocabulary: "part filter" occurs as
+#: a bigram in ~45 docs at both sf0.001 and sf0.01, so the top-k is full
+PHRASE_QUESTION = "part filter"
+
+
+def _q_phrase_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase top-k served from the persisted positional index
+    (bucket-pruned scan -> executor decode -> anchor intersection);
+    oracle = the relational twin, proving index == brute force."""
+    from sifter_mrc_search_engine_spark.operators import positional as _pos
+
+    if sf_dir not in _POS_IDX_DIRS:
+        def _build(d: str) -> None:
+            _pos.write_positional_index(_docs(spark, sf_dir), d)
+
+        _POS_IDX_DIRS[sf_dir] = _build_once("posidx", sf_dir, _build)
+    out = _pos.phrase_topk_indexed(spark, _POS_IDX_DIRS[sf_dir], PHRASE_QUESTION)
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _q_near_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sifter_mrc_search_engine_spark.operators import positional as _pos
+
+    out = _pos.near_topk(_docs(spark, sf_dir), "spark query", window=3)
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _q_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sifter_mrc_search_engine_spark.operators import positional as _pos
+
+    out = _pos.prefix_topk(_docs(spark, sf_dir), "s")
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _q_bool_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sifter_mrc_search_engine_spark.operators import positional as _pos
+
+    out = _pos.bool_topk(
+        _docs(spark, sf_dir), must=["spark"], should=["vector"], must_not=["slow"]
+    )
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _q_phrase_slop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sifter_mrc_search_engine_spark.operators import positional as _pos
+
+    out = _pos.phrase_slop_topk(_docs(spark, sf_dir), PHRASE_QUESTION, slop=2)
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _q_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sifter_mrc_search_engine_spark.operators import positional as _pos
+
+    out = _pos.wildcard_topk(_docs(spark, sf_dir), "quer*")
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _q_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sifter_mrc_search_engine_spark.operators import positional as _pos
+
+    out = _pos.fuzzy_topk(_docs(spark, sf_dir), "spark", max_edits=1)
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "bm25_topk_flagship": _q_bm25(FLAGSHIP_QUESTION),
+        "pos_phrase_topk": _q_phrase_indexed,
+        "pos_near_topk": _q_near_topk,
+        "pos_prefix_topk": _q_prefix_topk,
+        "pos_bool_topk": _q_bool_topk,
+        "pos_phrase_slop_topk": _q_phrase_slop,
+        "pos_wildcard_topk": _q_wildcard,
+        "pos_fuzzy_topk": _q_fuzzy,
         "bm25f_topk": _q_bm25f,
         "bm25f_topk_indexed": _q_bm25f_indexed,
         "bm25f_multisegment": _q_bm25f_multisegment,
@@ -389,6 +466,14 @@ _HEAD = [
     # entries whose oracle/twin changed THIS round — must get a driver row
     "rel_user_sessions",  # r4 red cell: windowed sum now CAST AS BIGINT
     "sim_ivf_topk",  # twin now orders by the rounded cos like the engine
+    # NEW r5 operators (structured query family) — must get a driver row
+    "pos_phrase_topk",
+    "pos_near_topk",
+    "pos_prefix_topk",
+    "pos_bool_topk",
+    "pos_phrase_slop_topk",
+    "pos_wildcard_topk",
+    "pos_fuzzy_topk",
     # r4 driver-skipped tail (rotation per VERDICT r4 item 3): every entry
     # gets a driver row within two rounds
     "bm25_topk_multi",
@@ -411,6 +496,17 @@ _TAIL = [
     "rel_top3_per_customer",  # variant of rel_topk_orders_customer
     "rel_orders_page_two",  # paging over the same ordered scan
     "rel_next_event_pairs",  # lead/lag window family, same scan as sessions
+    # demoted to make 50-prefix room for the 4 NEW pos_* entries (r5):
+    # each is a multi-round driver-green serving/parameter variant whose
+    # operator family keeps an entry inside the prefix; rotate back next
+    # round per the every-entry-within-two-rounds policy
+    "bm25f_topk_indexed",  # persisted-index variant of bm25f_topk (head)
+    "index_doc_lengths",  # component signal also inside index_corpus_stats
+    "dedup_repeated_spans",  # shingle-family variant of dedup_shingles (head)
+    "text_winnowing_fingerprint",  # fingerprint variant of the text family
+    "dedup_simhash",  # hash-family variant; exact/lsh/jaccard/CC stay in prefix
+    "text_lang_id",  # text family keeps 5 entries in the prefix
+    "rel_best_order_per_customer",  # argmax variant of rel_topk_orders_customer
 ]
 
 
@@ -546,10 +642,20 @@ def _q_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def oracle_sql() -> dict[str, str]:
+    from sifter_mrc_search_engine_spark.operators import positional as _pos
     from sifter_mrc_search_engine_spark.operators.bm25f import bm25f_oracle_sql
 
     o = {
         "bm25_topk_flagship": bm25.bm25_oracle_sql(FLAGSHIP_QUESTION, 10),
+        "pos_phrase_topk": _pos.sql_phrase_topk(PHRASE_QUESTION),
+        "pos_near_topk": _pos.sql_near_topk("spark query", window=3),
+        "pos_prefix_topk": _pos.sql_prefix_topk("s"),
+        "pos_bool_topk": _pos.sql_bool_topk(
+            must=["spark"], should=["vector"], must_not=["slow"]
+        ),
+        "pos_phrase_slop_topk": _pos.sql_phrase_slop_topk(PHRASE_QUESTION, slop=2),
+        "pos_wildcard_topk": _pos.sql_wildcard_topk("quer*"),
+        "pos_fuzzy_topk": _pos.sql_fuzzy_topk("spark", 1),
         "bm25f_topk": bm25f_oracle_sql(
             FLAGSHIP_QUESTION, _BM25F_SQL_FIELDS, _BM25F_WEIGHTS, top_k=10
         ),

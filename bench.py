@@ -119,6 +119,26 @@ def main() -> None:
 
         timed("chunk_materialize", lambda: materialize_chunks(pages, budget=1024).count())
 
+        # positional-index build + phrase serving (NEW r5). Reported as
+        # side keys, NOT in the headline sum: the suite metric must stay
+        # comparable across rounds (same rule as query_p50_ms).
+        from sifter_mrc_search_engine_spark.operators import positional as _pos
+
+        pos_dir = tempfile.mkdtemp(prefix="sifter_bench_pos_")
+        try:
+            shutil.rmtree(pos_dir, ignore_errors=True)
+            t0 = time.monotonic()
+            _pos.write_positional_index(pages, pos_dir)
+            pos_build_s = time.monotonic() - t0
+            phrases = [f"{VOCAB[0]} {VOCAB[1]}", f"{VOCAB[2]} {VOCAB[3]}",
+                       f"{VOCAB[10]} {VOCAB[11]}", f"{VOCAB[100]} {VOCAB[101]}"]
+            t0 = time.monotonic()
+            for ph in phrases:
+                _pos.phrase_topk_indexed(spark, pos_dir, ph).collect()
+            pos_phrase_s = time.monotonic() - t0
+        finally:
+            shutil.rmtree(pos_dir, ignore_errors=True)
+
         searcher = IndexSearcher(spark, idx_dir, buckets=64)
         timed("wand_batch", lambda: searcher.search_many(BATCH_QUERIES, 10).collect())
         timed("wand_batch_local", lambda: searcher.search_many_local(BATCH_QUERIES, 10))
@@ -167,6 +187,9 @@ def main() -> None:
                 "query_p95_ms": round(lat_p95 * 1000, 1),
                 "serve_p50_ms": round(serve_p50 * 1000, 2),
                 "serve_p95_ms": round(serve_p95 * 1000, 2),
+                "pos_index_build_sec": round(pos_build_s, 3),
+                "pos_docs_per_sec": round(PAGES_DOCS / pos_build_s, 1),
+                "pos_phrase_batch_sec": round(pos_phrase_s, 3),
                 "cpus": CPUS,
                 # ambient-load context: this host swings bench numbers
                 # up to 3x (r3 memory); a number read without its load

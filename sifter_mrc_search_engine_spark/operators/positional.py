@@ -1,0 +1,1117 @@
+"""Positional & structured query semantics: phrase, proximity, prefix, bool.
+
+The reference's front door accepts only free-text questions and delegates
+match semantics to its external engine's query DSL (reference:
+modules/mrc_service/search_functions.py:82-97 builds a single
+``bool/should`` match query). A production fulltext tier additionally
+serves the standard structured query family — exact phrase, proximity
+window, prefix expansion, boolean must/should/must_not — so this module
+supplies them Spark-first over the SAME analyzer surface
+(``functions.analyzer.tokenize_expr``) the index build uses, keeping the
+rank-identity contract self-consistent.
+
+Every operator here exists in two shapes:
+
+* a **relational** form over the raw ``documents`` table (tokenize →
+  match → BM25), which doubles as the DuckDB-oracle-checkable contract
+  query, and
+* for phrase queries an **index-backed** form over a persisted positional
+  index (delta+varbyte doc gaps AND within-doc position deltas, bucket-
+  partitioned like the main index), which is the serving path: the scan
+  prunes to the phrase terms' buckets, positions decode executor-side,
+  and the adjacency intersection is ONE shuffle on (doc_id, anchor).
+
+Scale posture (10^12 docs): phrase/proximity matching only ever touches
+postings of the query's terms (bucket partition pruning + term row-group
+pruning); the anchor aggregation keys on (doc_id, anchor) so no
+per-term position list is ever collected; hot terms are doc_id-range
+segmented exactly like the main index so one Zipf-head term cannot pin a
+single task. Scoring reuses the deterministic sorted-term float64 fold
+from :mod:`operators.bm25`.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from pathlib import Path
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..constants import BM25_B, BM25_K1, DEFAULT_TOP_K
+from ..functions.analyzer import analyze
+from .bm25 import bm25_term_scores, sum_in_term_order
+from .compressed_index import write_doclens
+from .index_build import corpus_stats, doc_lengths, term_bucket_expr, term_frequencies
+from .postings_codec import varbyte_decode, varbyte_encode
+
+#: tokens produced by the analyzer ([a-z0-9가-힣]+) contain no SQL LIKE
+#: metacharacters or quotes, so they embed directly into oracle strings;
+#: enforced before any interpolation.
+_TOKEN_OK = re.compile(r"[a-z0-9가-힣]+\Z")
+
+TERM_BUCKETS_POS = 64  #: positional index is sparser than the tf index
+
+
+def _checked_terms(terms: Sequence[str]) -> list[str]:
+    for t in terms:
+        if not _TOKEN_OK.match(t):
+            raise ValueError(f"not an analyzer token: {t!r}")
+    return list(terms)
+
+
+def token_positions(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """``(doc_id, pos, term)`` — one scan, JVM-side posexplode of the
+    shared tokenize expression. ``pos`` is 0-based token index."""
+    from ..functions.analyzer import tokenize_expr
+
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokenize_expr(text_col)).alias("pos", "term"),
+    )
+
+
+def phrase_terms(phrase: str) -> list[str]:
+    """The analyzed token sequence of the phrase, in order (slots)."""
+    return analyze(phrase)
+
+
+# ---------------------------------------------------------------- phrase
+
+
+def phrase_match_ids(
+    docs: DataFrame, phrase: str, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """``(doc_id)`` of documents containing the analyzed phrase as
+    CONSECUTIVE tokens.
+
+    The anchor trick: broadcast-join token positions to the phrase's
+    (slot, term) table, project ``anchor = pos - slot``, and a document
+    matches iff some anchor is covered by ALL m slots — one shuffle on
+    (doc_id, anchor), never a per-term position collect. A token can
+    serve multiple slots (repeated-word phrases like "a b a" work).
+    """
+    slots = phrase_terms(phrase)
+    if not slots:
+        return docs.sparkSession.createDataFrame([], "doc_id long")
+    spark = docs.sparkSession
+    slots_df = spark.createDataFrame(
+        list(enumerate(slots)), "slot int, term string"
+    )
+    pos = token_positions(docs, id_col, text_col).filter(
+        F.col("term").isin(sorted(set(slots)))
+    )
+    anchors = pos.join(F.broadcast(slots_df), "term").select(
+        "doc_id", (F.col("pos") - F.col("slot")).alias("anchor"), "slot"
+    )
+    return (
+        anchors.groupBy("doc_id", "anchor")
+        .agg(F.countDistinct("slot").alias("ns"))
+        .filter(F.col("ns") == len(slots))
+        .select("doc_id")
+        .distinct()
+    )
+
+
+def _restricted_topk(
+    docs: DataFrame,
+    match_ids: DataFrame,
+    score_terms: Sequence[str],
+    top_k: int,
+    id_col: str,
+    text_col: str,
+    k1: float,
+    b: float,
+) -> DataFrame:
+    """BM25 over ``score_terms`` restricted (left-semi) to ``match_ids``.
+
+    Corpus stats and df come from the FULL corpus — a match filter never
+    changes collection statistics (standard engine semantics; the DuckDB
+    twins mirror this)."""
+    spark = docs.sparkSession
+    if not score_terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    tf = term_frequencies(docs, id_col, text_col)
+    dl = doc_lengths(docs, id_col, text_col)
+    stats = corpus_stats(dl)
+    contribs = bm25_term_scores(tf, dl, stats, score_terms, k1, b)
+    scored = sum_in_term_order(
+        contribs.join(match_ids, "doc_id", "left_semi")
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(top_k)
+
+
+def phrase_topk(
+    docs: DataFrame,
+    phrase: str,
+    top_k: int = DEFAULT_TOP_K,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Top-k ``(doc_id, score)``: BM25 over the phrase's distinct terms,
+    restricted to documents containing the exact consecutive phrase.
+    Tie-break (score desc, doc_id asc) like every scorer in the repo."""
+    return _restricted_topk(
+        docs, phrase_match_ids(docs, phrase, id_col, text_col),
+        sorted(set(phrase_terms(phrase))), top_k, id_col, text_col, k1, b,
+    )
+
+
+_DUCK_TOKS_SQL = (
+    "SELECT doc_id, unnest(regexp_extract_all(lower(text), "
+    "'[a-z0-9가-힣]+')) AS term FROM {table}"
+)
+
+
+def _bm25_restricted_sql(
+    score_terms: Sequence[str],
+    match_cte: str,
+    top_k: int,
+    table: str,
+    k1: float,
+    b: float,
+    round_to: int = 4,
+) -> str:
+    """Shared oracle skeleton: full-corpus BM25 stats, contribs over
+    ``score_terms``, filtered to the doc_ids produced by ``match_cte``
+    (a complete ``SELECT doc_id ...`` statement over {table})."""
+    terms_sql = ", ".join(f"'{t}'" for t in _checked_terms(sorted(set(score_terms))))
+    toks = _DUCK_TOKS_SQL.format(table=table)
+    return f"""
+WITH toks AS ({toks}),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS doc_len FROM toks GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*) AS df FROM tf WHERE term IN ({terms_sql}) GROUP BY 1),
+matched AS ({match_cte}),
+contrib AS (
+  SELECT tf.doc_id,
+         ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * tf.tf * ({k1} + 1)
+           / (tf.tf + {k1} * (1 - {b} + {b} * dl.doc_len / stats.avgdl)) AS c
+  FROM tf
+  JOIN dfreq ON tf.term = dfreq.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  WHERE tf.term IN ({terms_sql})
+    AND tf.doc_id IN (SELECT doc_id FROM matched)
+)
+SELECT doc_id, round(sum(c), {round_to}) AS score
+FROM contrib
+GROUP BY doc_id
+ORDER BY sum(c) DESC, doc_id ASC
+LIMIT {top_k}
+"""
+
+
+def sql_phrase_topk(
+    phrase: str,
+    top_k: int = DEFAULT_TOP_K,
+    table: str = "documents",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> str:
+    """DuckDB twin of :func:`phrase_topk` (and of
+    :func:`phrase_topk_indexed` — same answer by construction).
+
+    Phrase presence via space-joined token string containment: analyzer
+    tokens are ``[a-z0-9가-힣]+`` (no LIKE metacharacters), so
+    ``' t1 t2 ' IN ' '||join(toks)||' '`` is exact-boundary-safe."""
+    slots = _checked_terms(phrase_terms(phrase))
+    if not slots:
+        return f"SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS DOUBLE) AS score FROM {table} WHERE 1=0"
+    needle = " " + " ".join(slots) + " "
+    match = (
+        "SELECT doc_id FROM (SELECT doc_id, ' ' || array_to_string("
+        "regexp_extract_all(lower(text), '[a-z0-9가-힣]+'), ' ') || ' ' AS s "
+        f"FROM {table}) WHERE position('{needle}' IN s) > 0"
+    )
+    return _bm25_restricted_sql(set(slots), match, top_k, table, k1, b)
+
+
+# ------------------------------------------------------------- proximity
+
+
+def near_match_ids(
+    docs: DataFrame,
+    terms: Sequence[str],
+    window: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``(doc_id)`` of docs where ALL distinct ``terms`` co-occur inside
+    some span of ``window`` consecutive token positions (unordered).
+
+    Pure-Catalyst minimal-cover: over the doc's query-term occurrences
+    ordered by position, ``last_j`` = the latest preceding position of
+    term j (running MAX window per term); at each occurrence the minimal
+    covering span ending there is ``pos - least(last_1..last_m)``. A doc
+    matches iff min span <= window - 1. No pandas UDF, no per-term
+    m-way position join (that blows up quadratically per doc on common
+    terms); occurrences are pruned to the query's terms before the ONE
+    doc_id shuffle."""
+    from pyspark.sql import Window
+
+    uterms = sorted(set(terms))
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    if not uterms:
+        return docs.sparkSession.createDataFrame([], "doc_id long")
+    pos = token_positions(docs, id_col, text_col).filter(
+        F.col("term").isin(uterms)
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lasts = [
+        F.max(F.when(F.col("term") == t, F.col("pos"))).over(w).alias(f"_l{i}")
+        for i, t in enumerate(uterms)
+    ]
+    lcols = [F.col(f"_l{i}") for i in range(len(uterms))]
+    # least()/greatest() IGNORE nulls (Spark and DuckDB alike): a doc
+    # missing a term entirely would otherwise "cover" with the terms it
+    # has. Guard: the span is defined only once EVERY term has appeared.
+    all_seen = lcols[0].isNotNull()
+    for c in lcols[1:]:
+        all_seen = all_seen & c.isNotNull()
+    span = F.when(
+        all_seen,
+        F.col("pos") - (F.least(*lcols) if len(lcols) > 1 else lcols[0]),
+    )
+    spans = pos.select("doc_id", "pos", *lasts).select("doc_id", span.alias("span"))
+    return (
+        spans.filter(F.col("span") <= window - 1)
+        .select("doc_id")
+        .distinct()
+    )
+
+
+def near_topk(
+    docs: DataFrame,
+    question: str,
+    window: int,
+    top_k: int = DEFAULT_TOP_K,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """BM25 top-k restricted to docs where all the question's analyzed
+    terms co-occur within ``window`` consecutive tokens."""
+    uterms = sorted(set(analyze(question)))
+    return _restricted_topk(
+        docs, near_match_ids(docs, uterms, window, id_col, text_col),
+        uterms, top_k, id_col, text_col, k1, b,
+    )
+
+
+def sql_near_topk(
+    question: str,
+    window: int,
+    top_k: int = DEFAULT_TOP_K,
+    table: str = "documents",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> str:
+    """DuckDB twin of :func:`near_topk` — the SAME running-max window
+    formulation (positions are 1-based from generate_subscripts vs
+    Spark's 0-based posexplode; spans are shift-invariant)."""
+    uterms = _checked_terms(sorted(set(analyze(question))))
+    if not uterms:
+        return f"SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS DOUBLE) AS score FROM {table} WHERE 1=0"
+    terms_sql = ", ".join(f"'{t}'" for t in uterms)
+    lasts = ",\n         ".join(
+        f"max(CASE WHEN term = '{t}' THEN pos END) OVER "
+        f"(PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS l{i}"
+        for i, t in enumerate(uterms)
+    )
+    lnames = [f"l{i}" for i in range(len(uterms))]
+    least = f"least({', '.join(lnames)})" if len(lnames) > 1 else lnames[0]
+    # least() ignores NULLs in DuckDB too — same explicit all-seen guard
+    # as the Spark side so a doc missing a term can never match
+    not_null = " AND ".join(f"{c} IS NOT NULL" for c in lnames)
+    match = f"""
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, CASE WHEN {not_null} THEN pos - {least} END AS span FROM (
+      SELECT doc_id, pos,
+         {lasts}
+      FROM (
+        SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos
+        FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9가-힣]+') AS toks
+              FROM {table})
+      ) WHERE term IN ({terms_sql})
+    )
+  ) WHERE span <= {window - 1}
+"""
+    return _bm25_restricted_sql(uterms, match, top_k, table, k1, b)
+
+
+def ordered_near_match_ids(
+    docs: DataFrame,
+    slots: Sequence[str],
+    window: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``(doc_id)`` of docs containing the slot terms IN ORDER at
+    strictly increasing positions p1 < … < pm with pm − p1 ≤ window − 1
+    (phrase-with-slop: window = m + slop).
+
+    m-way join over the query terms' occurrences only, each step
+    range-bounded (pos in (prev, p1 + window − 1]) so per-occurrence
+    fan-in is ≤ window regardless of how often a term repeats inside a
+    doc — the join never goes quadratic on a term-spammed page. All m−1
+    joins key on doc_id, so after the ONE hash of the occurrence table
+    they co-locate; strictly increasing positions mean a token can't
+    serve two slots (exactly Lucene's ordered SpanNear)."""
+    slots = _checked_terms(slots)
+    if window < len(slots):
+        raise ValueError(f"window {window} < slot count {len(slots)}")
+    if not slots:
+        return docs.sparkSession.createDataFrame([], "doc_id long")
+    pos = token_positions(docs, id_col, text_col).filter(
+        F.col("term").isin(sorted(set(slots)))
+    )
+    cur = (
+        pos.filter(F.col("term") == slots[0])
+        .select("doc_id", F.col("pos").alias("p1"))
+        .withColumn("prev", F.col("p1"))
+    )
+    for t in slots[1:]:
+        nxt = pos.filter(F.col("term") == t).select("doc_id", F.col("pos").alias("pn"))
+        cur = (
+            cur.join(nxt, "doc_id")
+            .filter(
+                (F.col("pn") > F.col("prev"))
+                & (F.col("pn") <= F.col("p1") + F.lit(window - 1))
+            )
+            .select("doc_id", "p1", F.col("pn").alias("prev"))
+        )
+    return cur.select("doc_id").distinct()
+
+
+def phrase_slop_topk(
+    docs: DataFrame,
+    phrase: str,
+    slop: int = 0,
+    top_k: int = DEFAULT_TOP_K,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Ordered phrase-with-slop top-k: the analyzed phrase's tokens in
+    order within a span of ``len(tokens) + slop`` positions, BM25-scored
+    over the distinct tokens (slop=0 admits exactly the docs where the
+    tokens appear in order with up to 0 extra tokens interleaved — i.e.
+    the contiguous phrase)."""
+    if slop < 0:
+        raise ValueError("slop must be >= 0")
+    slots = phrase_terms(phrase)
+    if not slots:
+        return docs.sparkSession.createDataFrame([], "doc_id long, score double")
+    return _restricted_topk(
+        docs,
+        ordered_near_match_ids(docs, slots, len(slots) + slop, id_col, text_col),
+        sorted(set(slots)), top_k, id_col, text_col, k1, b,
+    )
+
+
+def sql_phrase_slop_topk(
+    phrase: str,
+    slop: int = 0,
+    top_k: int = DEFAULT_TOP_K,
+    table: str = "documents",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> str:
+    """DuckDB twin of :func:`phrase_slop_topk` — the same m-way
+    range-bounded join over a positions CTE."""
+    if slop < 0:
+        raise ValueError("slop must be >= 0")
+    slots = _checked_terms(phrase_terms(phrase))
+    if not slots:
+        return f"SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS DOUBLE) AS score FROM {table} WHERE 1=0"
+    window = len(slots) + slop
+    joins = "\n    ".join(
+        f"JOIN occ o{i} ON o{i}.doc_id = o0.doc_id AND o{i}.term = '{t}' "
+        f"AND o{i}.pos > o{i - 1}.pos AND o{i}.pos <= o0.pos + {window - 1}"
+        for i, t in enumerate(slots[1:], start=1)
+    )
+    match = f"""
+  WITH occ AS (
+    SELECT doc_id, pos, term FROM (
+      SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos
+      FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9가-힣]+') AS toks
+            FROM {table})
+    ) WHERE term IN ({", ".join(f"'{t}'" for t in sorted(set(slots)))})
+  )
+  SELECT DISTINCT o0.doc_id FROM occ o0
+    {joins}
+  WHERE o0.term = '{slots[0]}'
+"""
+    return _bm25_restricted_sql(set(slots), match, top_k, table, k1, b)
+
+
+# ---------------------------------------------------------------- prefix
+
+
+def _expanded_topk(
+    docs: DataFrame,
+    term_pred,
+    top_k: int,
+    id_col: str,
+    text_col: str,
+    k1: float,
+    b: float,
+    max_expansions: int | None,
+) -> DataFrame:
+    """Shared multi-term-rewrite scorer: every analyzer term satisfying
+    ``term_pred`` (a Column predicate over ``term``) scores as its own
+    BM25 query term with its own idf — the transparent rewrite behind
+    prefix, wildcard, and fuzzy queries.
+
+    ``max_expansions`` bounds the rewrite at web scale (a 1-char prefix
+    over 10^12 docs expands to millions of terms, and dfreq below is
+    broadcast): keeps the ``max_expansions`` HIGHEST-df expanded terms
+    (ties broken term asc — deterministic, and df order keeps the terms
+    that affect recall most, unlike Lucene's index-order truncation).
+    ``None`` (default) is the exact transparent rewrite the DuckDB twins
+    mirror."""
+    if max_expansions is not None and max_expansions < 1:
+        raise ValueError("max_expansions must be >= 1")
+    tf = term_frequencies(docs, id_col, text_col)
+    dl = doc_lengths(docs, id_col, text_col)
+    stats = corpus_stats(dl)
+    hits = tf.filter(term_pred)
+    dfreq = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if max_expansions is not None:
+        dfreq = dfreq.orderBy(F.desc("df"), F.asc("term")).limit(max_expansions)
+        hits = hits.join(F.broadcast(dfreq.select("term")), "term", "left_semi")
+    joined = (
+        hits.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    tf_d = F.col("tf").cast("double")
+    norm = tf_d + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("doc_len") / F.col("avgdl")
+    )
+    from .bm25 import idf_expr
+
+    contrib = idf_expr("df", "n_docs") * tf_d * F.lit(k1 + 1.0) / norm
+    scored = sum_in_term_order(
+        joined.select("doc_id", "term", contrib.alias("contrib"))
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(top_k)
+
+
+def prefix_topk(
+    docs: DataFrame,
+    prefix: str,
+    top_k: int = DEFAULT_TOP_K,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    max_expansions: int | None = None,
+) -> DataFrame:
+    """Prefix query via the transparent multi-term rewrite. The term
+    filter is a ``startswith`` predicate, pushable to the scan; on the
+    sorted compressed index it is a contiguous term range."""
+    p = prefix.lower()
+    if not _TOKEN_OK.match(p):
+        raise ValueError(f"prefix must be a plain analyzer token: {prefix!r}")
+    return _expanded_topk(
+        docs, F.col("term").startswith(p), top_k, id_col, text_col, k1, b,
+        max_expansions,
+    )
+
+
+#: wildcard patterns: analyzer-token chars plus '*' (any run) — '?'
+#: (single char) deliberately excluded: the analyzer strips nothing that
+#: would make it unambiguous, and LIKE '_' covers it if ever needed
+_WILDCARD_OK = re.compile(r"[a-z0-9가-힣*]+\Z")
+
+
+def wildcard_topk(
+    docs: DataFrame,
+    pattern: str,
+    top_k: int = DEFAULT_TOP_K,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    max_expansions: int | None = None,
+) -> DataFrame:
+    """Wildcard query (``*`` = any run of token chars), the transparent
+    rewrite: each matching vocabulary term scores with its own idf.
+    Patterns are analyzer chars + ``*`` only, so the LIKE translation
+    needs no escaping. A leading ``*`` forfeits the term-range prune
+    (full-vocab match — same caveat as Lucene's leading wildcard)."""
+    p = pattern.lower()
+    if not _WILDCARD_OK.match(p) or set(p) == {"*"}:
+        raise ValueError(f"pattern must be analyzer chars + '*': {pattern!r}")
+    return _expanded_topk(
+        docs, F.col("term").like(p.replace("*", "%")), top_k, id_col,
+        text_col, k1, b, max_expansions,
+    )
+
+
+def fuzzy_topk(
+    docs: DataFrame,
+    term: str,
+    max_edits: int = 1,
+    top_k: int = DEFAULT_TOP_K,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    max_expansions: int | None = None,
+) -> DataFrame:
+    """Fuzzy term query: vocabulary terms within ``max_edits``
+    Levenshtein edits of ``term``, transparent rewrite. The
+    ``length(term)`` band is an implied prune Catalyst evaluates before
+    the O(len²) edit distance; both Spark and DuckDB count unit
+    insert/delete/substitute edits, so the twins agree exactly."""
+    q = term.lower()
+    if not _TOKEN_OK.match(q):
+        raise ValueError(f"fuzzy term must be a plain analyzer token: {term!r}")
+    if max_edits < 0:
+        raise ValueError("max_edits must be >= 0")
+    band = (
+        F.length("term").between(len(q) - max_edits, len(q) + max_edits)
+    )
+    pred = band & (F.levenshtein(F.col("term"), F.lit(q)) <= max_edits)
+    return _expanded_topk(
+        docs, pred, top_k, id_col, text_col, k1, b, max_expansions
+    )
+
+
+def _sql_expanded_topk(
+    term_pred_sql: str,
+    top_k: int,
+    table: str,
+    k1: float,
+    b: float,
+    round_to: int = 4,
+) -> str:
+    """Shared DuckDB twin of :func:`_expanded_topk`:
+    ``term_pred_sql`` is a boolean SQL expression over ``term``. The
+    contrib CTE needs no term filter of its own — the equi-join to
+    ``dfreq`` (which holds exactly the expanded terms) restricts it."""
+    toks = _DUCK_TOKS_SQL.format(table=table)
+    return f"""
+WITH toks AS ({toks}),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS doc_len FROM toks GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*) AS df FROM tf WHERE {term_pred_sql} GROUP BY 1),
+contrib AS (
+  SELECT tf.doc_id,
+         ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * tf.tf * ({k1} + 1)
+           / (tf.tf + {k1} * (1 - {b} + {b} * dl.doc_len / stats.avgdl)) AS c
+  FROM tf
+  JOIN dfreq ON tf.term = dfreq.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+)
+SELECT doc_id, round(sum(c), {round_to}) AS score
+FROM contrib
+GROUP BY doc_id
+ORDER BY sum(c) DESC, doc_id ASC
+LIMIT {top_k}
+"""
+
+
+def sql_prefix_topk(
+    prefix: str,
+    top_k: int = DEFAULT_TOP_K,
+    table: str = "documents",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    round_to: int = 4,
+) -> str:
+    """DuckDB twin of :func:`prefix_topk` (``LIKE 'p%'`` term filter)."""
+    p = prefix.lower()
+    if not _TOKEN_OK.match(p):
+        raise ValueError(f"prefix must be a plain analyzer token: {prefix!r}")
+    return _sql_expanded_topk(f"term LIKE '{p}%'", top_k, table, k1, b, round_to)
+
+
+def sql_wildcard_topk(
+    pattern: str,
+    top_k: int = DEFAULT_TOP_K,
+    table: str = "documents",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    round_to: int = 4,
+) -> str:
+    """DuckDB twin of :func:`wildcard_topk`."""
+    p = pattern.lower()
+    if not _WILDCARD_OK.match(p) or set(p) == {"*"}:
+        raise ValueError(f"pattern must be analyzer chars + '*': {pattern!r}")
+    return _sql_expanded_topk(
+        f"term LIKE '{p.replace('*', '%')}'", top_k, table, k1, b, round_to
+    )
+
+
+def sql_fuzzy_topk(
+    term: str,
+    max_edits: int = 1,
+    top_k: int = DEFAULT_TOP_K,
+    table: str = "documents",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    round_to: int = 4,
+) -> str:
+    """DuckDB twin of :func:`fuzzy_topk` (``levenshtein`` is the same
+    unit-edit metric in both engines)."""
+    q = term.lower()
+    if not _TOKEN_OK.match(q):
+        raise ValueError(f"fuzzy term must be a plain analyzer token: {term!r}")
+    if max_edits < 0:
+        raise ValueError("max_edits must be >= 0")
+    return _sql_expanded_topk(
+        f"levenshtein(term, '{q}') <= {max_edits}", top_k, table, k1, b, round_to
+    )
+
+
+# --------------------------------------------------------------- boolean
+
+
+def bool_topk(
+    docs: DataFrame,
+    must: Sequence[str] = (),
+    should: Sequence[str] = (),
+    must_not: Sequence[str] = (),
+    top_k: int = DEFAULT_TOP_K,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Boolean retrieval: docs containing EVERY analyzed ``must`` term
+    and NO ``must_not`` term, BM25-scored over must + should terms
+    present (must_not contributes only the exclusion, like Lucene's
+    bool query). Each clause entry is analyzed, so multi-word strings
+    contribute all their tokens to the clause."""
+    must_t = sorted({t for s in must for t in analyze(s)})
+    should_t = sorted({t for s in should for t in analyze(s)})
+    not_t = sorted({t for s in must_not for t in analyze(s)})
+    score_t = sorted(set(must_t) | set(should_t))
+    spark = docs.sparkSession
+    if not score_t:
+        return spark.createDataFrame([], "doc_id long, score double")
+    tf = term_frequencies(docs, id_col, text_col)
+    dl = doc_lengths(docs, id_col, text_col)
+    stats = corpus_stats(dl)
+
+    if must_t:
+        match = (
+            tf.filter(F.col("term").isin(must_t))
+            .groupBy("doc_id")
+            .agg(F.countDistinct("term").alias("nm"))
+            .filter(F.col("nm") == len(must_t))
+            .select("doc_id")
+        )
+    else:
+        match = tf.filter(F.col("term").isin(score_t)).select("doc_id").distinct()
+    if not_t:
+        excl = tf.filter(F.col("term").isin(not_t)).select("doc_id").distinct()
+        match = match.join(excl, "doc_id", "left_anti")
+
+    contribs = bm25_term_scores(tf, dl, stats, score_t, k1, b)
+    scored = sum_in_term_order(contribs.join(match, "doc_id", "left_semi"))
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(top_k)
+
+
+def sql_bool_topk(
+    must: Sequence[str] = (),
+    should: Sequence[str] = (),
+    must_not: Sequence[str] = (),
+    top_k: int = DEFAULT_TOP_K,
+    table: str = "documents",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> str:
+    """DuckDB twin of :func:`bool_topk`."""
+    must_t = _checked_terms(sorted({t for s in must for t in analyze(s)}))
+    should_t = sorted({t for s in should for t in analyze(s)})
+    not_t = _checked_terms(sorted({t for s in must_not for t in analyze(s)}))
+    score_t = sorted(set(must_t) | set(should_t))
+    if not score_t:
+        return f"SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS DOUBLE) AS score FROM {table} WHERE 1=0"
+    if must_t:
+        in_must = ", ".join(f"'{t}'" for t in must_t)
+        match = (
+            f"SELECT doc_id FROM tf WHERE term IN ({in_must}) "
+            f"GROUP BY doc_id HAVING count(DISTINCT term) = {len(must_t)}"
+        )
+    else:
+        in_score = ", ".join(f"'{t}'" for t in _checked_terms(score_t))
+        match = f"SELECT DISTINCT doc_id FROM tf WHERE term IN ({in_score})"
+    if not_t:
+        in_not = ", ".join(f"'{t}'" for t in not_t)
+        match = (
+            f"SELECT doc_id FROM ({match}) WHERE doc_id NOT IN "
+            f"(SELECT DISTINCT doc_id FROM tf WHERE term IN ({in_not}))"
+        )
+    return _bm25_restricted_sql(score_t, match, top_k, table, k1, b)
+
+
+# ----------------------------------------------------- positional index
+
+
+POS_INDEX_SCHEMA = StructType(
+    [
+        StructField("term", StringType(), False),
+        StructField("bucket", LongType(), False),
+        StructField("segment", LongType(), False),
+        StructField("df", LongType(), False),
+        StructField("n", LongType(), False),
+        StructField("doc_gaps", BinaryType(), False),
+        StructField("tfs", BinaryType(), False),
+        StructField("poss", BinaryType(), False),
+    ]
+)
+
+POS_SALT_THRESHOLD = 100_000  #: same role as the main index's threshold
+POS_SALT_FANOUT = 32
+
+
+def build_positional_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = TERM_BUCKETS_POS,
+    salt_threshold: int = POS_SALT_THRESHOLD,
+    salt_fanout: int = POS_SALT_FANOUT,
+) -> DataFrame:
+    """Positional postings: per (term, segment) row, doc_id deltas,
+    per-doc position counts (== tf), and within-doc position deltas, all
+    varbyte. ``df`` is the exact total across a term's segments (window
+    sum, same recipe as the main index encoder).
+
+    Hot terms are doc_id-range segmented (sampled Zipf-head detection
+    like ``compressed_index.encode_tf``) so a head term's positions
+    never serialize through one task; the phrase intersection explodes
+    per (term, segment) row, so segmentation is transparent to readers.
+    """
+    pos = token_positions(docs, id_col, text_col)
+    per_doc = pos.groupBy("term", "doc_id").agg(
+        F.sort_array(F.collect_list("pos")).alias("positions")
+    )
+
+    sample_mod = 16
+    hot = (
+        per_doc.filter(F.pmod(F.xxhash64("doc_id"), F.lit(sample_mod)) == 0)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df_s"), F.max("doc_id").alias("max_doc"))
+        .filter(F.col("df_s") > salt_threshold // sample_mod)
+        .collect()
+    )
+    hot_terms = [r["term"] for r in hot]
+    max_doc_global = max((int(r["max_doc"]) for r in hot), default=0)
+    seg_range = max(1, (max_doc_global + 1 + salt_fanout - 1) // salt_fanout)
+    if hot_terms:
+        seg = F.when(
+            F.col("term").isin(hot_terms),
+            (F.col("doc_id") / F.lit(seg_range)).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+    else:
+        seg = F.lit(0).cast("long")
+
+    grouped = per_doc.withColumn("segment", seg).groupBy("term", "segment").agg(
+        F.count(F.lit(1)).alias("df_local"),
+        F.array_sort(F.collect_list(F.struct("doc_id", "positions"))).alias("posts"),
+    )
+    arrays = grouped.select(
+        "term",
+        "segment",
+        "df_local",
+        F.transform("posts", lambda s: s["doc_id"]).alias("doc_ids"),
+        F.transform("posts", lambda s: s["positions"]).alias("pos_lists"),
+    )
+
+    enc_type = StructType(
+        [
+            StructField("n", LongType(), False),
+            StructField("doc_gaps", BinaryType(), False),
+            StructField("tfs", BinaryType(), False),
+            StructField("poss", BinaryType(), False),
+        ]
+    )
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(enc_type)
+    def enc_udf(doc_ids: pd.Series, pos_lists: pd.Series) -> pd.DataFrame:
+        out = []
+        for ids, plists in zip(doc_ids, pos_lists):
+            ids = np.asarray(ids, dtype=np.int64)
+            gaps = np.diff(ids, prepend=np.int64(0))
+            tfs = np.fromiter((len(p) for p in plists), dtype=np.int64, count=len(plists))
+            # within-doc deltas, first position absolute, flat concat
+            flat = np.concatenate(
+                [np.diff(np.asarray(p, dtype=np.int64), prepend=np.int64(0)) for p in plists]
+            ) if len(plists) else np.zeros(0, dtype=np.int64)
+            out.append(
+                (
+                    len(ids),
+                    varbyte_encode(gaps),
+                    varbyte_encode(tfs),
+                    varbyte_encode(flat),
+                )
+            )
+        return pd.DataFrame(out, columns=["n", "doc_gaps", "tfs", "poss"])
+
+    encoded = arrays.select(
+        "term", "segment", "df_local", enc_udf("doc_ids", "pos_lists").alias("e")
+    )
+    from pyspark.sql import Window
+
+    df_col = F.sum("df_local").over(Window.partitionBy("term"))
+    return encoded.select(
+        "term",
+        term_bucket_expr("term", buckets).alias("bucket"),
+        F.col("segment").cast("long").alias("segment"),
+        df_col.cast("long").alias("df"),
+        F.col("e.n").alias("n"),
+        F.col("e.doc_gaps").alias("doc_gaps"),
+        F.col("e.tfs").alias("tfs"),
+        F.col("e.poss").alias("poss"),
+    )
+
+
+def write_positional_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = TERM_BUCKETS_POS,
+) -> dict:
+    """Persist postings (bucket-partitioned, term-sorted in-file) + the
+    doclens sidecar + stats.json — same layout contract as the main
+    index dir so serving code treats both uniformly."""
+    idx = build_positional_index(docs, id_col, text_col, buckets)
+    (
+        idx.repartition("bucket")
+        .sortWithinPartitions("term", "segment")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{path}/postings")
+    )
+    stats = write_doclens(docs, f"{path}/doclens", id_col, text_col)
+    # the index dir is self-describing: serving reads the bucket count it
+    # was WRITTEN with, so a caller can never prune with a mismatched
+    # modulus (which would silently drop postings)
+    stats = {**stats, "buckets": buckets}
+    Path(path, "stats.json").write_text(json.dumps(stats))
+    return stats
+
+
+def decode_positional(index_df: DataFrame) -> DataFrame:
+    """Executor-side decode of POS_INDEX_SCHEMA rows to
+    ``(term, df, doc_id, positions array<long>)`` — the inverse of the
+    encoder; never collects postings to the driver."""
+    from pyspark.sql.functions import pandas_udf
+
+    dec_type = StructType(
+        [
+            StructField("doc_ids", ArrayType(LongType()), False),
+            StructField("pos_lists", ArrayType(ArrayType(LongType())), False),
+        ]
+    )
+
+    @pandas_udf(dec_type)
+    def dec_udf(
+        doc_gaps: pd.Series, tfs: pd.Series, poss: pd.Series, n: pd.Series
+    ) -> pd.DataFrame:
+        out_ids, out_pos = [], []
+        for g, t, p, nn in zip(doc_gaps, tfs, poss, n):
+            nn = int(nn)
+            ids = np.cumsum(varbyte_decode(bytes(g), count=nn).astype(np.int64))
+            tf_arr = varbyte_decode(bytes(t), count=nn).astype(np.int64)
+            flat = varbyte_decode(bytes(p), count=int(tf_arr.sum())).astype(np.int64)
+            plists, off = [], 0
+            for c in tf_arr:
+                plists.append(np.cumsum(flat[off : off + c]).tolist())
+                off += c
+            out_ids.append(ids.tolist())
+            out_pos.append(plists)
+        return pd.DataFrame({"doc_ids": out_ids, "pos_lists": out_pos})
+
+    return (
+        index_df.select(
+            "term", "df", dec_udf("doc_gaps", "tfs", "poss", "n").alias("d")
+        )
+        .select("term", "df", F.explode(F.arrays_zip("d.doc_ids", "d.pos_lists")).alias("p"))
+        .select(
+            "term",
+            "df",
+            F.col("p.doc_ids").alias("doc_id"),
+            F.col("p.pos_lists").alias("positions"),
+        )
+    )
+
+
+def _index_buckets(index_dir: str) -> int:
+    """The bucket modulus the index dir was written with (stats.json is
+    authoritative; pre-buckets-field dirs fall back to the default)."""
+    stats = json.loads(Path(index_dir, "stats.json").read_text())
+    return int(stats.get("buckets", TERM_BUCKETS_POS))
+
+
+def _load_posts(
+    spark: SparkSession, index_dir: str, uterms: Sequence[str], buckets: int
+) -> DataFrame:
+    """Bucket-partition-pruned, term-pruned decoded postings for the
+    query's terms — never touches postings of non-query terms."""
+    bkts = sorted(
+        {
+            r["b"]
+            for r in spark.createDataFrame([(t,) for t in uterms], "term string")
+            .select(term_bucket_expr("term", buckets).alias("b"))
+            .collect()
+        }
+    )
+    idx = (
+        spark.read.parquet(f"{index_dir}/postings")
+        .filter(F.col("bucket").isin(bkts) & F.col("term").isin(list(uterms)))
+    )
+    return decode_positional(idx)
+
+
+def _indexed_scored(
+    spark: SparkSession,
+    index_dir: str,
+    posts: DataFrame,
+    matched: DataFrame,
+    top_k: int,
+    k1: float,
+    b: float,
+) -> DataFrame:
+    """BM25 from tf=|positions| with the index's exact df and the doclens
+    sidecar, restricted (left-semi) to ``matched`` doc_ids."""
+    stats = json.loads(Path(index_dir, "stats.json").read_text())
+    n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
+    dl = spark.read.parquet(f"{index_dir}/doclens")
+    tf = posts.select("term", "df", "doc_id", F.size("positions").cast("long").alias("tf"))
+
+    from .bm25 import idf_expr
+
+    tf_d = F.col("tf").cast("double")
+    norm = tf_d + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("doc_len") / F.lit(avgdl)
+    )
+    contrib = idf_expr("df", F.lit(n_docs)) * tf_d * F.lit(k1 + 1.0) / norm
+    contribs = tf.join(dl, "doc_id").select("doc_id", "term", contrib.alias("contrib"))
+    scored = sum_in_term_order(contribs.join(matched, "doc_id", "left_semi"))
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(top_k)
+
+
+def phrase_topk_indexed(
+    spark: SparkSession,
+    index_dir: str,
+    phrase: str,
+    top_k: int = DEFAULT_TOP_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """:func:`phrase_topk` served from the persisted positional index —
+    identical results by construction (pinned by pytest + the shared
+    DuckDB twin). The bucket modulus comes from the index's own
+    stats.json, never from the caller.
+
+    Plan: bucket-partition-pruned scan of the phrase terms' postings →
+    executor-side decode → anchor intersection (one shuffle on
+    (doc_id, anchor)) → BM25 from tf=|positions| with the index's exact
+    df and the doclens sidecar."""
+    slots = phrase_terms(phrase)
+    if not slots:
+        return spark.createDataFrame([], "doc_id long, score double")
+    posts = _load_posts(spark, index_dir, sorted(set(slots)), _index_buckets(index_dir))
+
+    slots_df = spark.createDataFrame(list(enumerate(slots)), "slot int, term string")
+    anchors = (
+        posts.join(F.broadcast(slots_df), "term")
+        .select("doc_id", "slot", F.explode("positions").alias("pos"))
+        .select("doc_id", (F.col("pos") - F.col("slot")).alias("anchor"), "slot")
+    )
+    matched = (
+        anchors.groupBy("doc_id", "anchor")
+        .agg(F.countDistinct("slot").alias("ns"))
+        .filter(F.col("ns") == len(slots))
+        .select("doc_id")
+        .distinct()
+    )
+    return _indexed_scored(spark, index_dir, posts, matched, top_k, k1, b)
+
+
+def near_topk_indexed(
+    spark: SparkSession,
+    index_dir: str,
+    question: str,
+    window: int,
+    top_k: int = DEFAULT_TOP_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """:func:`near_topk` served from the persisted positional index —
+    same pruned scan + decode as the phrase path, then the identical
+    running-max minimal-cover over the decoded (doc_id, pos, term)
+    occurrences (one window shuffle on doc_id)."""
+    from pyspark.sql import Window
+
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    uterms = sorted(set(analyze(question)))
+    if not uterms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    posts = _load_posts(spark, index_dir, uterms, _index_buckets(index_dir))
+    occ = posts.select("term", "doc_id", F.explode("positions").alias("pos"))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lasts = [
+        F.max(F.when(F.col("term") == t, F.col("pos"))).over(w).alias(f"_l{i}")
+        for i, t in enumerate(uterms)
+    ]
+    lcols = [F.col(f"_l{i}") for i in range(len(uterms))]
+    all_seen = lcols[0].isNotNull()
+    for c in lcols[1:]:
+        all_seen = all_seen & c.isNotNull()
+    span = F.when(
+        all_seen,
+        F.col("pos") - (F.least(*lcols) if len(lcols) > 1 else lcols[0]),
+    )
+    matched = (
+        occ.select("doc_id", "pos", *lasts)
+        .select("doc_id", span.alias("span"))
+        .filter(F.col("span") <= window - 1)
+        .select("doc_id")
+        .distinct()
+    )
+    return _indexed_scored(spark, index_dir, posts, matched, top_k, k1, b)
