@@ -366,6 +366,13 @@ def _q_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.round("score", 4).alias("score"))
 
 
+def _q_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sifter_mrc_search_engine_spark.operators import snippets as _snip
+
+    out = _snip.highlight_topk(_docs(spark, sf_dir), "spark query", window=8)
+    return out.select("doc_id", F.round("score", 4).alias("score"), "snippet")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "bm25_topk_flagship": _q_bm25(FLAGSHIP_QUESTION),
@@ -376,6 +383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pos_phrase_slop_topk": _q_phrase_slop,
         "pos_wildcard_topk": _q_wildcard,
         "pos_fuzzy_topk": _q_fuzzy,
+        "bm25_highlight_topk": _q_highlight,
         "bm25f_topk": _q_bm25f,
         "bm25f_topk_indexed": _q_bm25f_indexed,
         "bm25f_multisegment": _q_bm25f_multisegment,
@@ -474,6 +482,7 @@ _HEAD = [
     "pos_phrase_slop_topk",
     "pos_wildcard_topk",
     "pos_fuzzy_topk",
+    "bm25_highlight_topk",
     # r4 driver-skipped tail (rotation per VERDICT r4 item 3): every entry
     # gets a driver row within two rounds
     "bm25_topk_multi",
@@ -507,6 +516,7 @@ _TAIL = [
     "dedup_simhash",  # hash-family variant; exact/lsh/jaccard/CC stay in prefix
     "text_lang_id",  # text family keeps 5 entries in the prefix
     "rel_best_order_per_customer",  # argmax variant of rel_topk_orders_customer
+    "multimodal_audio_windows",  # plumbing twin of multimodal_image_features (prefix)
 ]
 
 
@@ -643,6 +653,7 @@ def _q_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def oracle_sql() -> dict[str, str]:
     from sifter_mrc_search_engine_spark.operators import positional as _pos
+    from sifter_mrc_search_engine_spark.operators import snippets as _snip
     from sifter_mrc_search_engine_spark.operators.bm25f import bm25f_oracle_sql
 
     o = {
@@ -656,6 +667,7 @@ def oracle_sql() -> dict[str, str]:
         "pos_phrase_slop_topk": _pos.sql_phrase_slop_topk(PHRASE_QUESTION, slop=2),
         "pos_wildcard_topk": _pos.sql_wildcard_topk("quer*"),
         "pos_fuzzy_topk": _pos.sql_fuzzy_topk("spark", 1),
+        "bm25_highlight_topk": _snip.sql_highlight_topk("spark query", window=8),
         "bm25f_topk": bm25f_oracle_sql(
             FLAGSHIP_QUESTION, _BM25F_SQL_FIELDS, _BM25F_WEIGHTS, top_k=10
         ),
