@@ -505,10 +505,11 @@ _TAIL = [
     "rel_top3_per_customer",  # variant of rel_topk_orders_customer
     "rel_orders_page_two",  # paging over the same ordered scan
     "rel_next_event_pairs",  # lead/lag window family, same scan as sessions
-    # demoted to make 50-prefix room for the 4 NEW pos_* entries (r5):
-    # each is a multi-round driver-green serving/parameter variant whose
-    # operator family keeps an entry inside the prefix; rotate back next
-    # round per the every-entry-within-two-rounds policy
+    # demoted to make 50-prefix room for the 8 NEW r5 entries (7 pos_*
+    # + bm25_highlight_topk): each is a multi-round driver-green
+    # serving/parameter variant whose operator family keeps an entry
+    # inside the prefix; rotate back next round per the
+    # every-entry-within-two-rounds policy (8 demoted in total below)
     "bm25f_topk_indexed",  # persisted-index variant of bm25f_topk (head)
     "index_doc_lengths",  # component signal also inside index_corpus_stats
     "dedup_repeated_spans",  # shingle-family variant of dedup_shingles (head)

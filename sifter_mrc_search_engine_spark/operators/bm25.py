@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..constants import BM25_B, BM25_K1, DEFAULT_TOP_K
@@ -47,17 +47,19 @@ def bm25_contrib_expr(x, df_col, dlen, n_docs, avgdl, k1=BM25_K1, b=BM25_B):
         idf(df, N) * x * (k1+1) / (x + k1 * (1 - b + b * dlen/avgdl))
 
     ``x`` is raw tf for single-field BM25 or the weighted tf sum for
-    BM25F; ``dlen`` likewise plain/weighted doc length. Shared by every
-    relational scoring plan (plans/query.py, streaming/incremental.py,
-    operators/fielded_index.py) so the bit-parity-critical float64
+    BM25F; ``dlen`` likewise plain/weighted doc length. ``n_docs`` /
+    ``avgdl`` accept python scalars (index-sidecar serving) or Columns
+    (in-plan stats cross-join). Shared by every relational scoring plan
+    (plans/query.py, streaming/incremental.py, operators/fielded_index.py,
+    operators/positional.py) so the bit-parity-critical float64
     expression exists exactly once."""
     x = F.col(x) if isinstance(x, str) else x
     dlen = F.col(dlen) if isinstance(dlen, str) else dlen
+    n_docs = n_docs if isinstance(n_docs, Column) else F.lit(n_docs)
+    avgdl = avgdl if isinstance(avgdl, Column) else F.lit(float(avgdl))
     x = x.cast("double")
-    norm = x + F.lit(k1) * (
-        F.lit(1.0) - F.lit(b) + F.lit(b) * dlen / F.lit(float(avgdl))
-    )
-    return idf_expr(df_col, F.lit(n_docs)) * x * F.lit(k1 + 1.0) / norm
+    norm = x + F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * dlen / avgdl)
+    return idf_expr(df_col, n_docs) * x * F.lit(k1 + 1.0) / norm
 
 
 def score_fold(contribs: DataFrame, keys: Sequence[str]) -> DataFrame:
@@ -101,9 +103,9 @@ def bm25_term_scores(
         .join(doclen, "doc_id")
         .crossJoin(F.broadcast(stats))
     )
-    tf_d = F.col("tf").cast("double")
-    norm = tf_d + F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("doc_len") / F.col("avgdl"))
-    contrib = idf_expr("df", "n_docs") * tf_d * F.lit(k1 + 1.0) / norm
+    contrib = bm25_contrib_expr(
+        "tf", "df", "doc_len", F.col("n_docs"), F.col("avgdl"), k1, b
+    )
     return joined.select("doc_id", "term", contrib.alias("contrib"))
 
 

@@ -93,29 +93,17 @@ def phrase_terms(phrase: str) -> list[str]:
 # ---------------------------------------------------------------- phrase
 
 
-def phrase_match_ids(
-    docs: DataFrame, phrase: str, id_col: str = "doc_id", text_col: str = "text"
-) -> DataFrame:
-    """``(doc_id)`` of documents containing the analyzed phrase as
-    CONSECUTIVE tokens.
-
-    The anchor trick: broadcast-join token positions to the phrase's
-    (slot, term) table, project ``anchor = pos - slot``, and a document
-    matches iff some anchor is covered by ALL m slots — one shuffle on
-    (doc_id, anchor), never a per-term position collect. A token can
-    serve multiple slots (repeated-word phrases like "a b a" work).
-    """
-    slots = phrase_terms(phrase)
-    if not slots:
-        return docs.sparkSession.createDataFrame([], "doc_id long")
-    spark = docs.sparkSession
-    slots_df = spark.createDataFrame(
+def _anchor_match(occ: DataFrame, slots: Sequence[str]) -> DataFrame:
+    """``(doc_id)`` where some anchor ``pos − slot`` is covered by ALL m
+    slots — the consecutive-phrase condition. ``occ`` is
+    ``(doc_id, pos, term)`` occurrence rows already pruned to the slot
+    terms (from posexplode or index decode — the matcher is the ONE
+    shared copy for both). One shuffle on (doc_id, anchor); a token can
+    serve multiple slots (repeated-word phrases like "a b a" work)."""
+    slots_df = occ.sparkSession.createDataFrame(
         list(enumerate(slots)), "slot int, term string"
     )
-    pos = token_positions(docs, id_col, text_col).filter(
-        F.col("term").isin(sorted(set(slots)))
-    )
-    anchors = pos.join(F.broadcast(slots_df), "term").select(
+    anchors = occ.join(F.broadcast(slots_df), "term").select(
         "doc_id", (F.col("pos") - F.col("slot")).alias("anchor"), "slot"
     )
     return (
@@ -125,6 +113,20 @@ def phrase_match_ids(
         .select("doc_id")
         .distinct()
     )
+
+
+def phrase_match_ids(
+    docs: DataFrame, phrase: str, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """``(doc_id)`` of documents containing the analyzed phrase as
+    CONSECUTIVE tokens (anchor trick — see :func:`_anchor_match`)."""
+    slots = phrase_terms(phrase)
+    if not slots:
+        return docs.sparkSession.createDataFrame([], "doc_id long")
+    pos = token_positions(docs, id_col, text_col).filter(
+        F.col("term").isin(sorted(set(slots)))
+    )
+    return _anchor_match(pos, slots)
 
 
 def _restricted_topk(
@@ -248,34 +250,20 @@ def sql_phrase_topk(
 # ------------------------------------------------------------- proximity
 
 
-def near_match_ids(
-    docs: DataFrame,
-    terms: Sequence[str],
-    window: int,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-) -> DataFrame:
-    """``(doc_id)`` of docs where ALL distinct ``terms`` co-occur inside
-    some span of ``window`` consecutive token positions (unordered).
+def _min_cover_match(occ: DataFrame, uterms: Sequence[str], window: int) -> DataFrame:
+    """``(doc_id)`` where ALL ``uterms`` co-occur inside some span of
+    ``window`` consecutive positions (unordered). ``occ`` is
+    ``(doc_id, pos, term)`` rows pruned to the query terms — the ONE
+    shared minimal-cover matcher for the relational and indexed paths.
 
-    Pure-Catalyst minimal-cover: over the doc's query-term occurrences
-    ordered by position, ``last_j`` = the latest preceding position of
-    term j (running MAX window per term); at each occurrence the minimal
-    covering span ending there is ``pos - least(last_1..last_m)``. A doc
-    matches iff min span <= window - 1. No pandas UDF, no per-term
-    m-way position join (that blows up quadratically per doc on common
-    terms); occurrences are pruned to the query's terms before the ONE
-    doc_id shuffle."""
+    Pure-Catalyst: over the doc's occurrences ordered by position,
+    ``last_j`` = the latest preceding position of term j (running MAX
+    window per term); at each occurrence the minimal covering span
+    ending there is ``pos - least(last_1..last_m)``; match iff min span
+    <= window - 1. No pandas UDF, no per-term m-way position join;
+    ONE doc_id window shuffle."""
     from pyspark.sql import Window
 
-    uterms = sorted(set(terms))
-    if window < 1:
-        raise ValueError("window must be >= 1")
-    if not uterms:
-        return docs.sparkSession.createDataFrame([], "doc_id long")
-    pos = token_positions(docs, id_col, text_col).filter(
-        F.col("term").isin(uterms)
-    )
     w = (
         Window.partitionBy("doc_id")
         .orderBy("pos")
@@ -296,12 +284,33 @@ def near_match_ids(
         all_seen,
         F.col("pos") - (F.least(*lcols) if len(lcols) > 1 else lcols[0]),
     )
-    spans = pos.select("doc_id", "pos", *lasts).select("doc_id", span.alias("span"))
+    spans = occ.select("doc_id", "pos", *lasts).select("doc_id", span.alias("span"))
     return (
         spans.filter(F.col("span") <= window - 1)
         .select("doc_id")
         .distinct()
     )
+
+
+def near_match_ids(
+    docs: DataFrame,
+    terms: Sequence[str],
+    window: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``(doc_id)`` of docs where ALL distinct ``terms`` co-occur inside
+    some span of ``window`` consecutive token positions (unordered) —
+    see :func:`_min_cover_match`."""
+    uterms = sorted(set(terms))
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    if not uterms:
+        return docs.sparkSession.createDataFrame([], "doc_id long")
+    pos = token_positions(docs, id_col, text_col).filter(
+        F.col("term").isin(uterms)
+    )
+    return _min_cover_match(pos, uterms, window)
 
 
 def near_topk(
@@ -373,15 +382,20 @@ def ordered_near_match_ids(
 ) -> DataFrame:
     """``(doc_id)`` of docs containing the slot terms IN ORDER at
     strictly increasing positions p1 < … < pm with pm − p1 ≤ window − 1
-    (phrase-with-slop: window = m + slop).
+    (phrase-with-slop: window = m + slop). Strictly increasing positions
+    mean a token can't serve two slots (Lucene's ordered SpanNear).
 
-    m-way join over the query terms' occurrences only, each step
-    range-bounded (pos in (prev, p1 + window − 1]) so per-occurrence
-    fan-in is ≤ window regardless of how often a term repeats inside a
-    doc — the join never goes quadratic on a term-spammed page. All m−1
-    joins key on doc_id, so after the ONE hash of the occurrence table
-    they co-locate; strictly increasing positions mean a token can't
-    serve two slots (exactly Lucene's ordered SpanNear)."""
+    Greedy chain join, skew-safe at the physical level: each step joins
+    on (doc_id, position-block) — candidate pn must lie in
+    [p1, p1 + window − 1], which spans at most TWO blocks of width
+    ``window``, so the join enumerates ≤ 2·window candidate pairs per
+    chain row even on a page that repeats a term F times (O(F·window),
+    never the O(F²) a doc_id-only join would evaluate before its range
+    filter). After each step the state compacts to min(pn) per
+    (doc_id, p1): the greedy exchange argument — a smaller prev admits
+    a superset of continuations — makes keeping only the earliest
+    next-position chain exact for existence, and bounds state to one
+    row per first-slot occurrence."""
     slots = _checked_terms(slots)
     if window < len(slots):
         raise ValueError(f"window {window} < slot count {len(slots)}")
@@ -390,21 +404,35 @@ def ordered_near_match_ids(
     pos = token_positions(docs, id_col, text_col).filter(
         F.col("term").isin(sorted(set(slots)))
     )
+
+    def blk(c):
+        return F.floor(c / F.lit(window)).cast("long")
+
     cur = (
         pos.filter(F.col("term") == slots[0])
         .select("doc_id", F.col("pos").alias("p1"))
         .withColumn("prev", F.col("p1"))
     )
     for t in slots[1:]:
-        nxt = pos.filter(F.col("term") == t).select("doc_id", F.col("pos").alias("pn"))
-        cur = (
-            cur.join(nxt, "doc_id")
+        nxt = pos.filter(F.col("term") == t).select(
+            "doc_id", blk(F.col("pos")).alias("blk"), F.col("pos").alias("pn")
+        )
+        cand = (
+            cur.select(
+                "doc_id",
+                "p1",
+                "prev",
+                F.explode(
+                    F.array(blk(F.col("p1")), blk(F.col("p1")) + F.lit(1))
+                ).alias("blk"),
+            )
+            .join(nxt, ["doc_id", "blk"])
             .filter(
                 (F.col("pn") > F.col("prev"))
                 & (F.col("pn") <= F.col("p1") + F.lit(window - 1))
             )
-            .select("doc_id", "p1", F.col("pn").alias("prev"))
         )
+        cur = cand.groupBy("doc_id", "p1").agg(F.min("pn").alias("prev"))
     return cur.select("doc_id").distinct()
 
 
@@ -511,13 +539,11 @@ def _expanded_topk(
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
     )
-    tf_d = F.col("tf").cast("double")
-    norm = tf_d + F.lit(k1) * (
-        F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("doc_len") / F.col("avgdl")
-    )
-    from .bm25 import idf_expr
+    from .bm25 import bm25_contrib_expr
 
-    contrib = idf_expr("df", "n_docs") * tf_d * F.lit(k1 + 1.0) / norm
+    contrib = bm25_contrib_expr(
+        "tf", "df", "doc_len", F.col("n_docs"), F.col("avgdl"), k1, b
+    )
     scored = sum_in_term_order(
         joined.select("doc_id", "term", contrib.alias("contrib"))
     )
@@ -588,19 +614,32 @@ def fuzzy_topk(
     max_expansions: int | None = None,
 ) -> DataFrame:
     """Fuzzy term query: vocabulary terms within ``max_edits``
-    Levenshtein edits of ``term``, transparent rewrite. The
-    ``length(term)`` band is an implied prune Catalyst evaluates before
-    the O(len²) edit distance; both Spark and DuckDB count unit
-    insert/delete/substitute edits, so the twins agree exactly."""
+    CHARACTER-level Levenshtein edits of ``term``, transparent rewrite.
+    The ``length(term)`` band is an implied prune Catalyst evaluates
+    before the O(len²) edit distance.
+
+    Expansion is SCRIPT-CONSISTENT: an all-Latin/digit query expands
+    only over all-Latin/digit vocabulary terms, a Hangul-bearing query
+    only over Hangul-bearing terms. Cross-script "near-misses" (e.g.
+    ``ab`` ↔ ``가b``) are linguistic noise, and excluding them is also
+    what lets the DuckDB twin be exact: DuckDB's ``levenshtein`` counts
+    UTF-8 BYTES (가나→가다 = 2 there, 1 here), so parity holds on the
+    single-byte script and the twin refuses Hangul queries outright."""
     q = term.lower()
     if not _TOKEN_OK.match(q):
         raise ValueError(f"fuzzy term must be a plain analyzer token: {term!r}")
     if max_edits < 0:
         raise ValueError("max_edits must be >= 0")
+    ascii_q = bool(re.match(r"[a-z0-9]+\Z", q))
+    script = (
+        F.col("term").rlike("^[a-z0-9]+$")
+        if ascii_q
+        else F.col("term").rlike("[가-힣]")
+    )
     band = (
         F.length("term").between(len(q) - max_edits, len(q) + max_edits)
     )
-    pred = band & (F.levenshtein(F.col("term"), F.lit(q)) <= max_edits)
+    pred = script & band & (F.levenshtein(F.col("term"), F.lit(q)) <= max_edits)
     return _expanded_topk(
         docs, pred, top_k, id_col, text_col, k1, b, max_expansions
     )
@@ -684,15 +723,24 @@ def sql_fuzzy_topk(
     b: float = BM25_B,
     round_to: int = 4,
 ) -> str:
-    """DuckDB twin of :func:`fuzzy_topk` (``levenshtein`` is the same
-    unit-edit metric in both engines)."""
+    """DuckDB twin of :func:`fuzzy_topk`. ASCII queries only: DuckDB's
+    ``levenshtein`` counts UTF-8 bytes, so character-level parity is
+    only guaranteed on the single-byte script; the engine's
+    script-consistent expansion (all-Latin/digit terms for an ASCII
+    query) makes the match exact there. Hangul queries are served by
+    the engine but have no SQL twin — this raises rather than
+    producing a silently-divergent oracle."""
     q = term.lower()
-    if not _TOKEN_OK.match(q):
-        raise ValueError(f"fuzzy term must be a plain analyzer token: {term!r}")
+    if not re.match(r"[a-z0-9]+\Z", q):
+        raise ValueError(
+            f"fuzzy twin supports ASCII terms only (byte-based DuckDB "
+            f"levenshtein): {term!r}"
+        )
     if max_edits < 0:
         raise ValueError("max_edits must be >= 0")
     return _sql_expanded_topk(
-        f"levenshtein(term, '{q}') <= {max_edits}", top_k, table, k1, b, round_to
+        f"regexp_matches(term, '^[a-z0-9]+$') AND levenshtein(term, '{q}') <= {max_edits}",
+        top_k, table, k1, b, round_to,
     )
 
 
@@ -986,15 +1034,12 @@ def _load_posts(
     spark: SparkSession, index_dir: str, uterms: Sequence[str], buckets: int
 ) -> DataFrame:
     """Bucket-partition-pruned, term-pruned decoded postings for the
-    query's terms — never touches postings of non-query terms."""
-    bkts = sorted(
-        {
-            r["b"]
-            for r in spark.createDataFrame([(t,) for t in uterms], "term string")
-            .select(term_bucket_expr("term", buckets).alias("b"))
-            .collect()
-        }
-    )
+    query's terms — never touches postings of non-query terms. Bucket
+    ids come from the driver-side xxhash twin (no Spark job per query —
+    same recipe as ``IndexSearcher``)."""
+    from ..functions.xxhash import term_bucket
+
+    bkts = sorted({term_bucket(t, buckets) for t in uterms})
     idx = (
         spark.read.parquet(f"{index_dir}/postings")
         .filter(F.col("bucket").isin(bkts) & F.col("term").isin(list(uterms)))
@@ -1018,13 +1063,9 @@ def _indexed_scored(
     dl = spark.read.parquet(f"{index_dir}/doclens")
     tf = posts.select("term", "df", "doc_id", F.size("positions").cast("long").alias("tf"))
 
-    from .bm25 import idf_expr
+    from .bm25 import bm25_contrib_expr
 
-    tf_d = F.col("tf").cast("double")
-    norm = tf_d + F.lit(k1) * (
-        F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("doc_len") / F.lit(avgdl)
-    )
-    contrib = idf_expr("df", F.lit(n_docs)) * tf_d * F.lit(k1 + 1.0) / norm
+    contrib = bm25_contrib_expr("tf", "df", "doc_len", n_docs, avgdl, k1, b)
     contribs = tf.join(dl, "doc_id").select("doc_id", "term", contrib.alias("contrib"))
     scored = sum_in_term_order(contribs.join(matched, "doc_id", "left_semi"))
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(top_k)
@@ -1051,20 +1092,8 @@ def phrase_topk_indexed(
     if not slots:
         return spark.createDataFrame([], "doc_id long, score double")
     posts = _load_posts(spark, index_dir, sorted(set(slots)), _index_buckets(index_dir))
-
-    slots_df = spark.createDataFrame(list(enumerate(slots)), "slot int, term string")
-    anchors = (
-        posts.join(F.broadcast(slots_df), "term")
-        .select("doc_id", "slot", F.explode("positions").alias("pos"))
-        .select("doc_id", (F.col("pos") - F.col("slot")).alias("anchor"), "slot")
-    )
-    matched = (
-        anchors.groupBy("doc_id", "anchor")
-        .agg(F.countDistinct("slot").alias("ns"))
-        .filter(F.col("ns") == len(slots))
-        .select("doc_id")
-        .distinct()
-    )
+    occ = posts.select("term", "doc_id", F.explode("positions").alias("pos"))
+    matched = _anchor_match(occ, slots)
     return _indexed_scored(spark, index_dir, posts, matched, top_k, k1, b)
 
 
@@ -1078,11 +1107,9 @@ def near_topk_indexed(
     b: float = BM25_B,
 ) -> DataFrame:
     """:func:`near_topk` served from the persisted positional index —
-    same pruned scan + decode as the phrase path, then the identical
-    running-max minimal-cover over the decoded (doc_id, pos, term)
+    same pruned scan + decode as the phrase path, then the SAME
+    :func:`_min_cover_match` over the decoded (doc_id, pos, term)
     occurrences (one window shuffle on doc_id)."""
-    from pyspark.sql import Window
-
     if window < 1:
         raise ValueError("window must be >= 1")
     uterms = sorted(set(analyze(question)))
@@ -1090,28 +1117,5 @@ def near_topk_indexed(
         return spark.createDataFrame([], "doc_id long, score double")
     posts = _load_posts(spark, index_dir, uterms, _index_buckets(index_dir))
     occ = posts.select("term", "doc_id", F.explode("positions").alias("pos"))
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    lasts = [
-        F.max(F.when(F.col("term") == t, F.col("pos"))).over(w).alias(f"_l{i}")
-        for i, t in enumerate(uterms)
-    ]
-    lcols = [F.col(f"_l{i}") for i in range(len(uterms))]
-    all_seen = lcols[0].isNotNull()
-    for c in lcols[1:]:
-        all_seen = all_seen & c.isNotNull()
-    span = F.when(
-        all_seen,
-        F.col("pos") - (F.least(*lcols) if len(lcols) > 1 else lcols[0]),
-    )
-    matched = (
-        occ.select("doc_id", "pos", *lasts)
-        .select("doc_id", span.alias("span"))
-        .filter(F.col("span") <= window - 1)
-        .select("doc_id")
-        .distinct()
-    )
+    matched = _min_cover_match(occ, uterms, window)
     return _indexed_scored(spark, index_dir, posts, matched, top_k, k1, b)

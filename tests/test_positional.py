@@ -200,8 +200,32 @@ def test_fuzzy_topk(docs):
     assert {r["doc_id"] for r in capped.collect()} == {1, 2, 3, 4, 5}  # beta df=5
     with pytest.raises(ValueError, match="max_edits"):
         P.fuzzy_topk(docs, "zeta", max_edits=-1)
-    with pytest.raises(ValueError, match="fuzzy term"):
+    with pytest.raises(ValueError, match="ASCII"):
         P.sql_fuzzy_topk("ze'ta")
+
+
+def test_fuzzy_script_consistency(spark):
+    # engine is CHARACTER-level on Hangul (가나→가다 = 1 edit) and
+    # script-consistent: ASCII queries never expand to Hangul-bearing
+    # terms (where DuckDB's byte-based levenshtein would diverge)
+    rows = [(1, "가나 텍스트"), (2, "가다 왼손"), (3, "ab cd"), (4, "가b xy")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"] for r in P.fuzzy_topk(docs, "가나", max_edits=1).collect()}
+    # char-level: 가다 (1 sub) and mixed-script 가b (1 sub) both match
+    assert got == {1, 2, 4}
+    # ASCII query: doc 4's mixed-script '가b' (1 char edit from 'ab')
+    # is EXCLUDED by script-consistent expansion -> twin parity holds
+    got2 = {r["doc_id"] for r in P.fuzzy_topk(docs, "ab", max_edits=1).collect()}
+    assert got2 == {3}
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    want2 = set(con.sql(P.sql_fuzzy_topk("ab", 1)).df()["doc_id"])
+    assert got2 == want2
+    # Hangul query has no SQL twin — refuses loudly
+    with pytest.raises(ValueError, match="ASCII"):
+        P.sql_fuzzy_topk("가나")
 
 
 # --------------------------------------------------------------- boolean
