@@ -373,17 +373,12 @@ def sql_near_topk(
     return _bm25_restricted_sql(uterms, match, top_k, table, k1, b)
 
 
-def ordered_near_match_ids(
-    docs: DataFrame,
-    slots: Sequence[str],
-    window: int,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-) -> DataFrame:
-    """``(doc_id)`` of docs containing the slot terms IN ORDER at
-    strictly increasing positions p1 < … < pm with pm − p1 ≤ window − 1
-    (phrase-with-slop: window = m + slop). Strictly increasing positions
-    mean a token can't serve two slots (Lucene's ordered SpanNear).
+def _ordered_chain_match(occ: DataFrame, slots: Sequence[str], window: int) -> DataFrame:
+    """``(doc_id)`` where the slot terms appear IN ORDER at strictly
+    increasing positions p1 < … < pm with pm − p1 ≤ window − 1. ``occ``
+    is ``(doc_id, pos, term)`` rows pruned to the slot terms — the ONE
+    shared ordered-SpanNear matcher for the relational and indexed
+    paths.
 
     Greedy chain join, skew-safe at the physical level: each step joins
     on (doc_id, position-block) — candidate pn must lie in
@@ -396,25 +391,17 @@ def ordered_near_match_ids(
     a superset of continuations — makes keeping only the earliest
     next-position chain exact for existence, and bounds state to one
     row per first-slot occurrence."""
-    slots = _checked_terms(slots)
-    if window < len(slots):
-        raise ValueError(f"window {window} < slot count {len(slots)}")
-    if not slots:
-        return docs.sparkSession.createDataFrame([], "doc_id long")
-    pos = token_positions(docs, id_col, text_col).filter(
-        F.col("term").isin(sorted(set(slots)))
-    )
 
     def blk(c):
         return F.floor(c / F.lit(window)).cast("long")
 
     cur = (
-        pos.filter(F.col("term") == slots[0])
+        occ.filter(F.col("term") == slots[0])
         .select("doc_id", F.col("pos").alias("p1"))
         .withColumn("prev", F.col("p1"))
     )
     for t in slots[1:]:
-        nxt = pos.filter(F.col("term") == t).select(
+        nxt = occ.filter(F.col("term") == t).select(
             "doc_id", blk(F.col("pos")).alias("blk"), F.col("pos").alias("pn")
         )
         cand = (
@@ -434,6 +421,27 @@ def ordered_near_match_ids(
         )
         cur = cand.groupBy("doc_id", "p1").agg(F.min("pn").alias("prev"))
     return cur.select("doc_id").distinct()
+
+
+def ordered_near_match_ids(
+    docs: DataFrame,
+    slots: Sequence[str],
+    window: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``(doc_id)`` of docs containing the slot terms IN ORDER within a
+    span of ``window`` positions (phrase-with-slop: window = m + slop) —
+    see :func:`_ordered_chain_match`."""
+    slots = _checked_terms(slots)
+    if window < len(slots):
+        raise ValueError(f"window {window} < slot count {len(slots)}")
+    if not slots:
+        return docs.sparkSession.createDataFrame([], "doc_id long")
+    pos = token_positions(docs, id_col, text_col).filter(
+        F.col("term").isin(sorted(set(slots)))
+    )
+    return _ordered_chain_match(pos, slots, window)
 
 
 def phrase_slop_topk(
@@ -630,19 +638,23 @@ def fuzzy_topk(
         raise ValueError(f"fuzzy term must be a plain analyzer token: {term!r}")
     if max_edits < 0:
         raise ValueError("max_edits must be >= 0")
+    return _expanded_topk(
+        docs, _fuzzy_pred(q, max_edits), top_k, id_col, text_col, k1, b,
+        max_expansions,
+    )
+
+
+def _fuzzy_pred(q: str, max_edits: int):
+    """The script-consistent fuzzy vocabulary predicate (shared by the
+    relational and indexed paths; ``q`` pre-validated + lowercased)."""
     ascii_q = bool(re.match(r"[a-z0-9]+\Z", q))
     script = (
         F.col("term").rlike("^[a-z0-9]+$")
         if ascii_q
         else F.col("term").rlike("[가-힣]")
     )
-    band = (
-        F.length("term").between(len(q) - max_edits, len(q) + max_edits)
-    )
-    pred = script & band & (F.levenshtein(F.col("term"), F.lit(q)) <= max_edits)
-    return _expanded_topk(
-        docs, pred, top_k, id_col, text_col, k1, b, max_expansions
-    )
+    band = F.length("term").between(len(q) - max_edits, len(q) + max_edits)
+    return script & band & (F.levenshtein(F.col("term"), F.lit(q)) <= max_edits)
 
 
 def _sql_expanded_topk(
@@ -1023,6 +1035,44 @@ def decode_positional(index_df: DataFrame) -> DataFrame:
     )
 
 
+def decode_doc_tfs(index_df: DataFrame) -> DataFrame:
+    """Executor-side decode to ``(term, df, doc_id, tf)`` WITHOUT
+    positions: the ``poss`` column is never selected, so Parquet column
+    pruning skips the (largest) positions payload entirely — the right
+    scan for scoring-only queries (prefix/wildcard/fuzzy/bool), which
+    need tf but not where the tokens sit."""
+    from pyspark.sql.functions import pandas_udf
+
+    dec_type = StructType(
+        [
+            StructField("doc_ids", ArrayType(LongType()), False),
+            StructField("tfs_arr", ArrayType(LongType()), False),
+        ]
+    )
+
+    @pandas_udf(dec_type)
+    def dec_udf(doc_gaps: pd.Series, tfs: pd.Series, n: pd.Series) -> pd.DataFrame:
+        out_ids, out_tfs = [], []
+        for g, t, nn in zip(doc_gaps, tfs, n):
+            nn = int(nn)
+            ids = np.cumsum(varbyte_decode(bytes(g), count=nn).astype(np.int64))
+            tf_arr = varbyte_decode(bytes(t), count=nn).astype(np.int64)
+            out_ids.append(ids.tolist())
+            out_tfs.append(tf_arr.tolist())
+        return pd.DataFrame({"doc_ids": out_ids, "tfs_arr": out_tfs})
+
+    return (
+        index_df.select("term", "df", dec_udf("doc_gaps", "tfs", "n").alias("d"))
+        .select("term", "df", F.explode(F.arrays_zip("d.doc_ids", "d.tfs_arr")).alias("p"))
+        .select(
+            "term",
+            "df",
+            F.col("p.doc_ids").alias("doc_id"),
+            F.col("p.tfs_arr").alias("tf"),
+        )
+    )
+
+
 def _index_buckets(index_dir: str) -> int:
     """The bucket modulus the index dir was written with (stats.json is
     authoritative; pre-buckets-field dirs fall back to the default)."""
@@ -1031,12 +1081,17 @@ def _index_buckets(index_dir: str) -> int:
 
 
 def _load_posts(
-    spark: SparkSession, index_dir: str, uterms: Sequence[str], buckets: int
+    spark: SparkSession,
+    index_dir: str,
+    uterms: Sequence[str],
+    buckets: int,
+    with_positions: bool = True,
 ) -> DataFrame:
     """Bucket-partition-pruned, term-pruned decoded postings for the
     query's terms — never touches postings of non-query terms. Bucket
     ids come from the driver-side xxhash twin (no Spark job per query —
-    same recipe as ``IndexSearcher``)."""
+    same recipe as ``IndexSearcher``). ``with_positions=False`` decodes
+    only doc_ids + tfs (and never reads the positions column)."""
     from ..functions.xxhash import term_bucket
 
     bkts = sorted({term_bucket(t, buckets) for t in uterms})
@@ -1044,7 +1099,34 @@ def _load_posts(
         spark.read.parquet(f"{index_dir}/postings")
         .filter(F.col("bucket").isin(bkts) & F.col("term").isin(list(uterms)))
     )
-    return decode_positional(idx)
+    return decode_positional(idx) if with_positions else decode_doc_tfs(idx)
+
+
+def _scored_from_tfs(
+    spark: SparkSession,
+    index_dir: str,
+    tf: DataFrame,
+    matched: DataFrame | None,
+    top_k: int,
+    k1: float,
+    b: float,
+) -> DataFrame:
+    """BM25 over ``(term, df, doc_id, tf)`` rows with the index's exact
+    df, the doclens sidecar, and stats.json's corpus stats, optionally
+    restricted (left-semi) to ``matched`` doc_ids — the one scoring tail
+    every indexed query shape funnels into."""
+    stats = json.loads(Path(index_dir, "stats.json").read_text())
+    n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
+    dl = spark.read.parquet(f"{index_dir}/doclens")
+
+    from .bm25 import bm25_contrib_expr
+
+    contrib = bm25_contrib_expr("tf", "df", "doc_len", n_docs, avgdl, k1, b)
+    contribs = tf.join(dl, "doc_id").select("doc_id", "term", contrib.alias("contrib"))
+    if matched is not None:
+        contribs = contribs.join(matched, "doc_id", "left_semi")
+    scored = sum_in_term_order(contribs)
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(top_k)
 
 
 def _indexed_scored(
@@ -1056,19 +1138,12 @@ def _indexed_scored(
     k1: float,
     b: float,
 ) -> DataFrame:
-    """BM25 from tf=|positions| with the index's exact df and the doclens
-    sidecar, restricted (left-semi) to ``matched`` doc_ids."""
-    stats = json.loads(Path(index_dir, "stats.json").read_text())
-    n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
-    dl = spark.read.parquet(f"{index_dir}/doclens")
-    tf = posts.select("term", "df", "doc_id", F.size("positions").cast("long").alias("tf"))
-
-    from .bm25 import bm25_contrib_expr
-
-    contrib = bm25_contrib_expr("tf", "df", "doc_len", n_docs, avgdl, k1, b)
-    contribs = tf.join(dl, "doc_id").select("doc_id", "term", contrib.alias("contrib"))
-    scored = sum_in_term_order(contribs.join(matched, "doc_id", "left_semi"))
-    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(top_k)
+    """:func:`_scored_from_tfs` with tf = |positions| (the positional
+    match paths already decoded positions, so tf is free)."""
+    tf = posts.select(
+        "term", "df", "doc_id", F.size("positions").cast("long").alias("tf")
+    )
+    return _scored_from_tfs(spark, index_dir, tf, matched, top_k, k1, b)
 
 
 def phrase_topk_indexed(
@@ -1119,3 +1194,169 @@ def near_topk_indexed(
     occ = posts.select("term", "doc_id", F.explode("positions").alias("pos"))
     matched = _min_cover_match(occ, uterms, window)
     return _indexed_scored(spark, index_dir, posts, matched, top_k, k1, b)
+
+
+def phrase_slop_topk_indexed(
+    spark: SparkSession,
+    index_dir: str,
+    phrase: str,
+    slop: int = 0,
+    top_k: int = DEFAULT_TOP_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """:func:`phrase_slop_topk` served from the persisted positional
+    index — pruned scan + decode, then the SAME
+    :func:`_ordered_chain_match` over the decoded occurrences."""
+    if slop < 0:
+        raise ValueError("slop must be >= 0")
+    slots = phrase_terms(phrase)
+    if not slots:
+        return spark.createDataFrame([], "doc_id long, score double")
+    posts = _load_posts(spark, index_dir, sorted(set(slots)), _index_buckets(index_dir))
+    occ = posts.select("term", "doc_id", F.explode("positions").alias("pos"))
+    matched = _ordered_chain_match(occ, slots, len(slots) + slop)
+    return _indexed_scored(spark, index_dir, posts, matched, top_k, k1, b)
+
+
+def _vocab_topk_indexed(
+    spark: SparkSession,
+    index_dir: str,
+    term_pred,
+    top_k: int,
+    k1: float,
+    b: float,
+    max_expansions: int | None,
+) -> DataFrame:
+    """Indexed twin of :func:`_expanded_topk`: the vocabulary predicate
+    filters the postings DICTIONARY columns (term, df) directly — no
+    driver-side term collect, no bucket math (a predicate doesn't map to
+    a hash bucket). Postings files are term-sorted in-file, so a prefix
+    predicate prunes row groups via Parquet min/max stats; the
+    positions column is never read (tf-only decode), and only matched
+    rows' doc_gaps/tfs binaries decode.
+
+    ``max_expansions`` keeps the HIGHEST-df expanded terms (ties term
+    asc) exactly like the relational rewrite — computed as a distinct
+    (term, df) top-k and broadcast-semi-joined back, never collected."""
+    if max_expansions is not None and max_expansions < 1:
+        raise ValueError("max_expansions must be >= 1")
+    raw = spark.read.parquet(f"{index_dir}/postings").filter(term_pred)
+    if max_expansions is not None:
+        top_terms = (
+            raw.select("term", "df")
+            .distinct()
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(max_expansions)
+            .select("term")
+        )
+        raw = raw.join(F.broadcast(top_terms), "term", "left_semi")
+    tf = decode_doc_tfs(raw)
+    return _scored_from_tfs(spark, index_dir, tf, None, top_k, k1, b)
+
+
+def prefix_topk_indexed(
+    spark: SparkSession,
+    index_dir: str,
+    prefix: str,
+    top_k: int = DEFAULT_TOP_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    max_expansions: int | None = None,
+) -> DataFrame:
+    """:func:`prefix_topk` served from the persisted positional index —
+    ``startswith`` pushes to the term-sorted postings scan as a
+    contiguous row-group range."""
+    p = prefix.lower()
+    if not _TOKEN_OK.match(p):
+        raise ValueError(f"prefix must be a plain analyzer token: {prefix!r}")
+    return _vocab_topk_indexed(
+        spark, index_dir, F.col("term").startswith(p), top_k, k1, b,
+        max_expansions,
+    )
+
+
+def wildcard_topk_indexed(
+    spark: SparkSession,
+    index_dir: str,
+    pattern: str,
+    top_k: int = DEFAULT_TOP_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    max_expansions: int | None = None,
+) -> DataFrame:
+    """:func:`wildcard_topk` from the persisted index. A leading ``*``
+    scans the whole dictionary (no row-group prune) but still only the
+    (term, df) columns — the positions payload is never read."""
+    p = pattern.lower()
+    if not _WILDCARD_OK.match(p) or set(p) == {"*"}:
+        raise ValueError(f"pattern must be analyzer chars + '*': {pattern!r}")
+    return _vocab_topk_indexed(
+        spark, index_dir, F.col("term").like(p.replace("*", "%")), top_k,
+        k1, b, max_expansions,
+    )
+
+
+def fuzzy_topk_indexed(
+    spark: SparkSession,
+    index_dir: str,
+    term: str,
+    max_edits: int = 1,
+    top_k: int = DEFAULT_TOP_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    max_expansions: int | None = None,
+) -> DataFrame:
+    """:func:`fuzzy_topk` from the persisted index (same
+    script-consistent expansion predicate over the dictionary)."""
+    q = term.lower()
+    if not _TOKEN_OK.match(q):
+        raise ValueError(f"fuzzy term must be a plain analyzer token: {term!r}")
+    if max_edits < 0:
+        raise ValueError("max_edits must be >= 0")
+    return _vocab_topk_indexed(
+        spark, index_dir, _fuzzy_pred(q, max_edits), top_k, k1, b,
+        max_expansions,
+    )
+
+
+def bool_topk_indexed(
+    spark: SparkSession,
+    index_dir: str,
+    must: Sequence[str] = (),
+    should: Sequence[str] = (),
+    must_not: Sequence[str] = (),
+    top_k: int = DEFAULT_TOP_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """:func:`bool_topk` served from the persisted positional index:
+    ONE bucket-pruned tf-only scan covers all three clauses (match,
+    exclusion, and scoring all read the same decoded tf rows)."""
+    must_t = sorted({t for s in must for t in analyze(s)})
+    should_t = sorted({t for s in should for t in analyze(s)})
+    not_t = sorted({t for s in must_not for t in analyze(s)})
+    score_t = sorted(set(must_t) | set(should_t))
+    if not score_t:
+        return spark.createDataFrame([], "doc_id long, score double")
+    all_t = sorted(set(score_t) | set(not_t))
+    tf = _load_posts(
+        spark, index_dir, all_t, _index_buckets(index_dir), with_positions=False
+    )
+
+    if must_t:
+        match = (
+            tf.filter(F.col("term").isin(must_t))
+            .groupBy("doc_id")
+            .agg(F.countDistinct("term").alias("nm"))
+            .filter(F.col("nm") == len(must_t))
+            .select("doc_id")
+        )
+    else:
+        match = tf.filter(F.col("term").isin(score_t)).select("doc_id").distinct()
+    if not_t:
+        excl = tf.filter(F.col("term").isin(not_t)).select("doc_id").distinct()
+        match = match.join(excl, "doc_id", "left_anti")
+
+    score_tf = tf.filter(F.col("term").isin(score_t))
+    return _scored_from_tfs(spark, index_dir, score_tf, match, top_k, k1, b)

@@ -364,3 +364,90 @@ def test_positional_on_real_corpus(spark, sf_dir, tmp_path):
     assert [
         (r["doc_id"], round(r["score"], 4)) for r in brute.collect()
     ] == [(r["doc_id"], round(r["score"], 4)) for r in served.collect()]
+
+
+def _rows(df):
+    return [(r["doc_id"], round(r["score"], 4)) for r in df.collect()]
+
+
+def test_indexed_structured_family_parity(spark, docs, tmp_path):
+    # ONE index; every structured shape served from it must be
+    # rank-identical (same float64 fold) to its relational twin — which
+    # is the DuckDB-oracled contract query, so parity here transitively
+    # certifies the indexed tier against the oracle
+    path = str(tmp_path / "posidx")
+    P.write_positional_index(docs, path)
+
+    for phrase, slop in [("alpha beta", 0), ("alpha gamma", 2), ("beta alpha beta", 1)]:
+        assert _rows(P.phrase_slop_topk(docs, phrase, slop)) == _rows(
+            P.phrase_slop_topk_indexed(spark, path, phrase, slop)
+        ), (phrase, slop)
+
+    for p in ["alpha", "alphab", "z"]:
+        assert _rows(P.prefix_topk(docs, p)) == _rows(
+            P.prefix_topk_indexed(spark, path, p)
+        ), p
+
+    for pat in ["*eta", "alpha*", "*a*"]:
+        assert _rows(P.wildcard_topk(docs, pat)) == _rows(
+            P.wildcard_topk_indexed(spark, path, pat)
+        ), pat
+
+    for q, e in [("alpha", 1), ("bets", 1), ("gamm", 2)]:
+        assert _rows(P.fuzzy_topk(docs, q, e)) == _rows(
+            P.fuzzy_topk_indexed(spark, path, q, e)
+        ), (q, e)
+
+    cases = [
+        dict(must=["alpha beta"], must_not=["delta"]),
+        dict(should=["zeta", "gamma"]),
+        dict(must=["beta"], should=["theta"], must_not=[]),
+    ]
+    for kw in cases:
+        assert _rows(P.bool_topk(docs, **kw)) == _rows(
+            P.bool_topk_indexed(spark, path, **kw)
+        ), kw
+
+
+def test_indexed_expansion_caps_and_edges(spark, docs, tmp_path):
+    path = str(tmp_path / "posidx")
+    P.write_positional_index(docs, path)
+    # max_expansions keeps the same highest-df terms as the relational
+    # rewrite (df desc, term asc) -> identical capped rankings
+    for cap in [1, 2]:
+        assert _rows(P.prefix_topk(docs, "a", max_expansions=cap)) == _rows(
+            P.prefix_topk_indexed(spark, path, "a", max_expansions=cap)
+        ), cap
+    with pytest.raises(ValueError, match="max_expansions"):
+        P.prefix_topk_indexed(spark, path, "a", max_expansions=0)
+    # typed-empty edges match the relational behavior
+    empty = P.phrase_slop_topk_indexed(spark, path, "!!!", 1)
+    assert empty.columns == ["doc_id", "score"] and empty.count() == 0
+    assert P.bool_topk_indexed(spark, path, must_not=["alpha"]).count() == 0
+    assert P.prefix_topk_indexed(spark, path, "nosuchprefix").count() == 0
+    with pytest.raises(ValueError, match="slop"):
+        P.phrase_slop_topk_indexed(spark, path, "alpha", slop=-1)
+    with pytest.raises(ValueError, match="analyzer"):
+        P.wildcard_topk_indexed(spark, path, "**")
+
+
+def test_vocab_scan_never_reads_positions(spark, docs, tmp_path):
+    # the scoring-only shapes must leave the positions payload on disk:
+    # ReadSchema of the postings scan excludes `poss`
+    path = str(tmp_path / "posidx")
+    P.write_positional_index(docs, path)
+    for q in [
+        P.prefix_topk_indexed(spark, path, "alpha"),
+        P.bool_topk_indexed(spark, path, must=["alpha"]),
+    ]:
+        plan = q._sc._jvm.PythonSQLUtils.explainString(
+            q._jdf.queryExecution(), "formatted"
+        )
+        # the postings scan is the one reading the codec columns
+        scans = [
+            ln for ln in plan.splitlines()
+            if ln.strip().startswith("ReadSchema:") and "doc_gaps" in ln
+        ]
+        assert scans, plan[:2000]
+        for ln in scans:
+            assert "poss" not in ln, ln
