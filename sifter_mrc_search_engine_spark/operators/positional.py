@@ -759,6 +759,38 @@ def sql_fuzzy_topk(
 # --------------------------------------------------------------- boolean
 
 
+def _bool_clauses(must, should, must_not):
+    """Analyze the three clause lists → (must_t, score_t, not_t)."""
+    must_t = sorted({t for s in must for t in analyze(s)})
+    should_t = sorted({t for s in should for t in analyze(s)})
+    not_t = sorted({t for s in must_not for t in analyze(s)})
+    return must_t, sorted(set(must_t) | set(should_t)), not_t
+
+
+def _bool_match_ids(
+    tf: DataFrame, must_t: Sequence[str], score_t: Sequence[str], not_t: Sequence[str]
+) -> DataFrame:
+    """``(doc_id)`` passing the boolean gates — the ONE shared matcher
+    for the relational and indexed paths. ``tf`` is ``(doc_id, term)``
+    rows (extra columns fine) pre-pruned to the query's terms.
+
+    All three clauses fold into a SINGLE doc_id aggregation (must-term
+    count, any-excluded flag, any-score flag) instead of one subplan per
+    clause + anti-join — Spark does not dedupe common subplans, so the
+    per-clause shape re-scans (and on the indexed path re-decodes) the
+    postings once per clause."""
+    nm = F.count_distinct(
+        F.when(F.col("term").isin(must_t), F.col("term")) if must_t else F.lit(None)
+    ).alias("nm")
+    bad = F.max(
+        F.when(F.col("term").isin(not_t), F.lit(1)) if not_t else F.lit(None).cast("int")
+    ).alias("bad")
+    has_s = F.max(F.when(F.col("term").isin(list(score_t)), F.lit(1))).alias("has_s")
+    agg = tf.groupBy("doc_id").agg(nm, bad, has_s)
+    gate = (F.col("nm") == len(must_t)) if must_t else (F.col("has_s") == 1)
+    return agg.filter(gate & F.col("bad").isNull()).select("doc_id")
+
+
 def bool_topk(
     docs: DataFrame,
     must: Sequence[str] = (),
@@ -775,31 +807,16 @@ def bool_topk(
     present (must_not contributes only the exclusion, like Lucene's
     bool query). Each clause entry is analyzed, so multi-word strings
     contribute all their tokens to the clause."""
-    must_t = sorted({t for s in must for t in analyze(s)})
-    should_t = sorted({t for s in should for t in analyze(s)})
-    not_t = sorted({t for s in must_not for t in analyze(s)})
-    score_t = sorted(set(must_t) | set(should_t))
+    must_t, score_t, not_t = _bool_clauses(must, should, must_not)
     spark = docs.sparkSession
     if not score_t:
         return spark.createDataFrame([], "doc_id long, score double")
+    all_t = sorted(set(score_t) | set(not_t))
     tf = term_frequencies(docs, id_col, text_col)
     dl = doc_lengths(docs, id_col, text_col)
     stats = corpus_stats(dl)
 
-    if must_t:
-        match = (
-            tf.filter(F.col("term").isin(must_t))
-            .groupBy("doc_id")
-            .agg(F.countDistinct("term").alias("nm"))
-            .filter(F.col("nm") == len(must_t))
-            .select("doc_id")
-        )
-    else:
-        match = tf.filter(F.col("term").isin(score_t)).select("doc_id").distinct()
-    if not_t:
-        excl = tf.filter(F.col("term").isin(not_t)).select("doc_id").distinct()
-        match = match.join(excl, "doc_id", "left_anti")
-
+    match = _bool_match_ids(tf.filter(F.col("term").isin(all_t)), must_t, score_t, not_t)
     contribs = bm25_term_scores(tf, dl, stats, score_t, k1, b)
     scored = sum_in_term_order(contribs.join(match, "doc_id", "left_semi"))
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(top_k)
@@ -1330,33 +1347,17 @@ def bool_topk_indexed(
     k1: float = BM25_K1,
     b: float = BM25_B,
 ) -> DataFrame:
-    """:func:`bool_topk` served from the persisted positional index:
-    ONE bucket-pruned tf-only scan covers all three clauses (match,
-    exclusion, and scoring all read the same decoded tf rows)."""
-    must_t = sorted({t for s in must for t in analyze(s)})
-    should_t = sorted({t for s in should for t in analyze(s)})
-    not_t = sorted({t for s in must_not for t in analyze(s)})
-    score_t = sorted(set(must_t) | set(should_t))
+    """:func:`bool_topk` served from the persisted positional index.
+    TWO bucket-pruned tf-only scans total: one single-aggregation match
+    pass folding all three clauses (:func:`_bool_match_ids`), one
+    scoring pass over the must+should terms."""
+    must_t, score_t, not_t = _bool_clauses(must, should, must_not)
     if not score_t:
         return spark.createDataFrame([], "doc_id long, score double")
     all_t = sorted(set(score_t) | set(not_t))
     tf = _load_posts(
         spark, index_dir, all_t, _index_buckets(index_dir), with_positions=False
     )
-
-    if must_t:
-        match = (
-            tf.filter(F.col("term").isin(must_t))
-            .groupBy("doc_id")
-            .agg(F.countDistinct("term").alias("nm"))
-            .filter(F.col("nm") == len(must_t))
-            .select("doc_id")
-        )
-    else:
-        match = tf.filter(F.col("term").isin(score_t)).select("doc_id").distinct()
-    if not_t:
-        excl = tf.filter(F.col("term").isin(not_t)).select("doc_id").distinct()
-        match = match.join(excl, "doc_id", "left_anti")
-
+    match = _bool_match_ids(tf, must_t, score_t, not_t)
     score_tf = tf.filter(F.col("term").isin(score_t))
     return _scored_from_tfs(spark, index_dir, score_tf, match, top_k, k1, b)
