@@ -136,6 +136,16 @@ def main() -> None:
             for ph in phrases:
                 _pos.phrase_topk_indexed(spark, pos_dir, ph).collect()
             pos_phrase_s = time.monotonic() - t0
+            # the rest of the structured family from the same index
+            # (slop chain join, dictionary expansion, boolean gates)
+            t0 = time.monotonic()
+            _pos.phrase_slop_topk_indexed(spark, pos_dir, phrases[0], slop=2).collect()
+            _pos.prefix_topk_indexed(spark, pos_dir, VOCAB[0][:3]).collect()
+            _pos.fuzzy_topk_indexed(spark, pos_dir, VOCAB[0], max_edits=1).collect()
+            _pos.bool_topk_indexed(
+                spark, pos_dir, must=[VOCAB[0]], should=[VOCAB[2]], must_not=[VOCAB[500]]
+            ).collect()
+            pos_structured_s = time.monotonic() - t0
         finally:
             shutil.rmtree(pos_dir, ignore_errors=True)
 
@@ -190,6 +200,7 @@ def main() -> None:
                 "pos_index_build_sec": round(pos_build_s, 3),
                 "pos_docs_per_sec": round(PAGES_DOCS / pos_build_s, 1),
                 "pos_phrase_batch_sec": round(pos_phrase_s, 3),
+                "pos_structured_mix_sec": round(pos_structured_s, 3),
                 "cpus": CPUS,
                 # ambient-load context: this host swings bench numbers
                 # up to 3x (r3 memory); a number read without its load

@@ -12,6 +12,13 @@ not installed here; the handler is framework-free):
     BM25-scored against the question, top-k returned
   * validation failures -> 400 with a ``detail`` message; empty retrieval
     -> 404 ``검색된 문서가 없습니다.`` (server.py:76-79)
+  * ``POST /search/structured`` (beyond the reference's free-text-only
+    surface): JSON body dispatched by ``type`` to the index-served
+    structured query family via
+    :class:`.structured.StructuredSearchService`; 404 when the front
+    door was started without a positional index, 400 on bad input,
+    200 with possibly-empty ``hits`` otherwise (a structured miss is a
+    result, not an error)
 
 Serving model matches the reference: one process fronting the engine (its
 Starlette app serializes inference through a single queue consumer,
@@ -65,7 +72,7 @@ def _file_answers(service: InferenceService, question: str, filename: str,
     ]
 
 
-def make_handler(service: InferenceService):
+def make_handler(service: InferenceService, structured=None):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet test servers
             pass
@@ -114,6 +121,17 @@ def make_handler(service: InferenceService):
                     # params.get and drop the connection with AttributeError
                     return self._send(400, {"detail": "JSON body must be an object"})
                 return self._run_inference(params)
+            if url.path == "/search/structured":
+                if structured is None:
+                    return self._send(404, {"detail": "structured search not configured"})
+                try:
+                    params = json.loads(raw or b"{}")
+                except json.JSONDecodeError:
+                    return self._send(400, {"detail": "invalid JSON body"})
+                try:
+                    return self._send(200, structured.search(params))
+                except ValidationError as e:
+                    return self._send(400, {"detail": str(e)})
             if url.path == "/inference/file":
                 ctype = self.headers.get("Content-Type", "")
                 if not ctype.startswith("multipart/form-data"):
@@ -153,8 +171,16 @@ class HttpFrontDoor:
     """Threaded HTTP server wrapping an InferenceService; ``port=0`` picks
     a free port (exposed as ``.port``)."""
 
-    def __init__(self, service: InferenceService, host: str = "127.0.0.1", port: int = 0):
-        self.server = ThreadingHTTPServer((host, port), make_handler(service))
+    def __init__(
+        self,
+        service: InferenceService,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        structured=None,
+    ):
+        self.server = ThreadingHTTPServer(
+            (host, port), make_handler(service, structured)
+        )
         self.port = self.server.server_address[1]
         self._thread: threading.Thread | None = None
 

@@ -191,3 +191,85 @@ def test_malformed_params_and_uploads_return_4xx(door):
         {"Content-Type": f"multipart/form-data; boundary={boundary}"},
     )
     assert code == 400 and "object" in out["detail"]
+
+
+@pytest.fixture(scope="module")
+def sdoor(spark, tmp_path_factory):
+    # a front door WITH the structured tier configured: positional index
+    # over the same synthetic pages
+    import sifter_mrc_search_engine_spark.operators.positional as P
+    from sifter_mrc_search_engine_spark.plans.structured import (
+        StructuredSearchService,
+    )
+
+    posidx = str(tmp_path_factory.mktemp("http_posidx"))
+    pages = synthesize_pages(spark, 120, partitions=2).selectExpr(
+        "cast(split(url, '/')[4] as long) as doc_id", "url", "text"
+    )
+    P.write_positional_index(pages, posidx)
+    first = pages.orderBy("doc_id").select("text").first()["text"].lower().split()
+    svc = InferenceService(object())  # inference route unused here
+    d = HttpFrontDoor(
+        svc, structured=StructuredSearchService(spark, posidx)
+    ).start()
+    d._pages = pages
+    d._phrase = f"{first[0]} {first[1]}"
+    yield d
+    d.stop()
+
+
+def _structured(door, body):
+    return _post(
+        door, "/search/structured", json.dumps(body).encode(),
+        {"Content-Type": "application/json"},
+    )
+
+
+def test_structured_route_matches_direct_call(spark, sdoor):
+    import sifter_mrc_search_engine_spark.operators.positional as P
+
+    code, out = _structured(sdoor, {"type": "phrase", "phrase": sdoor._phrase})
+    assert code == 200 and out["type"] == "phrase" and out["hits"]
+    direct = P.phrase_topk(sdoor._pages, sdoor._phrase).collect()
+    assert [(h["doc_id"], round(h["score"], 4)) for h in out["hits"]] == [
+        (r["doc_id"], round(r["score"], 4)) for r in direct
+    ]
+    # every other shape answers 200 with rank-ordered hits
+    for body in [
+        {"type": "slop", "phrase": sdoor._phrase, "slop": 2},
+        {"type": "near", "question": sdoor._phrase, "window": 4},
+        {"type": "prefix", "prefix": sdoor._phrase.split()[0][:2]},
+        {"type": "wildcard", "pattern": sdoor._phrase.split()[0][:2] + "*"},
+        {"type": "fuzzy", "term": sdoor._phrase.split()[0], "max_edits": 1},
+        {"type": "bool", "must": [sdoor._phrase.split()[0]]},
+    ]:
+        code, out = _structured(sdoor, body)
+        assert code == 200 and out["hits"], body
+        scores = [h["score"] for h in out["hits"]]
+        assert scores == sorted(scores, reverse=True), body
+
+
+def test_structured_route_validation(sdoor, door):
+    # miss is a 200 with empty hits, not an error
+    code, out = _structured(sdoor, {"type": "phrase", "phrase": "zzz qqq"})
+    assert code == 200 and out["hits"] == []
+    cases = [
+        ({"type": "nope"}, "type"),
+        ({"type": "phrase"}, "phrase"),
+        ({"type": "slop", "phrase": "a b", "slop": -1}, "slop"),
+        ({"type": "fuzzy", "term": "ab", "max_edits": "x"}, "max_edits"),
+        ({"type": "bool", "must": "notalist"}, "must"),
+        ({"type": "phrase", "phrase": "a", "top_k": 99}, "top_k"),
+        ({"type": "wildcard", "pattern": "**"}, "pattern"),
+    ]
+    for body, needle in cases:
+        code, out = _structured(sdoor, body)
+        assert code == 400 and needle in out["detail"], (body, out)
+    code, out = _post(
+        sdoor, "/search/structured", b"{bad json",
+        {"Content-Type": "application/json"},
+    )
+    assert code == 400
+    # a front door started WITHOUT the structured tier 404s the route
+    code, out = _structured(door, {"type": "phrase", "phrase": "a b"})
+    assert code == 404
