@@ -4,7 +4,12 @@
         --input  /path/to/pages_parquet \
         --output /path/to/index_dir \
         [--buckets 64] [--id-col doc_id] [--text-col text] \
-        [--html] [--fields title,content] [--max-buckets N]
+        [--html] [--fields title,content] [--max-buckets N] \
+        [--positional-output /path/to/pos_index_dir [--pos-buckets 64]]
+
+``--positional-output``: ALSO write the positional index (phrase /
+slop / NEAR / prefix / wildcard / fuzzy / bool serving tier) from the
+same cleaned corpus in the same submit.
 
 ``--html``: extract text from the ``html`` binary column first (the
 byte-identical reference cleaning pipeline). ``--fields``: concatenate the
@@ -36,6 +41,10 @@ def main(argv=None) -> None:
     ap.add_argument("--html", action="store_true", help="extract from html binary column")
     ap.add_argument("--fields", default=None, help="comma list of searchField columns to concat")
     ap.add_argument("--max-buckets", type=int, default=None, help="fault-injection / partial run")
+    ap.add_argument("--positional-output", default=None,
+                    help="also write the positional index (structured query tier) here")
+    ap.add_argument("--pos-buckets", type=int, default=None,
+                    help="positional index bucket modulus (default: operator default)")
     args = ap.parse_args(argv)
 
     from sifter_mrc_search_engine_spark.functions.cleaning import extract_html_udf
@@ -66,6 +75,17 @@ def main(argv=None) -> None:
         docs, args.output, id_col=args.id_col, text_col=text_col,
         buckets=args.buckets, max_buckets_this_run=args.max_buckets,
     )
+    if args.positional_output:
+        from sifter_mrc_search_engine_spark.operators.positional import (
+            TERM_BUCKETS_POS,
+            write_positional_index,
+        )
+
+        pos_stats = write_positional_index(
+            docs, args.positional_output, id_col=args.id_col,
+            text_col=text_col, buckets=args.pos_buckets or TERM_BUCKETS_POS,
+        )
+        summary = {**summary, "positional": pos_stats}
     print(json.dumps(summary))
 
 

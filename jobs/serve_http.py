@@ -2,12 +2,15 @@
 
     spark-submit --py-files sifter_pkg.zip jobs/serve_http.py \
         --index /path/to/index_dir [--port 8000] [--buckets 64] \
-        [--meta /path/to/docmeta.parquet] [--preload]
+        [--meta /path/to/docmeta.parquet] [--preload] \
+        [--positional-index /path/to/pos_index_dir]
 
 Routes (reference: modules/mrc_service/server.py):
   GET  /inference?question=&top_k=&doc_page_size=&domain=
   POST /inference            (JSON body, same parameters)
   POST /inference/file       (multipart: question + file)
+  POST /search/structured    (phrase/slop/near/prefix/wildcard/fuzzy/bool
+                              — only when --positional-index is given)
 
 ``--meta`` points at a parquet of (doc_id, DOCID, title, url, content)
 document metadata for the answer back-join; ``--preload`` pulls postings
@@ -29,6 +32,8 @@ def main(argv=None) -> None:
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--meta", default=None)
     ap.add_argument("--preload", action="store_true")
+    ap.add_argument("--positional-index", default=None,
+                    help="positional index dir: enables POST /search/structured")
     args = ap.parse_args(argv)
 
     from sifter_mrc_search_engine_spark.plans.http_service import HttpFrontDoor
@@ -45,7 +50,16 @@ def main(argv=None) -> None:
             }
             for r in spark.read.parquet(args.meta).collect()
         }
-    door = HttpFrontDoor(InferenceService(searcher, meta), port=args.port).start()
+    structured = None
+    if args.positional_index:
+        from sifter_mrc_search_engine_spark.plans.structured import (
+            StructuredSearchService,
+        )
+
+        structured = StructuredSearchService(spark, args.positional_index)
+    door = HttpFrontDoor(
+        InferenceService(searcher, meta), port=args.port, structured=structured
+    ).start()
     print(f"serving on http://127.0.0.1:{door.port} (ctrl-c to stop)", flush=True)
     stop = []
     signal.signal(signal.SIGTERM, lambda *a: stop.append(1))

@@ -92,3 +92,30 @@ def test_read_corpus_explicit_prefix_raises_plain_catalog_error(spark):
     with pytest.raises(Exception) as ei:
         read_corpus(spark, "table:definitely_missing_xyz")
     assert not isinstance(ei.value, ValueError)
+
+
+def test_build_index_job_writes_positional_tier(spark, tmp_path, capsys):
+    """--positional-output writes the structured-query index in the same
+    submit; a structured query serves from the produced dir."""
+    import json
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from jobs.build_index import main as job_main
+
+    import sifter_mrc_search_engine_spark.operators.positional as P
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(i, f"alpha beta structured tier document {i}") for i in range(8)],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    out, pos = str(tmp_path / "idx"), str(tmp_path / "posidx")
+    job_main(["--input", src, "--output", out, "--buckets", "4",
+              "--positional-output", pos, "--pos-buckets", "8"])
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["positional"]["n_docs"] == 8
+    assert summary["positional"]["buckets"] == 8
+    hits = P.phrase_topk_indexed(spark, pos, "alpha beta").collect()
+    assert len(hits) == 8
