@@ -1,0 +1,158 @@
+"""Small-sidecar file I/O on whatever filesystem a path lives on.
+
+Index directories carry tiny driver-written sidecars next to their
+parquet halves (stats.json, _manifest.jsonl, centroids.json). On a real
+cluster those directories live on shared storage (HDFS / S3 / GCS), so
+sidecar I/O must route through the JVM Hadoop FileSystem exactly like
+the parquet halves do — a pathlib-only sidecar would strand the index
+metadata on one machine's local disk. Scheme-less paths stay on fast
+pathlib (the local tier and every test); any ``scheme://`` path uses
+the Hadoop FS bound to the active session's configuration, so whatever
+credentials/committers the job configured for parquet apply to the
+sidecars too.
+
+``file://`` URIs intentionally take the JVM branch — that is how the
+remote code path is exercised in tests without a real object store.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import SparkSession
+
+
+def is_remote(path: str) -> bool:
+    return "://" in str(path)
+
+
+def _session(spark: SparkSession | None) -> SparkSession:
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError(
+            "remote sidecar I/O needs an active SparkSession (Hadoop FS "
+            "access goes through the session's JVM)"
+        )
+    return spark
+
+
+def _fs(path: str, spark: SparkSession | None):
+    spark = _session(spark)
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath, hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+
+
+def exists(path: str, spark: SparkSession | None = None) -> bool:
+    if not is_remote(path):
+        return Path(path).exists()
+    hpath, fs = _fs(path, spark)
+    return fs.exists(hpath)
+
+
+def read_text(path: str, spark: SparkSession | None = None) -> str:
+    """Read a small text sidecar. Remote paths stream through the Hadoop
+    FileSystem directly — NOT ``spark.read.text``, whose file listing
+    silently ignores underscore-prefixed names like ``_manifest.jsonl``
+    (they classify as metadata files)."""
+    if not is_remote(path):
+        return Path(path).read_text()
+    spark = _session(spark)
+    hpath, fs = _fs(path, spark)
+    jvm = spark._jvm
+    stream = fs.open(hpath)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    try:
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, 4096, False)
+    finally:
+        stream.close()
+    return baos.toString("UTF-8")
+
+
+def write_text(path: str, text: str, spark: SparkSession | None = None) -> None:
+    if not is_remote(path):
+        p = Path(path)
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_text(text)
+        return
+    hpath, fs = _fs(path, spark)
+    out = fs.create(hpath, True)
+    try:
+        out.write(bytearray(text.encode()))
+    finally:
+        out.close()
+
+
+def append_text(path: str, text: str, spark: SparkSession | None = None) -> None:
+    """Append to a sidecar (the manifest protocol). Remote stores
+    without native append (S3A raises UnsupportedOperationException)
+    fall back to read-existing + rewrite — manifests are tens of lines,
+    and the build protocol is single-writer by design (one driver owns
+    an index dir), so the rewrite is safe where the append would be."""
+    if not is_remote(path):
+        p = Path(path)
+        p.parent.mkdir(parents=True, exist_ok=True)
+        with p.open("a") as f:
+            f.write(text)
+        return
+    hpath, fs = _fs(path, spark)
+    try:
+        out = fs.append(hpath)
+    except Exception:
+        prev = read_text(path, spark) if fs.exists(hpath) else ""
+        if prev and not prev.endswith("\n"):
+            prev += "\n"
+        return write_text(path, prev + text, spark)
+    try:
+        out.write(bytearray(text.encode()))
+    finally:
+        out.close()
+
+
+def delete(path: str, spark: SparkSession | None = None) -> None:
+    """Remove a sidecar file or derived directory, missing-ok (the
+    invalidate-first protocol calls this for paths that may not exist)."""
+    if not is_remote(path):
+        import shutil
+
+        p = Path(path)
+        if p.is_dir():
+            shutil.rmtree(p, ignore_errors=True)
+        else:
+            p.unlink(missing_ok=True)
+        return
+    hpath, fs = _fs(path, spark)
+    fs.delete(hpath, True)
+
+
+def listdir(path: str, spark: SparkSession | None = None) -> list[str]:
+    """Immediate children of a directory as full paths (empty when the
+    directory does not exist) — segment discovery on any filesystem."""
+    if not is_remote(path):
+        p = Path(path)
+        if not p.exists():
+            return []
+        return [str(c) for c in p.iterdir()]
+    hpath, fs = _fs(path, spark)
+    if not fs.exists(hpath):
+        return []
+    return [st.getPath().toString() for st in fs.listStatus(hpath)]
+
+
+def mtime_ns(path: str, spark: SparkSession | None = None) -> int:
+    """Modification time in nanoseconds — the serving cache's freshness
+    token. Hadoop reports milliseconds; the ns unit is kept so local
+    pathlib (true ns) and remote stores share one cache-key shape."""
+    if not is_remote(path):
+        return Path(path).stat().st_mtime_ns
+    hpath, fs = _fs(path, spark)
+    return int(fs.getFileStatus(hpath).getModificationTime()) * 1_000_000
+
+
+def join(base: str, *parts: str) -> str:
+    """Path join that preserves URI schemes (PurePath would collapse
+    the double slash in ``s3a://``)."""
+    out = str(base).rstrip("/")
+    for p in parts:
+        out += "/" + str(p).strip("/")
+    return out

@@ -36,13 +36,13 @@ block (skip whole blocks without decoding them).
 from __future__ import annotations
 
 import json
-from pathlib import Path
 from typing import Mapping, Sequence
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..constants import BM25_B, BM25_K1, DEFAULT_TOP_K, TERM_BUCKETS
+from ..functions import fsio
 from ..functions.analyzer import analyze, tokenize_expr
 from ..functions.xxhash import term_bucket
 from .bm25 import bm25_contrib_expr, score_fold
@@ -213,7 +213,7 @@ def build_fielded_index(
         write_fielded_term_df(g, f"{index_dir}/term_df")
     finally:
         g.unpersist()
-    (Path(index_dir) / "stats.json").write_text(json.dumps(stats))
+    fsio.write_text(fsio.join(index_dir, "stats.json"), json.dumps(stats))
     return stats
 
 
@@ -663,7 +663,7 @@ class FieldedSearcher:
         self.index_dir = index_dir
         self.buckets = buckets
         self.norms_mode = norms
-        stats = json.loads((Path(index_dir) / "stats.json").read_text())
+        stats = json.loads(fsio.read_text(fsio.join(index_dir, "stats.json")))
         self._stats = stats
         self.n_docs = int(stats["n_docs"])
         self.fields = list(stats["fields"])
@@ -692,7 +692,7 @@ class FieldedSearcher:
         self._avg_wdl_memo: dict[tuple, float] = {}
         # union-df sidecar (idf is weight-independent) -> WAND-prunable
         self._term_df: dict[str, int] = {}
-        if (Path(index_dir) / "term_df").exists():
+        if fsio.exists(fsio.join(index_dir, "term_df")):
             tdf = spark.read.parquet(f"{index_dir}/term_df")
             spent += check_preload_budget(
                 tdf, f"term_df sidecar of {index_dir}",
@@ -862,7 +862,7 @@ def search_bm25f(
     parquet relation instantiation; defaults load from ``index_dir``.
     """
     if stats is None:
-        stats = json.loads((Path(index_dir) / "stats.json").read_text())
+        stats = json.loads(fsio.read_text(fsio.join(index_dir, "stats.json")))
     n_docs = int(stats["n_docs"])
     names = sorted(weights)
     indexed = list(stats.get("fields", names))

@@ -34,7 +34,6 @@ from __future__ import annotations
 
 import json
 import re
-from pathlib import Path
 from typing import Sequence
 
 import numpy as np
@@ -51,6 +50,7 @@ from pyspark.sql.types import (
 )
 
 from ..constants import BM25_B, BM25_K1, DEFAULT_TOP_K
+from ..functions import fsio
 from ..functions.analyzer import analyze
 from .bm25 import bm25_term_scores, sum_in_term_order
 from .compressed_index import write_doclens
@@ -1003,7 +1003,7 @@ def write_positional_index(
     # was WRITTEN with, so a caller can never prune with a mismatched
     # modulus (which would silently drop postings)
     stats = {**stats, "buckets": buckets}
-    Path(path, "stats.json").write_text(json.dumps(stats))
+    fsio.write_text(fsio.join(path, "stats.json"), json.dumps(stats), docs.sparkSession)
     return stats
 
 
@@ -1093,7 +1093,7 @@ def decode_doc_tfs(index_df: DataFrame) -> DataFrame:
 def _index_buckets(index_dir: str) -> int:
     """The bucket modulus the index dir was written with (stats.json is
     authoritative; pre-buckets-field dirs fall back to the default)."""
-    stats = json.loads(Path(index_dir, "stats.json").read_text())
+    stats = json.loads(fsio.read_text(fsio.join(index_dir, "stats.json")))
     return int(stats.get("buckets", TERM_BUCKETS_POS))
 
 
@@ -1132,7 +1132,7 @@ def _scored_from_tfs(
     df, the doclens sidecar, and stats.json's corpus stats, optionally
     restricted (left-semi) to ``matched`` doc_ids — the one scoring tail
     every indexed query shape funnels into."""
-    stats = json.loads(Path(index_dir, "stats.json").read_text())
+    stats = json.loads(fsio.read_text(fsio.join(index_dir, "stats.json"), spark))
     n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
     dl = spark.read.parquet(f"{index_dir}/doclens")
 

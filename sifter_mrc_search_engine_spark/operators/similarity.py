@@ -637,49 +637,28 @@ def write_ivf_embeddings(
 
 
 def _fs_write_text(spark, path: str, text: str) -> None:
-    """Write a small sidecar file on whatever filesystem ``path`` lives
-    on: local paths via pathlib, everything else through the JVM Hadoop
-    FileSystem (the same storage the parquet halves use)."""
-    from pathlib import Path as _Path
+    """Sidecar write on whatever filesystem ``path`` lives on — thin
+    wrapper over the shared :mod:`..functions.fsio` (one copy of the
+    local-vs-Hadoop-FS routing for every index family)."""
+    from ..functions import fsio
 
-    if "://" not in path:
-        p = _Path(path)
-        p.parent.mkdir(parents=True, exist_ok=True)
-        p.write_text(text)
-        return
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    out = fs.create(hpath, True)
-    try:
-        out.write(bytearray(text.encode()))
-    finally:
-        out.close()
+    fsio.write_text(path, text, spark)
 
 
 def _fs_exists(spark, path: str) -> bool:
-    """Existence check on whatever filesystem ``path`` lives on (local
-    via pathlib, remote via the JVM Hadoop FileSystem) — deterministic
-    classification beats catching the reader's exception, which would
-    also swallow a corrupt layout."""
-    from pathlib import Path as _Path
+    """Existence check via the shared :mod:`..functions.fsio` routing —
+    deterministic classification beats catching the reader's exception,
+    which would also swallow a corrupt layout."""
+    from ..functions import fsio
 
-    if "://" not in path:
-        return _Path(path).exists()
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    return fs.exists(hpath)
+    return fsio.exists(path, spark)
 
 
 def _fs_read_text(spark, path: str) -> str:
-    """Read a small sidecar file; remote paths go through
-    ``spark.read.text`` (tiny file, one collect)."""
-    from pathlib import Path as _Path
+    """Sidecar read via the shared :mod:`..functions.fsio` routing."""
+    from ..functions import fsio
 
-    if "://" not in path:
-        return _Path(path).read_text()
-    return "\n".join(r[0] for r in spark.read.text(path).collect())
+    return fsio.read_text(path, spark)
 
 
 def ivf_topk(

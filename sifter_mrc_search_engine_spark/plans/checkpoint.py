@@ -26,7 +26,6 @@ from __future__ import annotations
 
 import json
 import time
-from pathlib import Path
 from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -37,22 +36,22 @@ from ..operators.compressed_index import (
     build_compressed_index,
     release_build_cache,
 )
+from ..functions import fsio
 from ..functions.analyzer import tokenize_expr
 
 
 def read_manifest(index_dir: str) -> list[dict]:
-    p = Path(index_dir) / "_manifest.jsonl"
-    if not p.exists():
+    p = fsio.join(index_dir, "_manifest.jsonl")
+    if not fsio.exists(p):
         return []
-    return [json.loads(line) for line in p.read_text().splitlines() if line.strip()]
+    return [json.loads(line) for line in fsio.read_text(p).splitlines() if line.strip()]
 
 
 def _append_manifest(index_dir: str, rows: Sequence[dict]) -> None:
-    p = Path(index_dir) / "_manifest.jsonl"
-    p.parent.mkdir(parents=True, exist_ok=True)
-    with p.open("a") as f:
-        for r in rows:
-            f.write(json.dumps(r, sort_keys=True) + "\n")
+    fsio.append_text(
+        fsio.join(index_dir, "_manifest.jsonl"),
+        "".join(json.dumps(r, sort_keys=True) + "\n" for r in rows),
+    )
 
 
 _FP_MOD = 1_000_003  # sum of pmod values stays < 2^63 up to ~9e12 rows
@@ -119,7 +118,7 @@ def build_index_resumable(
         # one input scan writes the norms sidecar; stats + fingerprint come
         # from the sidecar (tiny), not further input scans
         stats, fp = _write_doclens_with_stats(docs, f"{index_dir}/doclens", id_col, text_col)
-        (Path(index_dir) / "stats.json").write_text(json.dumps(stats))
+        fsio.write_text(fsio.join(index_dir, "stats.json"), json.dumps(stats), spark)
         _append_manifest(
             index_dir,
             [
@@ -134,7 +133,7 @@ def build_index_resumable(
             ],
         )
     else:
-        stats = json.loads((Path(index_dir) / "stats.json").read_text())
+        stats = json.loads(fsio.read_text(fsio.join(index_dir, "stats.json"), spark))
         fp = input_fingerprint(docs, id_col)
 
     stale = [m for m in manifest if m.get("input_fingerprint") not in (None, fp)]
@@ -265,7 +264,7 @@ def build_fielded_index_resumable(
         missing = missing[:max_buckets_this_run]
     finishes_postings = set(done) | set(missing) == set(range(buckets))
     if have_doclens and not missing and have_term_df:
-        stats = json.loads((Path(index_dir) / "stats.json").read_text())
+        stats = json.loads(fsio.read_text(fsio.join(index_dir, "stats.json"), spark))
         return {
             "resumed": True,
             "built_buckets": [],
@@ -291,7 +290,7 @@ def build_fielded_index_resumable(
         t0 = time.monotonic()
         if not have_doclens:
             stats = write_fielded_doclens(g, docs.count(), fields, index_dir)
-            (Path(index_dir) / "stats.json").write_text(json.dumps(stats))
+            fsio.write_text(fsio.join(index_dir, "stats.json"), json.dumps(stats), spark)
             _append_manifest(
                 index_dir,
                 [
@@ -306,7 +305,7 @@ def build_fielded_index_resumable(
                 ],
             )
         else:
-            stats = json.loads((Path(index_dir) / "stats.json").read_text())
+            stats = json.loads(fsio.read_text(fsio.join(index_dir, "stats.json"), spark))
             if sorted(stats["fields"]) != sorted(fields):
                 raise ValueError(
                     f"manifest at {index_dir} was built for fields "

@@ -191,27 +191,31 @@ def materialize_prepared_corpus(
     otherwise leave exports from the PREVIOUS corpus passing their own
     ``_EXPORT_OPTS`` check against a corpus rebuilt under new flags."""
     import json as _json
-    from pathlib import Path as _Path
+
+    from ..functions import fsio
 
     clean_dir = f"{output}/clean_corpus"
-    audit_path = _Path(output, "prepare_audit.json")
+    audit_path = fsio.join(output, "prepare_audit.json")
     cached_opts = None
-    if audit_path.exists():
-        cached_opts = _json.loads(audit_path.read_text()).get("_prepare_opts")
-    reusable = _Path(clean_dir, "_SUCCESS").exists() and cached_opts == prepare_opts
+    if fsio.exists(audit_path, spark):
+        cached_opts = _json.loads(fsio.read_text(audit_path, spark)).get("_prepare_opts")
+    reusable = (
+        fsio.exists(fsio.join(clean_dir, "_SUCCESS"), spark)
+        and cached_opts == prepare_opts
+    )
     if not reusable:  # fresh run, crashed write, or changed inputs/flags
         # INVALIDATE FIRST, publish last: the corpus write and the audit
         # collect are two separate Spark jobs — a crash between them
         # must not leave the NEW corpus guarded by the OLD fingerprint
         # (a later run with the old flags would see a matching audit +
         # _SUCCESS and silently serve the wrong corpus)
-        audit_path.unlink(missing_ok=True)
-        clear_derived(output, stale_paths)
+        fsio.delete(audit_path, spark)
+        clear_derived(output, stale_paths, spark)
         clean.write.mode("overwrite").parquet(clean_dir)
         audit_row = audit.collect()[0].asDict() | {"_prepare_opts": prepare_opts}
-        audit_path.write_text(_json.dumps(audit_row))
+        fsio.write_text(audit_path, _json.dumps(audit_row), spark)
     else:
-        audit_row = _json.loads(audit_path.read_text())
+        audit_row = _json.loads(fsio.read_text(audit_path, spark))
     return spark.read.parquet(clean_dir), audit_row
 
 
@@ -285,20 +289,15 @@ def raw_input_fingerprint(path: str, spark=None) -> str:
     return f"ref:{path}"
 
 
-def clear_derived(output: str, paths) -> None:
+def clear_derived(output: str, paths, spark=None) -> None:
     """Remove derived artifacts (dirs or files) under ``output`` — the
     ONE clear routine shared by the corpus fingerprint and any
     artifact-specific guards (e.g. the index --buckets guard), so the
     two can't drift on which paths count as derived."""
-    import shutil as _shutil
-    from pathlib import Path as _Path
+    from ..functions import fsio
 
     for stale in paths:
-        p = _Path(output, stale)
-        if p.is_dir():
-            _shutil.rmtree(p, ignore_errors=True)
-        else:
-            p.unlink(missing_ok=True)
+        fsio.delete(fsio.join(output, stale), spark)
 
 
 #: everything the index build derives from the clean corpus — used by

@@ -21,7 +21,6 @@ query's postings rows are joined to it and the WAND kernel runs inside
 from __future__ import annotations
 
 import json
-from pathlib import Path
 from typing import Sequence
 
 import numpy as np
@@ -37,6 +36,7 @@ from pyspark.sql.types import (
 )
 
 from ..constants import DEFAULT_TOP_K, MAX_TOP_K, TERM_BUCKETS
+from ..functions import fsio
 from ..functions.analyzer import analyze
 from ..functions.xxhash import term_bucket
 from ..operators.compressed_index import (
@@ -75,15 +75,15 @@ def _load_norms(
     costs zero additional driver memory, so it must neither pay the
     estimate aggregate nor be refusable (r5 review).
     """
-    stats_path = Path(index_dir) / "stats.json"
-    key = (index_dir, stats_path.stat().st_mtime_ns)
+    stats_path = fsio.join(index_dir, "stats.json")
+    key = (index_dir, fsio.mtime_ns(stats_path, spark))
     if key in _DOCLEN_CACHE:
         return _DOCLEN_CACHE[key]
     # evict superseded versions of the same index — a rebuild-per-batch
     # process must not pin every generation's doclen array forever
     for stale in [k for k in _DOCLEN_CACHE if k[0] == index_dir]:
         del _DOCLEN_CACHE[stale]
-    stats = json.loads(stats_path.read_text())
+    stats = json.loads(fsio.read_text(stats_path, spark))
     doclens_df = spark.read.parquet(f"{index_dir}/doclens")
     check_preload_budget(doclens_df, f"doclens of {index_dir}", budget_bytes)
     rows = doclens_df.collect()
@@ -139,7 +139,7 @@ class IndexSearcher:
         self.buckets = buckets
         self.norms_mode = norms
         self.postings = spark.read.parquet(f"{index_dir}/postings")
-        stats = json.loads((Path(index_dir) / "stats.json").read_text())
+        stats = json.loads(fsio.read_text(fsio.join(index_dir, "stats.json"), spark))
         self.n_docs, self.avgdl = int(stats["n_docs"]), float(stats["avgdl"])
         self._doclen = None  # lazy: join-mode never touches it
         self._preload_budget = preload_budget_bytes

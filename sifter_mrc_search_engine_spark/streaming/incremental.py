@@ -25,12 +25,12 @@ from __future__ import annotations
 
 import json
 import time
-from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..constants import BM25_B, BM25_K1, DEFAULT_TOP_K, MAX_TOP_K, TERM_BUCKETS
+from ..functions import fsio
 from ..functions.analyzer import analyze, tokenize_expr
 from ..operators.compressed_index import (
     DEFAULT_PRELOAD_BUDGET_BYTES,
@@ -56,8 +56,8 @@ def _write_segment(batch_df: DataFrame, seg_dir: str, buckets: int) -> None:
              "avgdl": (dl_sum / n_docs) if n_docs else 0.0}
     idx = build_compressed_index(batch_df, buckets=buckets, stats=(n_docs, stats["avgdl"]))
     idx.write.mode("overwrite").partitionBy("bucket").parquet(f"{seg_dir}/postings")
-    (Path(seg_dir) / "stats.json").write_text(json.dumps(stats))
-    (Path(seg_dir) / "_SEGMENT_COMMITTED").write_text(str(int(time.time() * 1000)))
+    fsio.write_text(fsio.join(seg_dir, "stats.json"), json.dumps(stats))
+    fsio.write_text(fsio.join(seg_dir, "_SEGMENT_COMMITTED"), str(int(time.time() * 1000)))
 
 
 def stream_build_index(
@@ -93,7 +93,7 @@ def stream_build_index(
 
 
 def _segment_batch_id(path: str) -> int:
-    name = Path(path).name
+    name = str(path).rstrip("/").rsplit("/", 1)[-1]
     try:
         return int(name.split("=", 1)[1])
     except (IndexError, ValueError):
@@ -104,10 +104,10 @@ def list_segments(index_dir: str) -> list[str]:
     """Committed segments in BATCH order — numeric on the seg={batch_id}
     suffix, NOT lexicographic (seg=10 sorts after seg=9, not after
     seg=1); compaction's keep-latest dedupe depends on this order."""
-    base = Path(index_dir) / "segments"
-    if not base.exists():
-        return []
-    segs = [str(p) for p in base.iterdir() if (p / "_SEGMENT_COMMITTED").exists()]
+    segs = [
+        p for p in fsio.listdir(fsio.join(index_dir, "segments"))
+        if fsio.exists(fsio.join(p, "_SEGMENT_COMMITTED"))
+    ]
     return sorted(segs, key=lambda s: (_segment_batch_id(s), s))
 
 
@@ -144,7 +144,7 @@ class MultiSegmentSearcher:
             raise ValueError(f"no committed segments under {index_dir}")
         n, s = 0, 0
         for seg in self.segments:
-            st = json.loads((Path(seg) / "stats.json").read_text())
+            st = json.loads(fsio.read_text(fsio.join(seg, "stats.json")))
             n += st["n_docs"]
             s += st["dl_sum"]
         dl = None
@@ -305,7 +305,7 @@ def compact_segments(
     idx.write.mode("overwrite").partitionBy("bucket").parquet(
         f"{index_dir}/compacted/postings"
     )
-    (Path(index_dir) / "compacted" / "stats.json").write_text(json.dumps(stats))
+    fsio.write_text(fsio.join(index_dir, "compacted", "stats.json"), json.dumps(stats))
     return f"{index_dir}/compacted"
 
 
@@ -348,8 +348,8 @@ def stream_build_fielded_index(
             return
         seg_dir = f"{index_dir}/segments/seg={batch_id}"
         build_fielded_index(batch_df, fields, seg_dir, buckets=buckets)
-        (Path(seg_dir) / "_SEGMENT_COMMITTED").write_text(
-            str(int(time.time() * 1000))
+        fsio.write_text(
+            fsio.join(seg_dir, "_SEGMENT_COMMITTED"), str(int(time.time() * 1000))
         )
 
     writer = (
@@ -408,7 +408,7 @@ class FieldedMultiSegmentSearcher:
         len_sums: dict[str, int] = {}
         fields: list[str] | None = None
         for seg in self.segments:
-            st = json.loads((Path(seg) / "stats.json").read_text())
+            st = json.loads(fsio.read_text(fsio.join(seg, "stats.json")))
             if fields is None:
                 fields = list(st["fields"])
             elif list(st["fields"]) != fields:
@@ -494,7 +494,7 @@ class FieldedMultiSegmentSearcher:
             paths = [
                 f"{seg}/term_df"
                 for seg in self.segments
-                if (Path(seg) / "term_df").exists()
+                if fsio.exists(fsio.join(seg, "term_df"))
             ]
             if len(paths) == len(self.segments):
                 tdf = (
@@ -586,7 +586,7 @@ def compact_fielded_segments(
     n_docs_sum = 0
     fields: list[str] | None = None
     for seg in segs:
-        st = json.loads((Path(seg) / "stats.json").read_text())
+        st = json.loads(fsio.read_text(fsio.join(seg, "stats.json")))
         n_docs_sum += int(st["n_docs"])
         if fields is None:
             fields = list(st["fields"])
@@ -655,5 +655,5 @@ def compact_fielded_segments(
         .write.mode("overwrite")
         .parquet(f"{out_dir}/term_df")
     )
-    (Path(out_dir) / "stats.json").write_text(json.dumps(stats))
+    fsio.write_text(fsio.join(out_dir, "stats.json"), json.dumps(stats))
     return out_dir

@@ -131,14 +131,9 @@ def _dir_exists(spark, path: str) -> bool:
     CHECKING, not by sniffing exception classes (an ``AnalysisException``
     catch around the read would also swallow an unreadable store and
     silently re-admit duplicates)."""
-    if "://" not in path:
-        from pathlib import Path
+    from ..functions import fsio
 
-        return Path(path).exists()
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    return fs.exists(hpath)
+    return fsio.exists(path, spark)
 
 
 def stream_near_dup(
