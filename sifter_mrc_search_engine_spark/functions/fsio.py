@@ -17,13 +17,22 @@ remote code path is exercised in tests without a real object store.
 
 from __future__ import annotations
 
+import re
 from pathlib import Path
 
 from pyspark.sql import SparkSession
 
+#: a URI scheme prefix — including the AUTHORITY-LESS form Hadoop's
+#: Path.toString() produces (``file:/tmp/x``, not ``file:///tmp/x``):
+#: fs.listStatus stringifies children without the ``//`` when the URI
+#: authority is null, and classifying those as local would resolve them
+#: as relative pathlib paths that never exist (live-repro'd via
+#: list_segments on a file:// streaming index returning []).
+_SCHEME = re.compile(r"[a-zA-Z][a-zA-Z0-9+.-]+:/")
+
 
 def is_remote(path: str) -> bool:
-    return "://" in str(path)
+    return bool(_SCHEME.match(str(path)))
 
 
 def _session(spark: SparkSession | None) -> SparkSession:
@@ -96,10 +105,21 @@ def append_text(path: str, text: str, spark: SparkSession | None = None) -> None
             f.write(text)
         return
     hpath, fs = _fs(path, spark)
+    if not fs.exists(hpath):
+        return write_text(path, text, spark)
     try:
         out = fs.append(hpath)
-    except Exception:
-        prev = read_text(path, spark) if fs.exists(hpath) else ""
+    except Exception as e:
+        # fall back ONLY for stores that genuinely lack append (S3A
+        # raises UnsupportedOperationException); auth/network/lease
+        # errors must surface — a blind read+rewrite after a transient
+        # failure risks truncating the manifest the append would have
+        # left intact
+        jexc = getattr(e, "java_exception", None)
+        name = jexc.getClass().getName() if jexc is not None else type(e).__name__
+        if "UnsupportedOperation" not in name and "NotImplemented" not in name:
+            raise
+        prev = read_text(path, spark)
         if prev and not prev.endswith("\n"):
             prev += "\n"
         return write_text(path, prev + text, spark)
@@ -140,13 +160,29 @@ def listdir(path: str, spark: SparkSession | None = None) -> list[str]:
 
 
 def mtime_ns(path: str, spark: SparkSession | None = None) -> int:
-    """Modification time in nanoseconds — the serving cache's freshness
-    token. Hadoop reports milliseconds; the ns unit is kept so local
-    pathlib (true ns) and remote stores share one cache-key shape."""
+    """Modification time in nanoseconds. Hadoop reports milliseconds;
+    the ns unit is kept so local pathlib (true ns) and remote stores
+    share one shape."""
     if not is_remote(path):
         return Path(path).stat().st_mtime_ns
     hpath, fs = _fs(path, spark)
     return int(fs.getFileStatus(hpath).getModificationTime()) * 1_000_000
+
+
+def freshness_token(path: str, spark: SparkSession | None = None) -> tuple:
+    """(mtime_ns, size) — the cache-invalidation key for sidecar-derived
+    driver state. mtime alone is NOT enough remotely: Hadoop mtime is
+    millisecond-or-coarser, so a rebuild that rewrites the sidecar
+    within the same tick would serve stale cached state; the size
+    component catches any rewrite whose content length changed (and
+    stats.json for a different corpus virtually always differs in
+    length)."""
+    if not is_remote(path):
+        st = Path(path).stat()
+        return (st.st_mtime_ns, st.st_size)
+    hpath, fs = _fs(path, spark)
+    st = fs.getFileStatus(hpath)
+    return (int(st.getModificationTime()) * 1_000_000, int(st.getLen()))
 
 
 def join(base: str, *parts: str) -> str:

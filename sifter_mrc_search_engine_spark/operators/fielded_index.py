@@ -213,7 +213,9 @@ def build_fielded_index(
         write_fielded_term_df(g, f"{index_dir}/term_df")
     finally:
         g.unpersist()
-    fsio.write_text(fsio.join(index_dir, "stats.json"), json.dumps(stats))
+    fsio.write_text(
+        fsio.join(index_dir, "stats.json"), json.dumps(stats), docs.sparkSession
+    )
     return stats
 
 
@@ -663,7 +665,7 @@ class FieldedSearcher:
         self.index_dir = index_dir
         self.buckets = buckets
         self.norms_mode = norms
-        stats = json.loads(fsio.read_text(fsio.join(index_dir, "stats.json")))
+        stats = json.loads(fsio.read_text(fsio.join(index_dir, "stats.json"), spark))
         self._stats = stats
         self.n_docs = int(stats["n_docs"])
         self.fields = list(stats["fields"])
@@ -692,7 +694,7 @@ class FieldedSearcher:
         self._avg_wdl_memo: dict[tuple, float] = {}
         # union-df sidecar (idf is weight-independent) -> WAND-prunable
         self._term_df: dict[str, int] = {}
-        if fsio.exists(fsio.join(index_dir, "term_df")):
+        if fsio.exists(fsio.join(index_dir, "term_df"), spark):
             tdf = spark.read.parquet(f"{index_dir}/term_df")
             spent += check_preload_budget(
                 tdf, f"term_df sidecar of {index_dir}",
@@ -862,7 +864,7 @@ def search_bm25f(
     parquet relation instantiation; defaults load from ``index_dir``.
     """
     if stats is None:
-        stats = json.loads(fsio.read_text(fsio.join(index_dir, "stats.json")))
+        stats = json.loads(fsio.read_text(fsio.join(index_dir, "stats.json"), spark))
     n_docs = int(stats["n_docs"])
     names = sorted(weights)
     indexed = list(stats.get("fields", names))

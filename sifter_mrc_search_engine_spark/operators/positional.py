@@ -1090,10 +1090,10 @@ def decode_doc_tfs(index_df: DataFrame) -> DataFrame:
     )
 
 
-def _index_buckets(index_dir: str) -> int:
+def _index_buckets(index_dir: str, spark: SparkSession | None = None) -> int:
     """The bucket modulus the index dir was written with (stats.json is
     authoritative; pre-buckets-field dirs fall back to the default)."""
-    stats = json.loads(fsio.read_text(fsio.join(index_dir, "stats.json")))
+    stats = json.loads(fsio.read_text(fsio.join(index_dir, "stats.json"), spark))
     return int(stats.get("buckets", TERM_BUCKETS_POS))
 
 
@@ -1183,7 +1183,7 @@ def phrase_topk_indexed(
     slots = phrase_terms(phrase)
     if not slots:
         return spark.createDataFrame([], "doc_id long, score double")
-    posts = _load_posts(spark, index_dir, sorted(set(slots)), _index_buckets(index_dir))
+    posts = _load_posts(spark, index_dir, sorted(set(slots)), _index_buckets(index_dir, spark))
     occ = posts.select("term", "doc_id", F.explode("positions").alias("pos"))
     matched = _anchor_match(occ, slots)
     return _indexed_scored(spark, index_dir, posts, matched, top_k, k1, b)
@@ -1207,7 +1207,7 @@ def near_topk_indexed(
     uterms = sorted(set(analyze(question)))
     if not uterms:
         return spark.createDataFrame([], "doc_id long, score double")
-    posts = _load_posts(spark, index_dir, uterms, _index_buckets(index_dir))
+    posts = _load_posts(spark, index_dir, uterms, _index_buckets(index_dir, spark))
     occ = posts.select("term", "doc_id", F.explode("positions").alias("pos"))
     matched = _min_cover_match(occ, uterms, window)
     return _indexed_scored(spark, index_dir, posts, matched, top_k, k1, b)
@@ -1230,7 +1230,7 @@ def phrase_slop_topk_indexed(
     slots = phrase_terms(phrase)
     if not slots:
         return spark.createDataFrame([], "doc_id long, score double")
-    posts = _load_posts(spark, index_dir, sorted(set(slots)), _index_buckets(index_dir))
+    posts = _load_posts(spark, index_dir, sorted(set(slots)), _index_buckets(index_dir, spark))
     occ = posts.select("term", "doc_id", F.explode("positions").alias("pos"))
     matched = _ordered_chain_match(occ, slots, len(slots) + slop)
     return _indexed_scored(spark, index_dir, posts, matched, top_k, k1, b)
@@ -1356,7 +1356,7 @@ def bool_topk_indexed(
         return spark.createDataFrame([], "doc_id long, score double")
     all_t = sorted(set(score_t) | set(not_t))
     tf = _load_posts(
-        spark, index_dir, all_t, _index_buckets(index_dir), with_positions=False
+        spark, index_dir, all_t, _index_buckets(index_dir, spark), with_positions=False
     )
     match = _bool_match_ids(tf, must_t, score_t, not_t)
     score_tf = tf.filter(F.col("term").isin(score_t))

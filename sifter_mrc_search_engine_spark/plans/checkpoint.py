@@ -40,17 +40,28 @@ from ..functions import fsio
 from ..functions.analyzer import tokenize_expr
 
 
-def read_manifest(index_dir: str) -> list[dict]:
+def read_manifest(index_dir: str, spark: SparkSession | None = None) -> list[dict]:
     p = fsio.join(index_dir, "_manifest.jsonl")
-    if not fsio.exists(p):
+    if not fsio.exists(p, spark):
         return []
-    return [json.loads(line) for line in fsio.read_text(p).splitlines() if line.strip()]
+    return [
+        json.loads(line)
+        for line in fsio.read_text(p, spark).splitlines()
+        if line.strip()
+    ]
 
 
-def _append_manifest(index_dir: str, rows: Sequence[dict]) -> None:
+def _append_manifest(
+    index_dir: str, rows: Sequence[dict], spark: SparkSession | None = None
+) -> None:
+    """``spark`` is passed EXPLICITLY from the builders (which always
+    hold one): inside foreachBatch / py4j callback threads,
+    getActiveSession's thread-local can be absent or a different
+    session with different Hadoop credentials."""
     fsio.append_text(
         fsio.join(index_dir, "_manifest.jsonl"),
         "".join(json.dumps(r, sort_keys=True) + "\n" for r in rows),
+        spark,
     )
 
 
@@ -109,7 +120,7 @@ def build_index_resumable(
     (FIXTURES.md §7). Returns a summary dict.
     """
     spark = docs.sparkSession
-    manifest = read_manifest(index_dir)
+    manifest = read_manifest(index_dir, spark)
     done = {m["bucket"] for m in manifest if "bucket" in m}
     have_doclens = any(m.get("kind") == "doclens" for m in manifest)
 
@@ -131,6 +142,7 @@ def build_index_resumable(
                     "completed_utc_ms": int(time.time() * 1000),
                 }
             ],
+            spark,
         )
     else:
         stats = json.loads(fsio.read_text(fsio.join(index_dir, "stats.json"), spark))
@@ -208,6 +220,7 @@ def build_index_resumable(
             }
             for b in missing
         ],
+        spark,
     )
     return {
         "resumed": bool(done),
@@ -246,7 +259,7 @@ def build_fielded_index_resumable(
     )
 
     spark = docs.sparkSession
-    manifest = read_manifest(index_dir)
+    manifest = read_manifest(index_dir, spark)
     done = {m["bucket"] for m in manifest if "bucket" in m}
     have_doclens = any(m.get("kind") == "doclens" for m in manifest)
     have_term_df = any(m.get("kind") == "term_df" for m in manifest)
@@ -303,6 +316,7 @@ def build_fielded_index_resumable(
                         "completed_utc_ms": int(time.time() * 1000),
                     }
                 ],
+                spark,
             )
         else:
             stats = json.loads(fsio.read_text(fsio.join(index_dir, "stats.json"), spark))
@@ -353,6 +367,7 @@ def build_fielded_index_resumable(
                     }
                     for b in missing
                 ],
+                spark,
             )
         if finishes_postings and not have_term_df:
             t2 = time.monotonic()
@@ -367,6 +382,7 @@ def build_fielded_index_resumable(
                         "completed_utc_ms": int(time.time() * 1000),
                     }
                 ],
+                spark,
             )
     finally:
         if persisted:

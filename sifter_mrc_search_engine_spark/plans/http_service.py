@@ -130,7 +130,9 @@ def make_handler(service: InferenceService, structured=None):
                     return self._send(400, {"detail": "invalid JSON body"})
                 try:
                     return self._send(200, structured.search(params))
-                except ValidationError as e:
+                except (ValidationError, ValueError, TypeError) as e:
+                    # same client-error envelope as /inference: malformed
+                    # knobs must 400, never drop the connection
                     return self._send(400, {"detail": str(e)})
             if url.path == "/inference/file":
                 ctype = self.headers.get("Content-Type", "")

@@ -52,7 +52,8 @@ _DOCLEN_CACHE: dict[tuple, tuple] = {}
 def invalidate_norms_cache(index_dir: str | None = None) -> None:
     """Drop cached norms for ``index_dir`` (or all). Build/compaction
     paths need not call this — the cache key includes the stats.json
-    mtime, so a rebuilt index at the same path misses naturally."""
+    freshness token (mtime+size), so a rebuilt index at the same path
+    misses naturally."""
     if index_dir is None:
         _DOCLEN_CACHE.clear()
         return
@@ -65,7 +66,7 @@ def _load_norms(
 ):
     """(doclen lookup, n_docs, avgdl), cached per (index_dir, freshness).
 
-    The freshness token is stats.json's mtime_ns: rebuilding or
+    The freshness token is stats.json's (mtime_ns, size): rebuilding or
     compacting an index at the same path in one process must not serve
     stale doc lengths. Dense numpy array when doc_ids are nonnegative
     and reasonably packed (fast vectorized lookups); dict fallback for
@@ -76,7 +77,7 @@ def _load_norms(
     estimate aggregate nor be refusable (r5 review).
     """
     stats_path = fsio.join(index_dir, "stats.json")
-    key = (index_dir, fsio.mtime_ns(stats_path, spark))
+    key = (index_dir, fsio.freshness_token(stats_path, spark))
     if key in _DOCLEN_CACHE:
         return _DOCLEN_CACHE[key]
     # evict superseded versions of the same index — a rebuild-per-batch

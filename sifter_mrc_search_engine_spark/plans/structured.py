@@ -51,7 +51,8 @@ class StructuredSearchService:
     ``{"hits": [{"doc_id": int, "score": float}, ...]}`` in engine rank
     order (score desc, doc_id asc — the repo-wide tie-break)."""
 
-    #: type -> (handler name, required param, optional int knobs)
+    #: type -> required string params (every element is validated as a
+    #: non-empty string before dispatch)
     _SHAPES = {
         "phrase": ("phrase",),
         "slop": ("phrase",),
@@ -67,9 +68,12 @@ class StructuredSearchService:
         self.index_dir = index_dir
 
     def _int(self, params: dict, key: str, default: int | None) -> int | None:
-        v = params.get(key, default)
+        # an explicit JSON null means "use the default" — returning None
+        # for a knob whose default is an int would crash the operator's
+        # range check with a TypeError instead of a 400
+        v = params.get(key)
         if v is None:
-            return None
+            return default
         try:
             return int(v)
         except (TypeError, ValueError):

@@ -56,8 +56,10 @@ def _write_segment(batch_df: DataFrame, seg_dir: str, buckets: int) -> None:
              "avgdl": (dl_sum / n_docs) if n_docs else 0.0}
     idx = build_compressed_index(batch_df, buckets=buckets, stats=(n_docs, stats["avgdl"]))
     idx.write.mode("overwrite").partitionBy("bucket").parquet(f"{seg_dir}/postings")
-    fsio.write_text(fsio.join(seg_dir, "stats.json"), json.dumps(stats))
-    fsio.write_text(fsio.join(seg_dir, "_SEGMENT_COMMITTED"), str(int(time.time() * 1000)))
+    fsio.write_text(fsio.join(seg_dir, "stats.json"), json.dumps(stats), spark)
+    fsio.write_text(
+        fsio.join(seg_dir, "_SEGMENT_COMMITTED"), str(int(time.time() * 1000)), spark
+    )
 
 
 def stream_build_index(
@@ -100,13 +102,13 @@ def _segment_batch_id(path: str) -> int:
         return -1
 
 
-def list_segments(index_dir: str) -> list[str]:
+def list_segments(index_dir: str, spark: SparkSession | None = None) -> list[str]:
     """Committed segments in BATCH order — numeric on the seg={batch_id}
     suffix, NOT lexicographic (seg=10 sorts after seg=9, not after
     seg=1); compaction's keep-latest dedupe depends on this order."""
     segs = [
-        p for p in fsio.listdir(fsio.join(index_dir, "segments"))
-        if fsio.exists(fsio.join(p, "_SEGMENT_COMMITTED"))
+        p for p in fsio.listdir(fsio.join(index_dir, "segments"), spark)
+        if fsio.exists(fsio.join(p, "_SEGMENT_COMMITTED"), spark)
     ]
     return sorted(segs, key=lambda s: (_segment_batch_id(s), s))
 
@@ -139,12 +141,12 @@ class MultiSegmentSearcher:
         self.spark = spark
         self.buckets = buckets
         self.norms_mode = norms
-        self.segments = list_segments(index_dir)
+        self.segments = list_segments(index_dir, spark)
         if not self.segments:
             raise ValueError(f"no committed segments under {index_dir}")
         n, s = 0, 0
         for seg in self.segments:
-            st = json.loads(fsio.read_text(fsio.join(seg, "stats.json")))
+            st = json.loads(fsio.read_text(fsio.join(seg, "stats.json"), spark))
             n += st["n_docs"]
             s += st["dl_sum"]
         dl = None
@@ -271,7 +273,7 @@ def compact_segments(
     """
     from ..operators.compressed_index import decode_index_df, encode_tf
 
-    segs = list_segments(index_dir)
+    segs = list_segments(index_dir, spark)
     seg_ids = {s: i for i, s in enumerate(segs)}  # list order = batch order
     post = None
     dl = None
@@ -305,7 +307,9 @@ def compact_segments(
     idx.write.mode("overwrite").partitionBy("bucket").parquet(
         f"{index_dir}/compacted/postings"
     )
-    fsio.write_text(fsio.join(index_dir, "compacted", "stats.json"), json.dumps(stats))
+    fsio.write_text(
+        fsio.join(index_dir, "compacted", "stats.json"), json.dumps(stats), spark
+    )
     return f"{index_dir}/compacted"
 
 
@@ -349,7 +353,9 @@ def stream_build_fielded_index(
         seg_dir = f"{index_dir}/segments/seg={batch_id}"
         build_fielded_index(batch_df, fields, seg_dir, buckets=buckets)
         fsio.write_text(
-            fsio.join(seg_dir, "_SEGMENT_COMMITTED"), str(int(time.time() * 1000))
+            fsio.join(seg_dir, "_SEGMENT_COMMITTED"),
+            str(int(time.time() * 1000)),
+            batch_df.sparkSession,
         )
 
     writer = (
@@ -401,14 +407,14 @@ class FieldedMultiSegmentSearcher:
         self.spark = spark
         self.buckets = buckets
         self.preload = preload
-        self.segments = list_segments(index_dir)
+        self.segments = list_segments(index_dir, spark)
         if not self.segments:
             raise ValueError(f"no committed segments under {index_dir}")
         n = 0
         len_sums: dict[str, int] = {}
         fields: list[str] | None = None
         for seg in self.segments:
-            st = json.loads(fsio.read_text(fsio.join(seg, "stats.json")))
+            st = json.loads(fsio.read_text(fsio.join(seg, "stats.json"), spark))
             if fields is None:
                 fields = list(st["fields"])
             elif list(st["fields"]) != fields:
@@ -494,7 +500,7 @@ class FieldedMultiSegmentSearcher:
             paths = [
                 f"{seg}/term_df"
                 for seg in self.segments
-                if fsio.exists(fsio.join(seg, "term_df"))
+                if fsio.exists(fsio.join(seg, "term_df"), self.spark)
             ]
             if len(paths) == len(self.segments):
                 tdf = (
@@ -577,7 +583,7 @@ def compact_fielded_segments(
     from ..operators.compressed_index import decode_index_df, encode_tf
     from ..operators.fielded_index import FIELD_SEP
 
-    segs = list_segments(index_dir)
+    segs = list_segments(index_dir, spark)
     if not segs:
         raise ValueError(f"no committed segments under {index_dir}")
     seg_ids = {s: i for i, s in enumerate(segs)}  # list order = batch order
@@ -586,7 +592,7 @@ def compact_fielded_segments(
     n_docs_sum = 0
     fields: list[str] | None = None
     for seg in segs:
-        st = json.loads(fsio.read_text(fsio.join(seg, "stats.json")))
+        st = json.loads(fsio.read_text(fsio.join(seg, "stats.json"), spark))
         n_docs_sum += int(st["n_docs"])
         if fields is None:
             fields = list(st["fields"])
@@ -655,5 +661,5 @@ def compact_fielded_segments(
         .write.mode("overwrite")
         .parquet(f"{out_dir}/term_df")
     )
-    fsio.write_text(fsio.join(out_dir, "stats.json"), json.dumps(stats))
+    fsio.write_text(fsio.join(out_dir, "stats.json"), json.dumps(stats), spark)
     return out_dir

@@ -25,6 +25,11 @@ def test_fsio_primitives_local_and_remote(spark, tmp_path):
         assert fsio.mtime_ns(p, spark) > 0
         kids = fsio.listdir(fsio.join(base, "a"), spark)
         assert len(kids) == 1 and kids[0].endswith("b.txt")
+        # children must round-trip through fsio: Hadoop stringifies
+        # them AUTHORITY-LESS (file:/x, no //) — misclassifying that as
+        # a local path made list_segments return [] (live-repro'd)
+        assert fsio.exists(kids[0], spark), kids[0]
+        assert "two" in fsio.read_text(kids[0], spark)
         fsio.delete(p, spark)
         assert not fsio.exists(p, spark)
         # deleting a missing path is a no-op, listing a missing dir is []
@@ -106,3 +111,27 @@ def test_prepare_audit_on_remote_style_dir(spark, tmp_path):
     )
     assert row3["_prepare_opts"] == {"flag": 2}
     assert not fsio.exists(stale, spark)
+
+
+def test_streaming_segments_on_remote_style_dir(spark, tmp_path):
+    """The streaming tier end-to-end on a file:// index dir: segment
+    commit markers, discovery (authority-less listdir children), and
+    multi-segment serving."""
+    from sifter_mrc_search_engine_spark.streaming.incremental import (
+        MultiSegmentSearcher,
+        list_segments,
+        stream_build_index,
+    )
+
+    src = str(tmp_path / "in")
+    spark.createDataFrame(
+        [(i, f"alpha beta streamed doc {i}") for i in range(12)],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    idx = f"file://{tmp_path}/streamidx"
+    ckpt = str(tmp_path / "ckpt")
+    stream_build_index(spark, src, idx, ckpt, buckets=4)
+    segs = list_segments(idx, spark)
+    assert segs, "no committed segments discovered on the file:// dir"
+    hits = MultiSegmentSearcher(spark, idx, buckets=4).search("alpha", top_k=5)
+    assert len(hits) == 5

@@ -273,3 +273,21 @@ def test_structured_route_validation(sdoor, door):
     # a front door started WITHOUT the structured tier 404s the route
     code, out = _structured(door, {"type": "phrase", "phrase": "a b"})
     assert code == 404
+
+
+def test_structured_route_null_knobs(sdoor):
+    # explicit JSON null for an int knob means "use the default" — and
+    # must never drop the connection (r5 review: _int returned None and
+    # the range check raised TypeError past the route's handler)
+    code, out = _structured(
+        sdoor, {"type": "phrase", "phrase": sdoor._phrase, "top_k": None}
+    )
+    assert code == 200 and out["hits"]
+    code, out = _structured(
+        sdoor, {"type": "slop", "phrase": sdoor._phrase, "slop": None}
+    )
+    assert code == 200
+    code, out = _structured(
+        sdoor, {"type": "fuzzy", "term": sdoor._phrase.split()[0], "max_edits": None}
+    )
+    assert code == 200
