@@ -92,6 +92,39 @@ def write_text(path: str, text: str, spark: SparkSession | None = None) -> None:
         out.close()
 
 
+def _is_no_append_error(e: Exception) -> bool:
+    """True when the exception means "this store has no append" — the
+    only case the manifest protocol may fall back to read+rewrite.
+    Stores signal it differently (Hadoop 3 ChecksumFileSystem/S3A raise
+    UnsupportedOperationException; Hadoop 2 and dfs.support.append=false
+    raise IOException('Not supported'); connectors may wrap the real
+    cause), so walk the JVM cause chain checking class names AND
+    messages. Auth/network/lease errors match none of these and
+    re-raise."""
+    def _marked(name: str, msg: str) -> bool:
+        return (
+            "UnsupportedOperation" in name
+            or "NotImplemented" in name
+            or "not supported" in msg.lower()
+            or "not implemented" in msg.lower()
+        )
+
+    # PySpark CONVERTS known JVM exceptions into its own captured
+    # classes (pyspark.errors....UnsupportedOperationException) that
+    # carry no java_exception attribute — classify those by python
+    # class name + message
+    if _marked(type(e).__name__, str(e)):
+        return True
+    jexc = getattr(e, "java_exception", None)
+    seen = 0
+    while jexc is not None and seen < 8:
+        if _marked(jexc.getClass().getName(), jexc.getMessage() or ""):
+            return True
+        jexc = jexc.getCause()
+        seen += 1
+    return False
+
+
 def append_text(path: str, text: str, spark: SparkSession | None = None) -> None:
     """Append to a sidecar (the manifest protocol). Remote stores
     without native append (S3A raises UnsupportedOperationException)
@@ -115,9 +148,7 @@ def append_text(path: str, text: str, spark: SparkSession | None = None) -> None
         # errors must surface — a blind read+rewrite after a transient
         # failure risks truncating the manifest the append would have
         # left intact
-        jexc = getattr(e, "java_exception", None)
-        name = jexc.getClass().getName() if jexc is not None else type(e).__name__
-        if "UnsupportedOperation" not in name and "NotImplemented" not in name:
+        if not _is_no_append_error(e):
             raise
         prev = read_text(path, spark)
         if prev and not prev.endswith("\n"):

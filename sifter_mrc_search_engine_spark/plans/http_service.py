@@ -130,10 +130,13 @@ def make_handler(service: InferenceService, structured=None):
                     return self._send(400, {"detail": "invalid JSON body"})
                 try:
                     return self._send(200, structured.search(params))
-                except (ValidationError, ValueError, TypeError) as e:
-                    # same client-error envelope as /inference: malformed
-                    # knobs must 400, never drop the connection
+                except ValidationError as e:
+                    # bad input -> 400 (search() owns classifying it);
+                    # anything else is a SERVER bug -> 500, never a
+                    # dropped connection and never a 400 masquerade
                     return self._send(400, {"detail": str(e)})
+                except Exception as e:
+                    return self._send(500, {"detail": type(e).__name__})
             if url.path == "/inference/file":
                 ctype = self.headers.get("Content-Type", "")
                 if not ctype.startswith("multipart/form-data"):

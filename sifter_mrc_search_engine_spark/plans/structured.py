@@ -83,7 +83,9 @@ class StructuredSearchService:
         if not isinstance(params, dict):
             raise ValidationError("request body must be a JSON object")
         qtype = params.get("type")
-        if qtype not in self._SHAPES:
+        if not isinstance(qtype, str) or qtype not in self._SHAPES:
+            # isinstance first: an unhashable type value ([], {}) would
+            # raise TypeError out of the `in` check instead of a 400
             raise ValidationError(
                 f"type must be one of {sorted(self._SHAPES)}, got {qtype!r}"
             )

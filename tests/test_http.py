@@ -291,3 +291,8 @@ def test_structured_route_null_knobs(sdoor):
         sdoor, {"type": "fuzzy", "term": sdoor._phrase.split()[0], "max_edits": None}
     )
     assert code == 200
+
+
+def test_structured_route_unhashable_type_is_400(sdoor):
+    code, out = _structured(sdoor, {"type": ["phrase"], "phrase": "a b"})
+    assert code == 400 and "type" in out["detail"]
