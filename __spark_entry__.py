@@ -373,6 +373,16 @@ def _q_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.round("score", 4).alias("score"), "snippet")
 
 
+def _q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Related-documents query: BM25 over the source doc's top tf-idf
+    terms, source excluded (operators/mlt.py; term selection pinned to
+    the 9-dp-rounded tf-idf order so engine == twin exactly)."""
+    from sifter_mrc_search_engine_spark.operators import mlt as _mlt
+
+    out = _mlt.more_like_this_topk(_docs(spark, sf_dir), 7, n_terms=8)
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "bm25_topk_flagship": _q_bm25(FLAGSHIP_QUESTION),
@@ -384,6 +394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pos_wildcard_topk": _q_wildcard,
         "pos_fuzzy_topk": _q_fuzzy,
         "bm25_highlight_topk": _q_highlight,
+        "fts_more_like_this": _q_more_like_this,
         "bm25f_topk": _q_bm25f,
         "bm25f_topk_indexed": _q_bm25f_indexed,
         "bm25f_multisegment": _q_bm25f_multisegment,
@@ -518,6 +529,10 @@ _TAIL = [
     "text_lang_id",  # text family keeps 5 entries in the prefix
     "rel_best_order_per_customer",  # argmax variant of rel_topk_orders_customer
     "multimodal_audio_windows",  # plumbing twin of multimodal_image_features (prefix)
+    # NEW r5 (second session), born in the tail because the 50-prefix is
+    # full of this round's other new entries — ROTATE INTO THE HEAD next
+    # round for its first driver row (locally verified at sf0.001+sf0.01)
+    "fts_more_like_this",
 ]
 
 
@@ -653,6 +668,7 @@ def _q_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def oracle_sql() -> dict[str, str]:
+    from sifter_mrc_search_engine_spark.operators import mlt as _mlt
     from sifter_mrc_search_engine_spark.operators import positional as _pos
     from sifter_mrc_search_engine_spark.operators import snippets as _snip
     from sifter_mrc_search_engine_spark.operators.bm25f import bm25f_oracle_sql
@@ -669,6 +685,7 @@ def oracle_sql() -> dict[str, str]:
         "pos_wildcard_topk": _pos.sql_wildcard_topk("quer*"),
         "pos_fuzzy_topk": _pos.sql_fuzzy_topk("spark", 1),
         "bm25_highlight_topk": _snip.sql_highlight_topk("spark query", window=8),
+        "fts_more_like_this": _mlt.sql_more_like_this_topk(7, n_terms=8),
         "bm25f_topk": bm25f_oracle_sql(
             FLAGSHIP_QUESTION, _BM25F_SQL_FIELDS, _BM25F_WEIGHTS, top_k=10
         ),

@@ -175,6 +175,46 @@ def main() -> None:
             p50(lambda: ms.search_df(QUERIES[0], top_k=10).collect(), reps=5)
             * 1000, 1,
         )
+
+        # positional / structured tier at soak scale: build once, then
+        # per-shape serve latency — the claim under test is that serving
+        # cost tracks the QUERY terms' postings (bucket+term-pruned scan),
+        # not corpus size
+        from sifter_mrc_search_engine_spark.operators import positional as _pos
+        from sifter_mrc_search_engine_spark.sources.pages import VOCAB
+
+        posd = tempfile.mkdtemp(prefix="soak_pos_")
+        dirs.append(posd)
+        t0 = time.monotonic()
+        _pos.write_positional_index(pages, posd)
+        dt = time.monotonic() - t0
+        out["pos_build_sec"] = round(dt, 1)
+        out["pos_build_docs_per_sec"] = round(N_DOCS / dt, 1)
+        ph = f"{VOCAB[0]} {VOCAB[1]}"
+        out["pos_phrase_p50_ms"] = round(
+            p50(lambda: _pos.phrase_topk_indexed(spark, posd, ph).collect(), reps=5)
+            * 1000, 1,
+        )
+        out["pos_slop_p50_ms"] = round(
+            p50(
+                lambda: _pos.phrase_slop_topk_indexed(spark, posd, ph, slop=2).collect(),
+                reps=5,
+            ) * 1000, 1,
+        )
+        out["pos_bool_p50_ms"] = round(
+            p50(
+                lambda: _pos.bool_topk_indexed(
+                    spark, posd, must=[VOCAB[0]], must_not=[VOCAB[500]]
+                ).collect(),
+                reps=5,
+            ) * 1000, 1,
+        )
+        out["pos_prefix_p50_ms"] = round(
+            p50(
+                lambda: _pos.prefix_topk_indexed(spark, posd, VOCAB[0][:3]).collect(),
+                reps=5,
+            ) * 1000, 1,
+        )
     finally:
         for d in dirs:
             shutil.rmtree(d, ignore_errors=True)
