@@ -98,7 +98,7 @@ WITH toks AS (
   FROM {table}
 ),
 tf AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
-dl AS (SELECT doc_id, count(*) AS doc_len FROM toks GROUP BY 1),
+dl AS (SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z0-9가-힣]+')) AS doc_len FROM {table}),
 stats AS (SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM dl),
 dfreq AS (
   SELECT term, count(*) AS df FROM tf

@@ -198,7 +198,7 @@ def _bm25_restricted_sql(
     return f"""
 WITH toks AS ({toks}),
 tf AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
-dl AS (SELECT doc_id, count(*) AS doc_len FROM toks GROUP BY 1),
+dl AS (SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z0-9가-힣]+')) AS doc_len FROM {table}),
 stats AS (SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM dl),
 dfreq AS (SELECT term, count(*) AS df FROM tf WHERE term IN ({terms_sql}) GROUP BY 1),
 matched AS ({match_cte}),
@@ -673,7 +673,7 @@ def _sql_expanded_topk(
     return f"""
 WITH toks AS ({toks}),
 tf AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
-dl AS (SELECT doc_id, count(*) AS doc_len FROM toks GROUP BY 1),
+dl AS (SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z0-9가-힣]+')) AS doc_len FROM {table}),
 stats AS (SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM dl),
 dfreq AS (SELECT term, count(*) AS df FROM tf WHERE {term_pred_sql} GROUP BY 1),
 contrib AS (

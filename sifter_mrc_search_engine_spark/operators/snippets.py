@@ -140,7 +140,7 @@ toks AS (
   FROM tokarr
 ),
 tf AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
-dl AS (SELECT doc_id, count(*) AS doc_len FROM toks GROUP BY 1),
+dl AS (SELECT doc_id, len(toks) AS doc_len FROM tokarr),
 stats AS (SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM dl),
 dfreq AS (SELECT term, count(*) AS df FROM tf WHERE term IN ({terms_sql}) GROUP BY 1),
 contrib AS (

@@ -62,3 +62,32 @@ def test_mlt_edges(docs):
         M.more_like_this_topk(docs, 1, n_terms=0)
     with pytest.raises(ValueError, match="n_terms"):
         M.sql_more_like_this_topk(1, n_terms=0)
+
+
+def test_mlt_oracle_parity_with_zero_token_doc(spark):
+    # a punctuation-only document has doc_len 0 in the ENGINE
+    # (size(tokenize) is per-row) but vanished from the twin's old
+    # toks-derived dl CTE, shifting n_docs/avgdl enough to change which
+    # terms get SELECTED (r5 review, confirmed divergence) — dl now
+    # derives per-row from the table on both sides
+    rows = [
+        (1, "spark query engine distributed index"),
+        (2, "spark query engine distributed shuffle"),
+        (3, "cooking recipes pasta tomato"),
+        (7, "!!! ... ???"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    for src, n in [(1, 5), (3, 3)]:
+        got = [
+            (int(r["doc_id"]), round(float(r["score"]), 4))
+            for r in M.more_like_this_topk(docs, src, n_terms=n)
+            .select("doc_id", F.round("score", 4).alias("score"))
+            .collect()
+        ]
+        want = [
+            (int(r.doc_id), round(float(r.score), 4))
+            for r in con.sql(M.sql_more_like_this_topk(src, n)).df().itertuples()
+        ]
+        assert got == want, (src, n)

@@ -451,3 +451,38 @@ def test_vocab_scan_never_reads_positions(spark, docs, tmp_path):
         assert scans, plan[:2000]
         for ln in scans:
             assert "poss" not in ln, ln
+
+
+def test_oracle_parity_with_zero_token_doc(spark):
+    # engine corpus stats count token-less docs (doc_len 0 rows); the
+    # twins' dl CTE now derives per-row from the table so both agree
+    # (r5 review) — exercised across the restricted and expanded
+    # skeletons plus the highlight twin
+    from sifter_mrc_search_engine_spark.operators import snippets as S
+
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "beta alpha beta gamma"),
+        (3, "alpha x x x beta"),
+        (9, "??? !!!"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    _assert_matches_oracle(
+        P.phrase_topk(docs, "alpha beta"), docs, P.sql_phrase_topk("alpha beta")
+    )
+    _assert_matches_oracle(
+        P.prefix_topk(docs, "alp"), docs, P.sql_prefix_topk("alp")
+    )
+    import duckdb as _duck
+
+    con = _duck.connect()
+    con.register("documents", docs.toPandas())
+    got = [
+        (r["doc_id"], round(r["score"], 4), r["snippet"])
+        for r in S.highlight_topk(docs, "alpha beta", window=3).collect()
+    ]
+    want = [
+        (int(r.doc_id), round(float(r.score), 4), r.snippet)
+        for r in con.sql(S.sql_highlight_topk("alpha beta", window=3)).df().itertuples()
+    ]
+    assert got == want

@@ -181,7 +181,6 @@ def main() -> None:
         # cost tracks the QUERY terms' postings (bucket+term-pruned scan),
         # not corpus size
         from sifter_mrc_search_engine_spark.operators import positional as _pos
-        from sifter_mrc_search_engine_spark.sources.pages import VOCAB
 
         posd = tempfile.mkdtemp(prefix="soak_pos_")
         dirs.append(posd)

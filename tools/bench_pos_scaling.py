@@ -50,6 +50,8 @@ spark.stop()
 
 
 def main() -> None:
+    import shutil
+
     corpus = tempfile.mkdtemp(prefix="posscale_corpus_")
     prep = (
         f"import sys; sys.path.insert(0, {str(REPO)!r})\n"
@@ -67,16 +69,18 @@ def main() -> None:
     job = JOB.format(repo=str(REPO))
     results = {}
     trials_by_level = {2: 3, 8: 4}
-    for cpus in LEVELS:
-        p = subprocess.run(
-            [sys.executable, "-c", job, str(cpus), corpus, str(SHUFFLE),
-             str(trials_by_level.get(cpus, 3))],
-            capture_output=True, text=True, check=True,
-        )
-        line = [ln for ln in p.stdout.splitlines() if ln.startswith("RESULT ")][-1]
-        results[cpus] = json.loads(line[len("RESULT "):])
-        print(results[cpus], flush=True)
-
+    try:
+        for cpus in LEVELS:
+            p = subprocess.run(
+                [sys.executable, "-c", job, str(cpus), corpus, str(SHUFFLE),
+                 str(trials_by_level.get(cpus, 3))],
+                capture_output=True, text=True, check=True,
+            )
+            line = [ln for ln in p.stdout.splitlines() if ln.startswith("RESULT ")][-1]
+            results[cpus] = json.loads(line[len("RESULT "):])
+            print(results[cpus], flush=True)
+    finally:
+        shutil.rmtree(corpus, ignore_errors=True)
     t2, t8 = (results[c]["build_s"] for c in LEVELS)
     print(json.dumps({
         "n_docs": N_DOCS,
