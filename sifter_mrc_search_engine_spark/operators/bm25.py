@@ -24,6 +24,7 @@ TakeOrderedAndProject (no global sort materialization).
 
 from __future__ import annotations
 
+import functools
 from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -136,16 +137,62 @@ def bm25_brute_force(
     """End-to-end oracle: analyze the question, score every matching doc,
     return top-k ``(doc_id, score)`` with (score desc, doc_id asc) ties.
 
-    Plans as: scan -> tokenize -> tf agg -> joins -> TakeOrderedAndProject.
+    The query's term set is a handful of literals, so per-doc tfs are
+    per-row ARRAY expressions over one tokenize (``size(filter(tokens,
+    t))``) — no explode, no (term, doc_id) shuffle, no doclen join. The
+    whole plan is two tokenize scans (one for the per-doc tf/doc_len
+    row, one for the 1-row corpus stats broadcast) and a
+    TakeOrderedAndProject; the r5 shape was four tokenize scans plus
+    five exchanges (guide §2.3/§2.4: remove shuffles outright).
+
+    Float64 parity with the old fold is exact: contributions accumulate
+    in ascending-term order and a tf=0 term contributes +0.0 (idf * 0 /
+    positive), which leaves an IEEE sum bit-unchanged — pinned by the
+    WAND rank/score-identity tests and the DuckDB oracle.
     """
-    qterms = analyze(question)
+    qterms = sorted(set(analyze(question)))
     if not qterms:
         return docs.sparkSession.createDataFrame([], "doc_id long, score double")
-    tf = term_frequencies(docs, id_col, text_col)
-    dl = doc_lengths(docs, id_col, text_col)
-    stats = corpus_stats(dl)
-    contribs = bm25_term_scores(tf, dl, stats, qterms, k1, b)
-    scored = sum_in_term_order(contribs)
+
+    from ..functions.analyzer import tokenize_expr
+
+    tk = tokenize_expr(text_col)
+
+    def eq(term):
+        # unary closure: a `lambda x, t=t` 2-arg form would be read by
+        # pyspark as the (element, index) lambda variant
+        return lambda x: x == F.lit(term)
+
+    def per_doc(frame: DataFrame) -> DataFrame:
+        toks = frame.select(F.col(id_col).alias("doc_id"), tk.alias("_tk"))
+        return toks.select(
+            "doc_id",
+            F.size("_tk").cast("long").alias("doc_len"),
+            *[
+                F.size(F.filter("_tk", eq(t))).cast("long").alias(f"_tf{i}")
+                for i, t in enumerate(qterms)
+            ],
+        )
+
+    rows = per_doc(docs)
+    stats = per_doc(docs).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("doc_len").alias("avgdl"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+            for i in range(len(qterms))
+        ],
+    )
+    matched = rows.filter(
+        functools.reduce(lambda a, b: a | b, [F.col(f"_tf{i}") > 0 for i in range(len(qterms))])
+    )
+    joined = matched.crossJoin(F.broadcast(stats))
+    score = F.lit(0.0)
+    for i in range(len(qterms)):
+        score = score + bm25_contrib_expr(
+            f"_tf{i}", f"_df{i}", "doc_len", F.col("n_docs"), F.col("avgdl"), k1, b
+        )
+    scored = joined.select("doc_id", score.alias("score"))
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(top_k)
 
 

@@ -150,14 +150,24 @@ def tf_doclen(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 
     doc_len rides along from the tokenize expression instead of a separate
     doc_id-keyed join — at scale this removes the single biggest shuffle.
+
+    The tokenize array is projected ONCE below the explode: putting
+    ``size(tokenize(text))`` in the same select as the explode made the
+    post-Generate projection re-run the regexp against the retained
+    ``text`` for every TOKEN row (~avgdl regexp evaluations per doc,
+    confirmed in the r5 physical plan) instead of once per doc.
     """
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(tokenize_expr(text_col)).alias("term"),
-        F.size(tokenize_expr(text_col)).cast("long").alias("doc_len"),
+    toks = docs.select(F.col(id_col).alias("doc_id"), tokenize_expr(text_col).alias("_tk"))
+    rows = toks.select(
+        "doc_id",
+        F.size("_tk").cast("long").alias("doc_len"),
+        F.explode("_tk").alias("term"),
     )
-    return toks.groupBy("term", "doc_id").agg(
-        F.count(F.lit(1)).alias("tf"), F.first("doc_len").alias("doc_len")
+    # min == the value (doc_len is constant per doc_id); partial_min is a
+    # plain scalar partial agg where partial_first drags a valueSet slot
+    # through the exchange
+    return rows.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf"), F.min("doc_len").alias("doc_len")
     )
 
 
@@ -173,6 +183,8 @@ def build_compressed_index(
     block_size: int = BLOCK_SIZE,
     stats: tuple[int, float] | None = None,
     persist_tf: bool = False,
+    only_buckets: "Sequence[int] | None" = None,
+    hot: "tuple[list, int] | None" = None,
 ) -> DataFrame:
     """Return the compressed index DataFrame (INDEX_SCHEMA).
 
@@ -207,8 +219,33 @@ def build_compressed_index(
     return encode_tf(
         tf, n_docs, avgdl,
         buckets=buckets, salt_threshold=salt_threshold, salt_fanout=salt_fanout,
-        k1=k1, b=b, block_size=block_size,
+        k1=k1, b=b, block_size=block_size, only_buckets=only_buckets, hot=hot,
     )
+
+
+def sample_hot_terms(
+    tf: DataFrame, salt_threshold: int = SALT_THRESHOLD, sample_mod: int = 16
+) -> tuple[list, int]:
+    """Zipf-head detection on a deterministic 1/``sample_mod`` doc-hash
+    sample of a ``(term, doc_id, ...)`` frame: ``(hot_terms,
+    max_doc_global)``. The salting DECISION only needs approximate dfs
+    (salting is a load-balancing choice, never a correctness one: exact
+    df comes from the post-encode window sum, and encode-time impact
+    bounds use segment-local df which can only OVERestimate idf, keeping
+    every block-max a valid upper bound). Split out of :func:`encode_tf`
+    so builders can run it CONCURRENTLY with the doclens-sidecar job
+    (two independent actions back-fill one another's stragglers) and
+    pass the result in via ``hot=``."""
+    rows = (
+        tf.filter(F.pmod(F.xxhash64("doc_id"), F.lit(sample_mod)) == 0)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df_s"), F.max("doc_id").alias("max_doc"))
+        .filter(F.col("df_s") > salt_threshold // sample_mod)
+        .collect()
+    )
+    hot_terms = [r["term"] for r in rows]
+    max_doc_global = max((int(r["max_doc"]) for r in rows), default=0)
+    return hot_terms, max_doc_global
 
 
 def encode_tf(
@@ -222,6 +259,8 @@ def encode_tf(
     b: float = BM25_B,
     block_size: int = BLOCK_SIZE,
     with_impacts: bool = True,
+    only_buckets: "Sequence[int] | None" = None,
+    hot: "tuple[list, int] | None" = None,
 ) -> DataFrame:
     """Encode a ``(term, doc_id, tf, doc_len)`` aggregate into the
     compressed index (INDEX_SCHEMA). Shared by the batch builder and the
@@ -238,25 +277,26 @@ def encode_tf(
     stored as zeros. Fielded (BM25F) indexes use this — their pruning
     runs on the weight-free ``blockmaxtf``, impact bounds under fixed
     per-field stats would be dead weight in the shuffle and the UDF.
+
+    ``only_buckets`` prunes to the given term buckets BEFORE the encode
+    grouping — a resumed build never re-collects or re-encodes postings
+    of already-landed buckets (the r5 shape encoded everything and
+    filtered afterwards).
+
+    The returned frame is REPARTITIONED BY ``bucket`` with the exact-df
+    window evaluated over (bucket, term) on top of that partitioning:
+    ``HashPartitioning(bucket)`` satisfies the window's clustering
+    because a term lives in exactly one bucket, so the window adds no
+    exchange, and writers can ``partitionBy("bucket")`` without another
+    shuffle — three exchanges end to end (tf agg, (term, segment)
+    regroup, bucket) where the r5 plan had four (the window-on-term spec
+    re-shuffled every encoded blob before the write's repartition).
     """
     spark = tf.sparkSession
 
-    # Zipf-head detection on a deterministic 1/16 hash-sample of the tf
-    # rows — the salting DECISION only needs approximate dfs (salting is a
-    # load-balancing choice, never a correctness one: exact df comes from
-    # the post-encode window sum below, and encode-time impact bounds use
-    # segment-local df which can only OVERestimate idf, keeping every
-    # block-max a valid upper bound).
-    sample_mod = 16
-    hot = (
-        tf.filter(F.pmod(F.xxhash64("doc_id"), F.lit(sample_mod)) == 0)
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df_s"), F.max("doc_id").alias("max_doc"))
-        .filter(F.col("df_s") > salt_threshold // sample_mod)
-        .collect()
-    )
-    hot_terms = [r["term"] for r in hot]
-    max_doc_global = max((int(r["max_doc"]) for r in hot), default=0)
+    if hot is None:
+        hot = sample_hot_terms(tf, salt_threshold)
+    hot_terms, max_doc_global = hot
     seg_range = max(1, (max_doc_global + 1 + salt_fanout - 1) // salt_fanout)
 
     if hot_terms:
@@ -265,6 +305,10 @@ def encode_tf(
     else:
         seg = F.lit(0)
     tf_seg = tf.withColumn("segment", seg)
+    if only_buckets is not None and len(set(only_buckets)) < buckets:
+        tf_seg = tf_seg.filter(
+            term_bucket_expr("term", buckets).isin(sorted(set(only_buckets)))
+        )
 
     post_struct = (
         F.struct("doc_id", "tf", "doc_len") if with_impacts else F.struct("doc_id", "tf")
@@ -342,20 +386,23 @@ def encode_tf(
 
     encoded = arrays.select(
         "term",
+        term_bucket_expr("term", buckets).alias("bucket"),
         "segment",
         "df_local",
         F.element_at("doc_ids", 1).alias("min_doc"),
         F.element_at("doc_ids", -1).alias("max_doc"),
         enc_col.alias("e"),
-    )
-    # exact df = total postings across a term's salted segments (window
-    # sum over the few-thousand encoded rows — negligible)
+    ).repartition("bucket")
+    # exact df = total postings across a term's salted segments. The
+    # window partitions by (bucket, term): hash(bucket) already clusters
+    # every term's rows (term -> one bucket), so NO exchange is added —
+    # the r5 partitionBy(term) spec re-shuffled every encoded blob.
     from pyspark.sql import Window
 
-    df_col = F.sum("df_local").over(Window.partitionBy("term"))
+    df_col = F.sum("df_local").over(Window.partitionBy("bucket", "term"))
     return encoded.select(
         "term",
-        term_bucket_expr("term", buckets).alias("bucket"),
+        "bucket",
         F.col("segment").cast("int").alias("segment"),
         df_col.cast("long").alias("df"),
         F.col("e.n").alias("n"),
@@ -425,10 +472,14 @@ def decode_index_df(
 def write_index(index_df: DataFrame, path: str) -> None:
     """Persist partitioned by bucket — query-time term lookups prune to the
     buckets of the query's terms (partition pruning on the filter); rows
-    term-sorted within files so parquet row-group stats prune further."""
+    term-sorted within files so parquet row-group stats prune further.
+
+    ``encode_tf`` output is already hash-partitioned by bucket, so no
+    repartition here; the in-partition sort leads with ``bucket`` so the
+    dynamic-partition writer's required ordering is satisfied and it
+    inserts no extra sort of its own."""
     (
-        index_df.repartition("bucket")
-        .sortWithinPartitions("term", "segment")
+        index_df.sortWithinPartitions("bucket", "term", "segment")
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(path)

@@ -119,16 +119,35 @@ def build_index_resumable(
     many missing buckets then stop, simulating a mid-build kill
     (FIXTURES.md §7). Returns a summary dict.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..constants import SALT_THRESHOLD
+    from ..operators.compressed_index import sample_hot_terms, tf_doclen
+
     spark = docs.sparkSession
     manifest = read_manifest(index_dir, spark)
     done = {m["bucket"] for m in manifest if "bucket" in m}
     have_doclens = any(m.get("kind") == "doclens" for m in manifest)
 
     t0 = time.monotonic()
+    hot = None
     if not have_doclens:
         # one input scan writes the norms sidecar; stats + fingerprint come
-        # from the sidecar (tiny), not further input scans
-        stats, fp = _write_doclens_with_stats(docs, f"{index_dir}/doclens", id_col, text_col)
+        # from the sidecar (tiny), not further input scans. The Zipf-head
+        # sample for encode-time salting is an INDEPENDENT job — run it
+        # concurrently so its tasks back-fill the doclens job's tail
+        # (guide-standard overlap of independent actions) instead of
+        # paying the two scans back to back.
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_hot = pool.submit(
+                sample_hot_terms,
+                tf_doclen(docs, id_col, text_col),
+                index_kwargs.get("salt_threshold", SALT_THRESHOLD),
+            )
+            stats, fp = _write_doclens_with_stats(
+                docs, f"{index_dir}/doclens", id_col, text_col
+            )
+            hot = f_hot.result()
         fsio.write_text(fsio.join(index_dir, "stats.json"), json.dumps(stats), spark)
         _append_manifest(
             index_dir,
@@ -178,14 +197,15 @@ def build_index_resumable(
         text_col,
         buckets=buckets,
         stats=(n_docs, float(stats["avgdl"])),
+        only_buckets=missing,
+        hot=hot,
         **index_kwargs,
     )
     (
-        idx.filter(F.col("bucket").isin(missing))
-        .repartition("bucket")
-        # term-sorted row groups -> parquet min/max stats give tight
-        # row-group pruning for the query-time term IN-filter
-        .sortWithinPartitions("term", "segment")
+        # encode_tf output is already bucket-partitioned and pruned to
+        # the missing buckets; bucket-led sort keeps term-sorted row
+        # groups (parquet min/max pruning) without a writer-added sort
+        idx.sortWithinPartitions("bucket", "term", "segment")
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("bucket")
@@ -331,11 +351,12 @@ def build_fielded_index_resumable(
         if missing:
             t1 = time.monotonic()
             tf = explode_grouped_tf(g, fields, with_doc_len=False)
-            idx = encode_tf(tf, n_docs, 1.0, buckets=buckets, with_impacts=False)
+            idx = encode_tf(
+                tf, n_docs, 1.0, buckets=buckets, with_impacts=False,
+                only_buckets=missing,
+            )
             (
-                idx.filter(F.col("bucket").isin(missing))
-                .repartition("bucket")
-                .sortWithinPartitions("term", "segment")
+                idx.sortWithinPartitions("bucket", "term", "segment")
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("bucket")
