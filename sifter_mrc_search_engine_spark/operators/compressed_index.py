@@ -192,20 +192,17 @@ def build_compressed_index(
     resumable build derives them from the doclens sidecar — saves a scan).
 
     ``persist_tf``: cache the tf aggregate between the hot-term pass and
-    the encoder. Default OFF — measured at local[32]/120k docs, persisting
-    costs ~11 s while recomputing the (JVM-codegen) tokenize+shuffle costs
-    ~3 s. At 100 TB input with expensive extraction the balance flips:
-    persist or checkpoint tf to a table.
+    the encoder — this takes the two-shuffle :func:`encode_tf` route so
+    the persisted frame is reusable. Default OFF: the fresh-build path
+    goes through :func:`encode_token_occurrences`, which groups RAW
+    token occurrences straight into (term, segment) encoder groups and
+    computes tf inside the (vectorized numpy) encoder — ONE shuffle of
+    the token stream instead of the tf aggregate's exchange plus the
+    encoder regroup (guide §2.4: two operations keyed compatibly share
+    one exchange; the per-group sort/run-length is noise next to a full
+    extra exchange).
     """
     spark = docs.sparkSession
-    tf = tf_doclen(docs, id_col, text_col)
-    if persist_tf:
-        from pyspark import StorageLevel
-
-        tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
-        global _LAST_TF
-        _LAST_TF = tf
-
     if stats is None:
         stats_row = (
             docs.select(F.size(tokenize_expr(text_col)).cast("long").alias("dl"))
@@ -216,9 +213,23 @@ def build_compressed_index(
     else:
         n_docs, avgdl = int(stats[0]), float(stats[1])
 
-    return encode_tf(
-        tf, n_docs, avgdl,
-        buckets=buckets, salt_threshold=salt_threshold, salt_fanout=salt_fanout,
+    if persist_tf:
+        from pyspark import StorageLevel
+
+        tf = tf_doclen(docs, id_col, text_col).persist(StorageLevel.MEMORY_AND_DISK)
+        global _LAST_TF
+        _LAST_TF = tf
+        return encode_tf(
+            tf, n_docs, avgdl,
+            buckets=buckets, salt_threshold=salt_threshold, salt_fanout=salt_fanout,
+            k1=k1, b=b, block_size=block_size, only_buckets=only_buckets, hot=hot,
+        )
+
+    if hot is None:
+        hot = sample_hot_terms(tf_doclen(docs, id_col, text_col), salt_threshold)
+    return encode_token_occurrences(
+        docs, n_docs, avgdl, id_col=id_col, text_col=text_col,
+        buckets=buckets, salt_fanout=salt_fanout,
         k1=k1, b=b, block_size=block_size, only_buckets=only_buckets, hot=hot,
     )
 
@@ -400,6 +411,138 @@ def encode_tf(
     from pyspark.sql import Window
 
     df_col = F.sum("df_local").over(Window.partitionBy("bucket", "term"))
+    return encoded.select(
+        "term",
+        "bucket",
+        F.col("segment").cast("int").alias("segment"),
+        df_col.cast("long").alias("df"),
+        F.col("e.n").alias("n"),
+        F.lit(block_size).cast("int").alias("block_size"),
+        F.col("min_doc").cast("long").alias("min_doc"),
+        F.col("max_doc").cast("long").alias("max_doc"),
+        F.col("e.max_impact").alias("max_impact"),
+        F.col("e.gaps").alias("gaps"),
+        F.col("e.tfs").alias("tfs"),
+        F.col("e.skips").alias("skips"),
+        F.col("e.blockmax").alias("blockmax"),
+        F.col("e.blockmaxtf").alias("blockmaxtf"),
+    )
+
+
+def encode_token_occurrences(
+    docs: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = TERM_BUCKETS,
+    salt_fanout: int = SALT_FANOUT,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    block_size: int = BLOCK_SIZE,
+    only_buckets: "Sequence[int] | None" = None,
+    hot: "tuple[list, int] | None" = None,
+) -> DataFrame:
+    """Fresh-build encoder: RAW token occurrences grouped straight into
+    (term, segment) encoder groups; the per-doc tf aggregation happens
+    INSIDE the encoder as a vectorized numpy sort + run-length instead
+    of a separate (term, doc_id) shuffle — the whole tokenize→encode
+    pipeline pays ONE exchange of the token stream (plus the bucket
+    exchange of the encoded blobs) where :func:`encode_tf` over
+    :func:`tf_doclen` pays two. Output is INDEX_SCHEMA, bit-identical
+    postings (sorted doc_ids, identical tfs/impacts/blockmax), and the
+    same bucket partitioning contract.
+
+    ``hot`` is REQUIRED here (callers sample it concurrently with the
+    doclens job): occurrence-level rows cannot reuse the pair-counting
+    sampler directly.
+    """
+    if hot is None:
+        raise ValueError("encode_token_occurrences needs a sampled hot set")
+    hot_terms, max_doc_global = hot
+    seg_range = max(1, (max_doc_global + 1 + salt_fanout - 1) // salt_fanout)
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokenize_expr(text_col).alias("_tk")
+    )
+    rows = toks.select(
+        "doc_id",
+        F.size("_tk").cast("long").alias("doc_len"),
+        F.explode("_tk").alias("term"),
+    )
+    if hot_terms:
+        seg = F.when(
+            F.col("term").isin(hot_terms),
+            (F.col("doc_id") / F.lit(seg_range)).cast("int"),
+        ).otherwise(0)
+    else:
+        seg = F.lit(0)
+    rows = rows.withColumn("segment", seg)
+    if only_buckets is not None and len(set(only_buckets)) < buckets:
+        rows = rows.filter(
+            term_bucket_expr("term", buckets).isin(sorted(set(only_buckets)))
+        )
+    grouped = rows.groupBy("term", "segment").agg(
+        F.collect_list(F.struct("doc_id", "doc_len")).alias("occs")
+    )
+    arrays = grouped.select(
+        "term",
+        "segment",
+        F.transform("occs", lambda s: s["doc_id"]).alias("occ_ids"),
+        F.transform("occs", lambda s: s["doc_len"]).alias("occ_dls"),
+    )
+
+    enc_type = StructType(
+        [
+            StructField("df_local", LongType(), False),
+            StructField("n", LongType(), False),
+            StructField("max_impact", DoubleType(), False),
+            StructField("gaps", BinaryType(), False),
+            StructField("tfs", BinaryType(), False),
+            StructField("skips", BinaryType(), False),
+            StructField("blockmax", BinaryType(), False),
+            StructField("blockmaxtf", BinaryType(), False),
+        ]
+    )
+    from pyspark.sql.functions import pandas_udf
+
+    cols = ["n", "max_impact", "gaps", "tfs", "skips", "blockmax", "blockmaxtf"]
+
+    @pandas_udf(enc_type)
+    def enc_occ_udf(occ_ids: pd.Series, occ_dls: pd.Series) -> pd.DataFrame:
+        out = []
+        for ids, dls in zip(occ_ids, occ_dls):
+            ids = np.asarray(ids, dtype=np.int64)
+            dls = np.asarray(dls, dtype=np.int64)
+            order = np.argsort(ids, kind="stable")
+            ids_s = ids[order]
+            uids, starts, counts = np.unique(
+                ids_s, return_index=True, return_counts=True
+            )
+            tfs_np = counts.astype(np.int64)
+            udls = dls[order][starts].astype(np.float64)
+            df_total = int(uids.size)
+            idf = np.log(1.0 + (n_docs - df_total + 0.5) / (df_total + 0.5))
+            tf_f = tfs_np.astype(np.float64)
+            impacts = (
+                idf * tf_f * (k1 + 1.0)
+                / (tf_f + k1 * ((1.0 - b) + (b * udls) / avgdl))
+            )
+            e = encode_postings(uids, tfs_np, impacts, block_size)
+            out.append((df_total, *(e[c] for c in cols)))
+        return pd.DataFrame(out, columns=["df_local"] + cols)
+
+    encoded = arrays.select(
+        "term",
+        term_bucket_expr("term", buckets).alias("bucket"),
+        "segment",
+        F.array_min("occ_ids").alias("min_doc"),
+        F.array_max("occ_ids").alias("max_doc"),
+        enc_occ_udf("occ_ids", "occ_dls").alias("e"),
+    ).repartition("bucket")
+    from pyspark.sql import Window
+
+    df_col = F.sum("e.df_local").over(Window.partitionBy("bucket", "term"))
     return encoded.select(
         "term",
         "bucket",

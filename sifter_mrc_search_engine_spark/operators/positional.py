@@ -93,26 +93,39 @@ def phrase_terms(phrase: str) -> list[str]:
 # ---------------------------------------------------------------- phrase
 
 
-def _anchor_match(occ: DataFrame, slots: Sequence[str]) -> DataFrame:
+def _anchor_match(occ: DataFrame, slots: Sequence[str], distinct: bool = True) -> DataFrame:
     """``(doc_id)`` where some anchor ``pos − slot`` is covered by ALL m
     slots — the consecutive-phrase condition. ``occ`` is
     ``(doc_id, pos, term)`` occurrence rows already pruned to the slot
     terms (from posexplode or index decode — the matcher is the ONE
     shared copy for both). One shuffle on (doc_id, anchor); a token can
-    serve multiple slots (repeated-word phrases like "a b a" work)."""
+    serve multiple slots (repeated-word phrases like "a b a" work).
+
+    Slot coverage is a ``bit_or`` of ``1 << slot`` — one plain
+    HashAggregate; the r5 ``countDistinct(slot)`` expanded to a
+    two-level aggregate with a SECOND full exchange of the anchor rows.
+    (Phrases beyond 62 slots would overflow the mask; no analyzer emits
+    them, and the guard keeps the error loud.)
+
+    ``distinct=False`` skips the trailing doc_id dedup for consumers
+    that feed a left-semi join, where duplicates are free but the extra
+    exchange is not."""
+    if len(slots) > 62:
+        raise ValueError(f"phrase too long for slot mask: {len(slots)} terms")
     slots_df = occ.sparkSession.createDataFrame(
         list(enumerate(slots)), "slot int, term string"
     )
     anchors = occ.join(F.broadcast(slots_df), "term").select(
         "doc_id", (F.col("pos") - F.col("slot")).alias("anchor"), "slot"
     )
-    return (
+    full_mask = (1 << len(slots)) - 1
+    matched = (
         anchors.groupBy("doc_id", "anchor")
-        .agg(F.countDistinct("slot").alias("ns"))
-        .filter(F.col("ns") == len(slots))
+        .agg(F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), slot)")).alias("_mask"))
+        .filter(F.col("_mask") == full_mask)
         .select("doc_id")
-        .distinct()
     )
+    return matched.distinct() if distinct else matched
 
 
 def phrase_match_ids(
@@ -250,7 +263,9 @@ def sql_phrase_topk(
 # ------------------------------------------------------------- proximity
 
 
-def _min_cover_match(occ: DataFrame, uterms: Sequence[str], window: int) -> DataFrame:
+def _min_cover_match(
+    occ: DataFrame, uterms: Sequence[str], window: int, distinct: bool = True
+) -> DataFrame:
     """``(doc_id)`` where ALL ``uterms`` co-occur inside some span of
     ``window`` consecutive positions (unordered). ``occ`` is
     ``(doc_id, pos, term)`` rows pruned to the query terms — the ONE
@@ -285,11 +300,10 @@ def _min_cover_match(occ: DataFrame, uterms: Sequence[str], window: int) -> Data
         F.col("pos") - (F.least(*lcols) if len(lcols) > 1 else lcols[0]),
     )
     spans = occ.select("doc_id", "pos", *lasts).select("doc_id", span.alias("span"))
-    return (
-        spans.filter(F.col("span") <= window - 1)
-        .select("doc_id")
-        .distinct()
-    )
+    matched = spans.filter(F.col("span") <= window - 1).select("doc_id")
+    # semi-join consumers (the top-k scorers) pass distinct=False: dups
+    # are free there and the dedup exchange is not
+    return matched.distinct() if distinct else matched
 
 
 def near_match_ids(
@@ -373,7 +387,9 @@ def sql_near_topk(
     return _bm25_restricted_sql(uterms, match, top_k, table, k1, b)
 
 
-def _ordered_chain_match(occ: DataFrame, slots: Sequence[str], window: int) -> DataFrame:
+def _ordered_chain_match(
+    occ: DataFrame, slots: Sequence[str], window: int, distinct: bool = True
+) -> DataFrame:
     """``(doc_id)`` where the slot terms appear IN ORDER at strictly
     increasing positions p1 < … < pm with pm − p1 ≤ window − 1. ``occ``
     is ``(doc_id, pos, term)`` rows pruned to the slot terms — the ONE
@@ -420,7 +436,8 @@ def _ordered_chain_match(occ: DataFrame, slots: Sequence[str], window: int) -> D
             )
         )
         cur = cand.groupBy("doc_id", "p1").agg(F.min("pn").alias("prev"))
-    return cur.select("doc_id").distinct()
+    out = cur.select("doc_id")
+    return out.distinct() if distinct else out
 
 
 def ordered_near_match_ids(
@@ -896,16 +913,14 @@ def build_positional_index(
     per (term, segment) row, so segmentation is transparent to readers.
     """
     pos = token_positions(docs, id_col, text_col)
-    per_doc = pos.groupBy("term", "doc_id").agg(
-        F.sort_array(F.collect_list("pos")).alias("positions")
-    )
 
     if hot is None:
         from .compressed_index import sample_hot_terms
 
-        # sample over the (term, doc_id) groups; count == distinct pairs,
-        # identical hot decisions to sampling the grouped frame directly
-        hot = sample_hot_terms(per_doc, salt_threshold)
+        # sample over (term, doc_id) pair counts — identical hot
+        # decisions to sampling the grouped frame directly
+        pairs = pos.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+        hot = sample_hot_terms(pairs, salt_threshold)
     hot_terms, max_doc_global = hot
     seg_range = max(1, (max_doc_global + 1 + salt_fanout - 1) // salt_fanout)
     if hot_terms:
@@ -916,20 +931,25 @@ def build_positional_index(
     else:
         seg = F.lit(0).cast("long")
 
-    grouped = per_doc.withColumn("segment", seg).groupBy("term", "segment").agg(
-        F.count(F.lit(1)).alias("df_local"),
-        F.array_sort(F.collect_list(F.struct("doc_id", "positions"))).alias("posts"),
+    # ONE exchange of the raw (doc_id, pos) occurrences straight into
+    # (term, segment) encoder groups: the per-doc position grouping and
+    # the doc sort both happen inside the encoder as a vectorized numpy
+    # lexsort + run-length — the r5 shape paid a (term, doc_id)
+    # collect_list shuffle AND a (term, segment) regroup of the same
+    # payload back to back
+    grouped = pos.withColumn("segment", seg).groupBy("term", "segment").agg(
+        F.collect_list(F.struct("doc_id", "pos")).alias("occs")
     )
     arrays = grouped.select(
         "term",
         "segment",
-        "df_local",
-        F.transform("posts", lambda s: s["doc_id"]).alias("doc_ids"),
-        F.transform("posts", lambda s: s["positions"]).alias("pos_lists"),
+        F.transform("occs", lambda s: s["doc_id"]).alias("occ_ids"),
+        F.transform("occs", lambda s: s["pos"]).alias("occ_pos"),
     )
 
     enc_type = StructType(
         [
+            StructField("df_local", LongType(), False),
             StructField("n", LongType(), False),
             StructField("doc_gaps", BinaryType(), False),
             StructField("tfs", BinaryType(), False),
@@ -940,40 +960,44 @@ def build_positional_index(
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf(enc_type)
-    def enc_udf(doc_ids: pd.Series, pos_lists: pd.Series) -> pd.DataFrame:
+    def enc_udf(occ_ids: pd.Series, occ_pos: pd.Series) -> pd.DataFrame:
         out = []
-        for ids, plists in zip(doc_ids, pos_lists):
+        for ids, poss in zip(occ_ids, occ_pos):
             ids = np.asarray(ids, dtype=np.int64)
-            gaps = np.diff(ids, prepend=np.int64(0))
-            tfs = np.fromiter((len(p) for p in plists), dtype=np.int64, count=len(plists))
-            # within-doc deltas, first position absolute, flat concat
-            flat = np.concatenate(
-                [np.diff(np.asarray(p, dtype=np.int64), prepend=np.int64(0)) for p in plists]
-            ) if len(plists) else np.zeros(0, dtype=np.int64)
+            poss = np.asarray(poss, dtype=np.int64)
+            order = np.lexsort((poss, ids))
+            ids, poss = ids[order], poss[order]
+            uids, starts, counts = np.unique(
+                ids, return_index=True, return_counts=True
+            )
+            gaps = np.diff(uids, prepend=np.int64(0))
+            # within-doc deltas, first position of each doc absolute
+            flat = poss.copy()
+            flat[1:] -= poss[:-1]
+            flat[starts] = poss[starts]
             out.append(
                 (
-                    len(ids),
+                    int(uids.size),
+                    int(uids.size),
                     varbyte_encode(gaps),
-                    varbyte_encode(tfs),
+                    varbyte_encode(counts.astype(np.int64)),
                     varbyte_encode(flat),
                 )
             )
-        return pd.DataFrame(out, columns=["n", "doc_gaps", "tfs", "poss"])
+        return pd.DataFrame(out, columns=["df_local", "n", "doc_gaps", "tfs", "poss"])
 
     encoded = arrays.select(
         "term",
         term_bucket_expr("term", buckets).alias("bucket"),
         "segment",
-        "df_local",
-        enc_udf("doc_ids", "pos_lists").alias("e"),
+        enc_udf("occ_ids", "occ_pos").alias("e"),
     ).repartition("bucket")
     from pyspark.sql import Window
 
     # (bucket, term) window over the bucket partitioning adds NO
     # exchange (a term lives in one bucket) and the writer reuses the
-    # same partitioning — three exchanges end to end vs the r5 four
-    # (same recipe as compressed_index.encode_tf)
-    df_col = F.sum("df_local").over(Window.partitionBy("bucket", "term"))
+    # same partitioning — two exchanges end to end vs the r5 four
+    df_col = F.sum("e.df_local").over(Window.partitionBy("bucket", "term"))
     return encoded.select(
         "term",
         "bucket",
@@ -1183,11 +1207,19 @@ def _scored_from_tfs(
     top_k: int,
     k1: float,
     b: float,
+    score_terms: Sequence[str] | None = None,
 ) -> DataFrame:
     """BM25 over ``(term, df, doc_id, tf)`` rows with the index's exact
     df, the doclens sidecar, and stats.json's corpus stats, optionally
     restricted (left-semi) to ``matched`` doc_ids — the one scoring tail
-    every indexed query shape funnels into."""
+    every indexed query shape funnels into.
+
+    When the caller's term set is DRIVER-KNOWN (``score_terms``), the
+    ascending-term float64 fold is computed as a slot-indexed codegen
+    HashAggregate (max-per-slot, then an ordered add where a missing
+    slot contributes +0.0 — bit-identical to the sorted fold over
+    nonnegative contributions). Expansion shapes (prefix/wildcard/fuzzy)
+    keep the generic collect_list fold — their terms live in the plan."""
     stats, _, _, dl = _serve_state(spark, index_dir)
     n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
 
@@ -1197,7 +1229,24 @@ def _scored_from_tfs(
     contribs = tf.join(dl, "doc_id").select("doc_id", "term", contrib.alias("contrib"))
     if matched is not None:
         contribs = contribs.join(matched, "doc_id", "left_semi")
-    scored = sum_in_term_order(contribs)
+    if score_terms:
+        uterms = sorted(set(score_terms))
+        slot = F.create_map(
+            *[x for i, t in enumerate(uterms) for x in (F.lit(t), F.lit(i))]
+        )
+        rows = contribs.withColumn("_slot", F.element_at(slot, F.col("term")))
+        g = rows.groupBy("doc_id").agg(
+            *[
+                F.max(F.when(F.col("_slot") == i, F.col("contrib"))).alias(f"_c{i}")
+                for i in range(len(uterms))
+            ]
+        )
+        score = F.lit(0.0)
+        for i in range(len(uterms)):
+            score = score + F.coalesce(F.col(f"_c{i}"), F.lit(0.0))
+        scored = g.select("doc_id", score.alias("score"))
+    else:
+        scored = sum_in_term_order(contribs)
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(top_k)
 
 
@@ -1224,12 +1273,14 @@ def phrase_topk_indexed(
     uterms, bkts = sorted(set(slots)), _index_buckets(index_dir, spark)
     posts = _load_posts(spark, index_dir, uterms, bkts)
     occ = posts.select("term", "doc_id", F.explode("positions").alias("pos"))
-    matched = _anchor_match(occ, slots)
+    matched = _anchor_match(occ, slots, distinct=False)
     # scoring branch re-reads ONLY doc_gaps+tfs (tf-only decode): the r5
     # shape consumed the positional decode twice, paying the positions
     # payload scan + heavy decode in both plan branches
     tf = _load_posts(spark, index_dir, uterms, bkts, with_positions=False)
-    return _scored_from_tfs(spark, index_dir, tf, matched, top_k, k1, b)
+    return _scored_from_tfs(
+        spark, index_dir, tf, matched, top_k, k1, b, score_terms=uterms
+    )
 
 
 def near_topk_indexed(
@@ -1253,9 +1304,11 @@ def near_topk_indexed(
     bkts = _index_buckets(index_dir, spark)
     posts = _load_posts(spark, index_dir, uterms, bkts)
     occ = posts.select("term", "doc_id", F.explode("positions").alias("pos"))
-    matched = _min_cover_match(occ, uterms, window)
+    matched = _min_cover_match(occ, uterms, window, distinct=False)
     tf = _load_posts(spark, index_dir, uterms, bkts, with_positions=False)
-    return _scored_from_tfs(spark, index_dir, tf, matched, top_k, k1, b)
+    return _scored_from_tfs(
+        spark, index_dir, tf, matched, top_k, k1, b, score_terms=uterms
+    )
 
 
 def phrase_slop_topk_indexed(
@@ -1278,9 +1331,11 @@ def phrase_slop_topk_indexed(
     uterms, bkts = sorted(set(slots)), _index_buckets(index_dir, spark)
     posts = _load_posts(spark, index_dir, uterms, bkts)
     occ = posts.select("term", "doc_id", F.explode("positions").alias("pos"))
-    matched = _ordered_chain_match(occ, slots, len(slots) + slop)
+    matched = _ordered_chain_match(occ, slots, len(slots) + slop, distinct=False)
     tf = _load_posts(spark, index_dir, uterms, bkts, with_positions=False)
-    return _scored_from_tfs(spark, index_dir, tf, matched, top_k, k1, b)
+    return _scored_from_tfs(
+        spark, index_dir, tf, matched, top_k, k1, b, score_terms=uterms
+    )
 
 
 def _vocab_topk_indexed(
@@ -1407,4 +1462,6 @@ def bool_topk_indexed(
     )
     match = _bool_match_ids(tf, must_t, score_t, not_t)
     score_tf = tf.filter(F.col("term").isin(score_t))
-    return _scored_from_tfs(spark, index_dir, score_tf, match, top_k, k1, b)
+    return _scored_from_tfs(
+        spark, index_dir, score_tf, match, top_k, k1, b, score_terms=score_t
+    )

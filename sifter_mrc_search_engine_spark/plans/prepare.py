@@ -29,7 +29,6 @@ from pyspark.sql import functions as F
 
 from ..functions.cleaning import extract_html_udf
 from ..functions.text_stats import pred_lang_expr, quality_flag_expr
-from ..operators.dedup import lsh_candidate_pairs
 
 
 def prepare_corpus(
@@ -116,12 +115,28 @@ def prepare_corpus(
 
     clean = flags.filter(F.col("_d")).select("doc_id", "text")
     if near_dup:
-        pairs = lsh_candidate_pairs(clean, max_bucket=lsh_max_bucket)
-        if lsh_max_bucket is not None:
-            from ..operators.dedup import lsh_dropped_bucket_stats
+        from pyspark import StorageLevel
 
+        from ..operators.dedup import lsh_band_buckets, lsh_pairs_from_buckets
+
+        # ONE shingle+MinHash pass: the candidate pairs AND the
+        # dropped-bucket audit both derive from the same persisted
+        # (doc_id, band, bkey) frame — the r5 shape recomputed
+        # signatures over the whole corpus a second time for the audit
+        # (r5 ADVICE), roughly doubling the most expensive prepare
+        # stage. The frame is n_docs x bands small rows; persistence is
+        # MEMORY_AND_DISK so a 100 TB corpus spills instead of OOMing.
+        bb = lsh_band_buckets(clean).persist(StorageLevel.MEMORY_AND_DISK)
+        pairs = lsh_pairs_from_buckets(bb, lsh_max_bucket)
+        if lsh_max_bucket is not None:
+            sizes = bb.groupBy("band", "bkey").agg(F.count(F.lit(1)).alias("n"))
             audit = audit.crossJoin(
-                lsh_dropped_bucket_stats(clean, lsh_max_bucket)
+                sizes.filter(F.col("n") > lsh_max_bucket).agg(
+                    F.count(F.lit(1)).alias("lsh_dropped_buckets"),
+                    F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias(
+                        "lsh_dropped_bucket_rows"
+                    ),
+                )
             )
         if near_dup_transitive:
             # cluster-safe: keep exactly the min doc_id of each

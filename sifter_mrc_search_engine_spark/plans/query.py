@@ -299,11 +299,10 @@ class IndexSearcher:
         mdf = self.spark.createDataFrame(mapping, "query_id int, set_id int")
         all_terms = sorted({t for _, t in pairs})
         decoded = self._decoded_candidates(all_terms)
-        dl = self.spark.read.parquet(f"{self.index_dir}/doclens")
         # doclens join BEFORE the query fan-out: the broadcast qdf join
         # multiplies rows by the term-sharing factor, so joining dl first
         # shuffles each (term, doc) row once instead of once per query
-        joined = decoded.join(dl, "doc_id").join(F.broadcast(qdf), "term")
+        joined = decoded.join(self.doclens, "doc_id").join(F.broadcast(qdf), "term")
 
         n_docs, avgdl, k = self.n_docs, self.avgdl, top_k
         from ..constants import BM25_B, BM25_K1
@@ -375,7 +374,7 @@ class IndexSearcher:
         """
         from pyspark.sql import Window
 
-        from ..operators.bm25 import bm25_contrib_expr, score_fold
+        from ..operators.bm25 import bm25_contrib_expr
 
         top_k = max(1, min(int(top_k), MAX_TOP_K) if clamp else int(top_k))
         pairs, mapping = self._distinct_term_sets(questions)
@@ -383,31 +382,52 @@ class IndexSearcher:
             return self.spark.createDataFrame(
                 [], "query_id int, rank int, doc_id long, score double"
             )
-        qdf = self.spark.createDataFrame(pairs, "set_id int, term string")
+        # slot = the term's index in its set's ASCENDING order: the score
+        # below adds slot contributions in slot order, reproducing the
+        # oracle's sorted-term float64 fold with a plain codegen
+        # HashAggregate instead of collect_list+array_sort+aggregate
+        # (ObjectHashAggregate) — a missing slot adds +0.0, which leaves
+        # an IEEE sum of nonnegative contributions bit-unchanged
+        set_sizes: dict[int, int] = {}
+        for sid, _t in pairs:
+            set_sizes[sid] = set_sizes.get(sid, 0) + 1
+        slot_pairs = []
+        seen: dict[int, int] = {}
+        for sid, t in pairs:  # pairs are emitted per set in ascending-term order
+            slot_pairs.append((sid, seen.get(sid, 0), t))
+            seen[sid] = seen.get(sid, 0) + 1
+        max_slots = max(set_sizes.values())
+        qdf = self.spark.createDataFrame(slot_pairs, "set_id int, slot int, term string")
         mdf = self.spark.createDataFrame(mapping, "query_id int, set_id int")
-        all_terms = sorted({t for _, t in pairs})
+        all_terms = sorted({t for _, _, t in slot_pairs})
         decoded = self._decoded_candidates(all_terms)
 
-        dl = self.spark.read.parquet(f"{self.index_dir}/doclens")
         # term-major order: the BM25 contribution is query-INDEPENDENT, so
         # join doclens and evaluate it once per (term, doc) row, THEN fan
-        # out to DISTINCT TERM SETS via the broadcast join — the score
-        # fold and the per-set top-k window run once per set, and the
+        # out to DISTINCT TERM SETS via the broadcast join — the slot sum
+        # and the per-set top-k window run once per set, and the
         # set_id -> query_id broadcast join at the end restores the
         # per-query rows (identical output, term-sharing batches pay the
         # heavy stages once)
         contrib = bm25_contrib_expr(
             "tf", "df", "doc_len", self.n_docs, self.avgdl
         )
-        per_term_doc = decoded.join(dl, "doc_id").select(
+        per_term_doc = decoded.join(self.doclens, "doc_id").select(
             "term", "doc_id", contrib.alias("contrib")
         )
-        scored = score_fold(
-            per_term_doc.join(F.broadcast(qdf), "term").select(
-                "set_id", "doc_id", "term", "contrib"
-            ),
-            ["set_id", "doc_id"],
+        fanned = per_term_doc.join(F.broadcast(qdf), "term").select(
+            "set_id", "doc_id", "slot", "contrib"
         )
+        g = fanned.groupBy("set_id", "doc_id").agg(
+            *[
+                F.max(F.when(F.col("slot") == i, F.col("contrib"))).alias(f"_c{i}")
+                for i in range(max_slots)
+            ]
+        )
+        score = F.lit(0.0)
+        for i in range(max_slots):
+            score = score + F.coalesce(F.col(f"_c{i}"), F.lit(0.0))
+        scored = g.select("set_id", "doc_id", score.alias("score"))
         w = Window.partitionBy("set_id").orderBy(F.desc("score"), F.asc("doc_id"))
         ranked = (
             scored.withColumn("rank", F.row_number().over(w))
