@@ -32,7 +32,6 @@ from pyspark.sql import functions as F
 
 from ..constants import BM25_B, BM25_K1, DEFAULT_TOP_K
 from ..functions.analyzer import analyze
-from .index_build import corpus_stats, doc_lengths, term_frequencies
 
 
 def idf_expr(df_col, n_docs_col):
@@ -77,6 +76,34 @@ def score_fold(contribs: DataFrame, keys: Sequence[str]) -> DataFrame:
             lambda acc, s: acc + s["contrib"],
         ).alias("score")
     )
+
+
+def slot_fold(
+    frame: DataFrame,
+    keys: Sequence[str],
+    n_slots: int,
+    slot_col: str = "_slot",
+    contrib_col: str = "contrib",
+) -> DataFrame:
+    """Per-``keys`` score from slotted contributions, summed in SLOT
+    order — the codegen-HashAggregate twin of :func:`score_fold` for the
+    case where the term set is driver-known: slot i = the term's index
+    in the set's ascending order, at most one row per (keys, slot).
+    Max-per-slot then an ordered add where a missing slot contributes
+    ``+0.0`` is bit-identical to the sorted collect_list fold for
+    nonnegative contributions (IEEE: x + 0.0 == x). The ONE shared copy
+    of this parity-critical fold — positional serving and the batch
+    relational scorer must not drift apart."""
+    g = frame.groupBy(*keys).agg(
+        *[
+            F.max(F.when(F.col(slot_col) == i, F.col(contrib_col))).alias(f"_c{i}")
+            for i in range(n_slots)
+        ]
+    )
+    score = F.lit(0.0)
+    for i in range(n_slots):
+        score = score + F.coalesce(F.col(f"_c{i}"), F.lit(0.0))
+    return g.select(*keys, score.alias("score"))
 
 
 def bm25_term_scores(
@@ -150,7 +177,26 @@ def bm25_brute_force(
     positive), which leaves an IEEE sum bit-unchanged — pinned by the
     WAND rank/score-identity tests and the DuckDB oracle.
     """
-    qterms = sorted(set(analyze(question)))
+    return bm25_topk_for_terms(
+        docs, sorted(set(analyze(question))), top_k, id_col, text_col, k1, b
+    )
+
+
+def bm25_topk_for_terms(
+    docs: DataFrame,
+    qterms: Sequence[str],
+    top_k: int = DEFAULT_TOP_K,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    exclude_doc_id: int | None = None,
+) -> DataFrame:
+    """:func:`bm25_brute_force`'s plan for an explicit SORTED term list
+    (shared with more-like-this, whose terms come from tf-idf selection
+    rather than a question). ``exclude_doc_id`` drops one document
+    before the top-k (MLT excludes its source)."""
+    qterms = sorted(set(qterms))
     if not qterms:
         return docs.sparkSession.createDataFrame([], "doc_id long, score double")
 
@@ -186,6 +232,8 @@ def bm25_brute_force(
     matched = rows.filter(
         functools.reduce(lambda a, b: a | b, [F.col(f"_tf{i}") > 0 for i in range(len(qterms))])
     )
+    if exclude_doc_id is not None:
+        matched = matched.filter(F.col("doc_id") != exclude_doc_id)
     joined = matched.crossJoin(F.broadcast(stats))
     score = F.lit(0.0)
     for i in range(len(qterms)):

@@ -1,25 +1,31 @@
-"""Compressed inverted-index build: tf+impact -> salted encode -> bucketed table.
+"""Compressed inverted-index build: occurrences -> salted encode -> bucketed table.
 
-Pipeline (SURVEY.md §7 steps 5-6):
+Fresh-build pipeline (SURVEY.md §7 steps 5-6; reshaped in the r6
+optimization round):
 
-  docs ──(one scan)──▶ (doc_id, term, tf, doc_len)   [shuffle 1: (term,doc_id)]
-       ──▶ + df / idf / exact BM25 impact per posting
-       ──▶ groupBy(term, segment).applyInPandas(encode)  [shuffle 2: term]
+  docs ──(one scan)──▶ (doc_id, doc_len, term)  token occurrences
+       ──▶ groupBy(term, segment) collect       [shuffle 1: token stream]
+       ──▶ vectorized encoder: per-doc tf (numpy sort+run-length),
+           exact BM25 impacts, varbyte + block-max
+       ──▶ repartition(bucket) + (bucket, term) df window [shuffle 2: blobs]
        ──▶ (term, bucket, segment, df, n, max_impact, gaps, tfs, skips, blockmax)
+
+Two exchanges end to end; re-encoding from an EXISTING tf aggregate
+(streaming compaction, fielded builds) goes through :func:`encode_tf`,
+which adds the (term, doc_id) aggregate exchange its input requires.
 
 Skew defense: terms whose df exceeds SALT_THRESHOLD are split into
 SALT_FANOUT doc-id RANGE segments (ranges are disjoint and ordered, so the
 segments of a term concatenate back into one sorted posting list — no
 re-encode at merge). Everything else is segment 0. The hot-term set is a
-tiny driver-collected broadcast (Zipf head is small by definition).
+tiny driver-collected sample, computed CONCURRENTLY with the doclens
+sidecar job by the resumable builder (Zipf head is small by definition).
 
-Scale notes (100 TB): the doc_len is carried from the tokenize scan
-(``size(tokens)`` per row) so no doc_id-keyed shuffle is ever needed; df
-for non-hot terms is computed inside the encoder group (group size == df);
-only the Zipf head needs the pre-computed df broadcast. Block-max impact
-bounds are exact at build time because avgdl/N are fixed by the corpus
-stats job that precedes encoding (two passes over the tf aggregate, one
-over the raw corpus).
+Scale notes (100 TB): the doc_len rides the tokenize scan (``size(tokens)``
+per row) so no doc_id-keyed shuffle is ever needed; df for non-hot terms is
+computed inside the encoder group (group size == df); only the Zipf head
+needs the sampled decision. Block-max impact bounds are exact at build time
+because avgdl/N are fixed by the corpus stats that precede encoding.
 """
 
 from __future__ import annotations
@@ -403,30 +409,8 @@ def encode_tf(
         F.element_at("doc_ids", 1).alias("min_doc"),
         F.element_at("doc_ids", -1).alias("max_doc"),
         enc_col.alias("e"),
-    ).repartition("bucket")
-    # exact df = total postings across a term's salted segments. The
-    # window partitions by (bucket, term): hash(bucket) already clusters
-    # every term's rows (term -> one bucket), so NO exchange is added —
-    # the r5 partitionBy(term) spec re-shuffled every encoded blob.
-    from pyspark.sql import Window
-
-    df_col = F.sum("df_local").over(Window.partitionBy("bucket", "term"))
-    return encoded.select(
-        "term",
-        "bucket",
-        F.col("segment").cast("int").alias("segment"),
-        df_col.cast("long").alias("df"),
-        F.col("e.n").alias("n"),
-        F.lit(block_size).cast("int").alias("block_size"),
-        F.col("min_doc").cast("long").alias("min_doc"),
-        F.col("max_doc").cast("long").alias("max_doc"),
-        F.col("e.max_impact").alias("max_impact"),
-        F.col("e.gaps").alias("gaps"),
-        F.col("e.tfs").alias("tfs"),
-        F.col("e.skips").alias("skips"),
-        F.col("e.blockmax").alias("blockmax"),
-        F.col("e.blockmaxtf").alias("blockmaxtf"),
     )
+    return _finalize_encoded(encoded, block_size)
 
 
 def encode_token_occurrences(
@@ -532,18 +516,36 @@ def encode_token_occurrences(
             out.append((df_total, *(e[c] for c in cols)))
         return pd.DataFrame(out, columns=["df_local"] + cols)
 
-    encoded = arrays.select(
+    # `e` referenced twice below (df_local + the struct) — the two-step
+    # projection keeps the UDF evaluated once (multi-referenced aliases
+    # are not collapsed)
+    enc = arrays.withColumn("e", enc_occ_udf("occ_ids", "occ_dls"))
+    encoded = enc.select(
         "term",
         term_bucket_expr("term", buckets).alias("bucket"),
         "segment",
+        F.col("e.df_local").alias("df_local"),
         F.array_min("occ_ids").alias("min_doc"),
         F.array_max("occ_ids").alias("max_doc"),
-        enc_occ_udf("occ_ids", "occ_dls").alias("e"),
-    ).repartition("bucket")
+        "e",
+    )
+    return _finalize_encoded(encoded, block_size)
+
+
+
+def _finalize_encoded(pre: "DataFrame", block_size: int) -> DataFrame:
+    """Shared encoder tail: repartition by ``bucket``, exact-df window
+    over (bucket, term) — no exchange on top of the bucket partitioning
+    (a term lives in one bucket) — and the INDEX_SCHEMA projection.
+    ``pre`` needs columns (term, bucket, segment, df_local, min_doc,
+    max_doc, e{n, max_impact, gaps, tfs, skips, blockmax, blockmaxtf}).
+    The ONE copy of the layout/partitioning contract both encoders and
+    the writers rely on."""
     from pyspark.sql import Window
 
-    df_col = F.sum("e.df_local").over(Window.partitionBy("bucket", "term"))
-    return encoded.select(
+    out = pre.repartition("bucket")
+    df_col = F.sum("df_local").over(Window.partitionBy("bucket", "term"))
+    return out.select(
         "term",
         "bucket",
         F.col("segment").cast("int").alias("segment"),

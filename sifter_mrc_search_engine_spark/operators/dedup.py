@@ -121,6 +121,21 @@ def lsh_band_buckets(
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
 
 
+def lsh_dropped_stats_from_buckets(buckets: DataFrame, max_bucket: int) -> DataFrame:
+    """One-row audit over precomputed :func:`lsh_band_buckets` rows —
+    the ONE aggregation behind :func:`lsh_dropped_bucket_stats` and the
+    prepare chain (which derives pairs AND this audit from a single
+    persisted bucket frame); hand-synced copies of the cap rule are how
+    audit/filter parity drifts."""
+    sizes = buckets.groupBy("band", "bkey").agg(F.count(F.lit(1)).alias("n"))
+    return sizes.filter(F.col("n") > max_bucket).agg(
+        F.count(F.lit(1)).alias("lsh_dropped_buckets"),
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias(
+            "lsh_dropped_bucket_rows"
+        ),
+    )
+
+
 def lsh_dropped_bucket_stats(
     docs: DataFrame,
     max_bucket: int,
@@ -135,14 +150,8 @@ def lsh_dropped_bucket_stats(
     skipped so an operator can retune instead of trusting phantom
     recall. Always returns exactly one row (zeros when nothing was
     dropped)."""
-    sizes = lsh_band_buckets(docs, perms, bands, k, text_col).groupBy(
-        "band", "bkey"
-    ).agg(F.count(F.lit(1)).alias("n"))
-    return sizes.filter(F.col("n") > max_bucket).agg(
-        F.count(F.lit(1)).alias("lsh_dropped_buckets"),
-        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias(
-            "lsh_dropped_bucket_rows"
-        ),
+    return lsh_dropped_stats_from_buckets(
+        lsh_band_buckets(docs, perms, bands, k, text_col), max_bucket
     )
 
 

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..constants import BM25_B, BM25_K1, DEFAULT_TOP_K
-from .bm25 import bm25_term_scores, idf_expr, sum_in_term_order
+from .bm25 import idf_expr
 from .index_build import corpus_stats, doc_lengths, term_frequencies
 
 
@@ -72,9 +72,14 @@ def more_like_this_topk(
     terms = sorted(r["term"] for r in sel.collect())
     if not terms:
         return spark.createDataFrame([], "doc_id long, score double")
-    contribs = bm25_term_scores(tf, dl, stats, terms, k1, b)
-    scored = sum_in_term_order(contribs.filter(F.col("doc_id") != doc_id))
-    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(top_k)
+    # scoring tail = the shared no-explode per-doc BM25 plan (two
+    # tokenize scans, zero shuffles) instead of the r5 tf/df/doclen
+    # aggregate chain — identical float64 fold, source doc excluded
+    from .bm25 import bm25_topk_for_terms
+
+    return bm25_topk_for_terms(
+        docs, terms, top_k, id_col, text_col, k1, b, exclude_doc_id=doc_id
+    )
 
 
 def sql_more_like_this_topk(

@@ -190,19 +190,29 @@ def materialize_chunks(
     ).select(
         "chunk_id",
         (F.col("p") + F.col("lo")).alias("gpos"),
-        F.slice(
-            "_tk", (F.col("lo") + 1).cast("int"), (F.col("hi") - F.col("lo")).cast("int")
+        # pre-join the slice to ONE string per piece before the chunk
+        # shuffle: a string serializes as one offset+buffer where the
+        # token array pays per-element overhead, and the reducer then
+        # concatenates strings instead of flattening arrays. Tokens
+        # contain no spaces (analyzer alphabet), so join-then-concat ==
+        # flatten-then-join byte-for-byte.
+        (F.col("hi") - F.col("lo")).cast("long").alias("n_piece"),
+        F.array_join(
+            F.slice(
+                "_tk",
+                (F.col("lo") + 1).cast("int"),
+                (F.col("hi") - F.col("lo")).cast("int"),
+            ),
+            " ",
         ).alias("piece"),
     )
     return pieces.groupBy("chunk_id").agg(
-        F.sum(F.size("piece")).cast("long").alias("n_tokens"),
+        F.sum("n_piece").cast("long").alias("n_tokens"),
         F.concat_ws(
             " ",
-            F.flatten(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("gpos", "piece"))),
-                    lambda s: s["piece"],
-                )
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("gpos", "piece"))),
+                lambda s: s["piece"],
             ),
         ).alias("chunk_text"),
     )

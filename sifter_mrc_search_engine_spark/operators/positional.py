@@ -104,27 +104,36 @@ def _anchor_match(occ: DataFrame, slots: Sequence[str], distinct: bool = True) -
     Slot coverage is a ``bit_or`` of ``1 << slot`` — one plain
     HashAggregate; the r5 ``countDistinct(slot)`` expanded to a
     two-level aggregate with a SECOND full exchange of the anchor rows.
-    (Phrases beyond 62 slots would overflow the mask; no analyzer emits
-    them, and the guard keeps the error loud.)
+    Phrases beyond 63 slots fall back to the countDistinct shape (a
+    64-bit mask cannot hold them; no analyzer emits such phrases, but
+    the old domain is preserved).
 
     ``distinct=False`` skips the trailing doc_id dedup for consumers
     that feed a left-semi join, where duplicates are free but the extra
     exchange is not."""
-    if len(slots) > 62:
-        raise ValueError(f"phrase too long for slot mask: {len(slots)} terms")
     slots_df = occ.sparkSession.createDataFrame(
         list(enumerate(slots)), "slot int, term string"
     )
     anchors = occ.join(F.broadcast(slots_df), "term").select(
         "doc_id", (F.col("pos") - F.col("slot")).alias("anchor"), "slot"
     )
-    full_mask = (1 << len(slots)) - 1
-    matched = (
-        anchors.groupBy("doc_id", "anchor")
-        .agg(F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), slot)")).alias("_mask"))
-        .filter(F.col("_mask") == full_mask)
-        .select("doc_id")
-    )
+    if len(slots) <= 63:
+        full_mask = (1 << len(slots)) - 1
+        matched = (
+            anchors.groupBy("doc_id", "anchor")
+            .agg(
+                F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), slot)")).alias("_mask")
+            )
+            .filter(F.col("_mask") == full_mask)
+            .select("doc_id")
+        )
+    else:  # pragma: no cover - no analyzer emits 64-term phrases
+        matched = (
+            anchors.groupBy("doc_id", "anchor")
+            .agg(F.countDistinct("slot").alias("ns"))
+            .filter(F.col("ns") == len(slots))
+            .select("doc_id")
+        )
     return matched.distinct() if distinct else matched
 
 
@@ -1143,20 +1152,28 @@ def decode_doc_tfs(index_df: DataFrame) -> DataFrame:
 #: re-instantiate both parquet relations PER CALL — per-HTTP-request
 #: driver I/O with none of the caching the main query path has (r5
 #: ADVICE). The freshness token (stats.json mtime_ns+size) invalidates
-#: on rebuild; the applicationId keys out stopped sessions.
+#: on rebuild; the applicationId keys out stopped sessions. Guarded by
+#: a lock: StructuredSearchService handlers run on ThreadingHTTPServer
+#: threads, and an unsynchronized evict-while-insert would die with
+#: "dictionary changed size during iteration".
 _SERVE_MEMO: dict[tuple, tuple] = {}
+_SERVE_MEMO_LOCK = None  # created lazily to keep import time clean
+_SERVE_MEMO_CAP = 64
 
 
 def _serve_state(spark: SparkSession, index_dir: str) -> tuple:
+    global _SERVE_MEMO_LOCK
+    if _SERVE_MEMO_LOCK is None:
+        import threading
+
+        _SERVE_MEMO_LOCK = threading.Lock()
     token = fsio.freshness_token(fsio.join(index_dir, "stats.json"), spark)
-    key = (spark.sparkContext.applicationId, index_dir, token)
-    hit = _SERVE_MEMO.get(key)
+    app = spark.sparkContext.applicationId
+    key = (app, index_dir, token)
+    with _SERVE_MEMO_LOCK:
+        hit = _SERVE_MEMO.get(key)
     if hit is not None:
         return hit
-    # evict superseded generations of the same dir (and dead sessions'
-    # entries for it) so rebuild-per-batch processes don't pin relations
-    for stale in [k for k in _SERVE_MEMO if k[1] == index_dir and k != key]:
-        del _SERVE_MEMO[stale]
     stats = json.loads(fsio.read_text(fsio.join(index_dir, "stats.json"), spark))
     out = (
         stats,
@@ -1164,7 +1181,19 @@ def _serve_state(spark: SparkSession, index_dir: str) -> tuple:
         spark.read.parquet(f"{index_dir}/postings"),
         spark.read.parquet(f"{index_dir}/doclens"),
     )
-    _SERVE_MEMO[key] = out
+    with _SERVE_MEMO_LOCK:
+        # evict only THIS session's superseded generations of the same
+        # dir (another live session's entry for the dir stays valid —
+        # evicting on index_dir alone would make two sessions thrash
+        # each other's cache on every call); a small FIFO cap bounds
+        # growth from dead applications / many index dirs
+        for stale in [
+            k for k in _SERVE_MEMO if k[0] == app and k[1] == index_dir and k != key
+        ]:
+            del _SERVE_MEMO[stale]
+        while len(_SERVE_MEMO) >= _SERVE_MEMO_CAP:
+            del _SERVE_MEMO[next(iter(_SERVE_MEMO))]
+        _SERVE_MEMO[key] = out
     return out
 
 
@@ -1230,21 +1259,14 @@ def _scored_from_tfs(
     if matched is not None:
         contribs = contribs.join(matched, "doc_id", "left_semi")
     if score_terms:
+        from .bm25 import slot_fold
+
         uterms = sorted(set(score_terms))
         slot = F.create_map(
             *[x for i, t in enumerate(uterms) for x in (F.lit(t), F.lit(i))]
         )
         rows = contribs.withColumn("_slot", F.element_at(slot, F.col("term")))
-        g = rows.groupBy("doc_id").agg(
-            *[
-                F.max(F.when(F.col("_slot") == i, F.col("contrib"))).alias(f"_c{i}")
-                for i in range(len(uterms))
-            ]
-        )
-        score = F.lit(0.0)
-        for i in range(len(uterms)):
-            score = score + F.coalesce(F.col(f"_c{i}"), F.lit(0.0))
-        scored = g.select("doc_id", score.alias("score"))
+        scored = slot_fold(rows, ["doc_id"], len(uterms))
     else:
         scored = sum_in_term_order(contribs)
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(top_k)

@@ -30,6 +30,21 @@ from pyspark.sql import functions as F
 from ..functions.cleaning import extract_html_udf
 from ..functions.text_stats import pred_lang_expr, quality_flag_expr
 
+#: persisted intermediates of prepare_corpus runs, released by
+#: :func:`release_prepare_cache` (same pattern as compressed_index's
+#: release_build_cache)
+_PREPARE_CACHES: list = []
+
+
+def release_prepare_cache() -> None:
+    """Unpersist intermediates cached by :func:`prepare_corpus` (the LSH
+    band-bucket frame). Call once the clean/audit actions have run."""
+    while _PREPARE_CACHES:
+        try:
+            _PREPARE_CACHES.pop().unpersist()
+        except Exception:
+            pass
+
 
 def prepare_corpus(
     docs: DataFrame,
@@ -117,7 +132,11 @@ def prepare_corpus(
     if near_dup:
         from pyspark import StorageLevel
 
-        from ..operators.dedup import lsh_band_buckets, lsh_pairs_from_buckets
+        from ..operators.dedup import (
+            lsh_band_buckets,
+            lsh_dropped_stats_from_buckets,
+            lsh_pairs_from_buckets,
+        )
 
         # ONE shingle+MinHash pass: the candidate pairs AND the
         # dropped-bucket audit both derive from the same persisted
@@ -126,17 +145,15 @@ def prepare_corpus(
         # (r5 ADVICE), roughly doubling the most expensive prepare
         # stage. The frame is n_docs x bands small rows; persistence is
         # MEMORY_AND_DISK so a 100 TB corpus spills instead of OOMing.
+        # Registered for release: release_prepare_cache() (called by
+        # materialize_prepared_corpus once its actions land) unpersists
+        # it, so repeated prepares in one application don't accumulate.
         bb = lsh_band_buckets(clean).persist(StorageLevel.MEMORY_AND_DISK)
+        _PREPARE_CACHES.append(bb)
         pairs = lsh_pairs_from_buckets(bb, lsh_max_bucket)
         if lsh_max_bucket is not None:
-            sizes = bb.groupBy("band", "bkey").agg(F.count(F.lit(1)).alias("n"))
             audit = audit.crossJoin(
-                sizes.filter(F.col("n") > lsh_max_bucket).agg(
-                    F.count(F.lit(1)).alias("lsh_dropped_buckets"),
-                    F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias(
-                        "lsh_dropped_bucket_rows"
-                    ),
-                )
+                lsh_dropped_stats_from_buckets(bb, lsh_max_bucket)
             )
         if near_dup_transitive:
             # cluster-safe: keep exactly the min doc_id of each
@@ -229,6 +246,7 @@ def materialize_prepared_corpus(
         clean.write.mode("overwrite").parquet(clean_dir)
         audit_row = audit.collect()[0].asDict() | {"_prepare_opts": prepare_opts}
         fsio.write_text(audit_path, _json.dumps(audit_row), spark)
+        release_prepare_cache()  # both consumers of the LSH frame have run
     else:
         audit_row = _json.loads(fsio.read_text(audit_path, spark))
     return spark.read.parquet(clean_dir), audit_row

@@ -239,7 +239,8 @@ class IndexSearcher:
                 memo[key] = wand_topk(
                     cand, terms, self.doclen, self.n_docs, self.avgdl, top_k=top_k
                 )
-            out.append(memo[key])
+            # fresh list per query: callers may mutate their result rows
+            out.append(list(memo[key]))
         return out
 
     def _decoded_candidates(self, all_terms: Sequence[str]) -> DataFrame:
@@ -415,19 +416,12 @@ class IndexSearcher:
         per_term_doc = decoded.join(self.doclens, "doc_id").select(
             "term", "doc_id", contrib.alias("contrib")
         )
+        from ..operators.bm25 import slot_fold
+
         fanned = per_term_doc.join(F.broadcast(qdf), "term").select(
-            "set_id", "doc_id", "slot", "contrib"
+            "set_id", "doc_id", F.col("slot").alias("_slot"), "contrib"
         )
-        g = fanned.groupBy("set_id", "doc_id").agg(
-            *[
-                F.max(F.when(F.col("slot") == i, F.col("contrib"))).alias(f"_c{i}")
-                for i in range(max_slots)
-            ]
-        )
-        score = F.lit(0.0)
-        for i in range(max_slots):
-            score = score + F.coalesce(F.col(f"_c{i}"), F.lit(0.0))
-        scored = g.select("set_id", "doc_id", score.alias("score"))
+        scored = slot_fold(fanned, ["set_id", "doc_id"], max_slots)
         w = Window.partitionBy("set_id").orderBy(F.desc("score"), F.asc("doc_id"))
         ranked = (
             scored.withColumn("rank", F.row_number().over(w))
