@@ -209,28 +209,33 @@ def bm25_topk_for_terms(
         # pyspark as the (element, index) lambda variant
         return lambda x: x == F.lit(term)
 
-    def per_doc(frame: DataFrame) -> DataFrame:
-        toks = frame.select(F.col(id_col).alias("doc_id"), tk.alias("_tk"))
-        return toks.select(
-            "doc_id",
-            F.size("_tk").cast("long").alias("doc_len"),
-            *[
-                F.size(F.filter("_tk", eq(t))).cast("long").alias(f"_tf{i}")
-                for i, t in enumerate(qterms)
-            ],
-        )
-
-    rows = per_doc(docs)
-    stats = per_doc(docs).agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.avg("doc_len").alias("avgdl"),
+    # presence tests are array_contains — codegen'd and stopping at the
+    # first hit, where the tf array-filter lambdas are interpreted
+    # expressions; keeping the match filter BELOW the tf projection
+    # means the interpreted filters only ever run for matching docs
+    any_term = functools.reduce(
+        lambda a, b: a | b, [F.array_contains("_tk", t) for t in qterms]
+    )
+    toks = docs.select(F.col(id_col).alias("doc_id"), tk.alias("_tk"))
+    matched = toks.filter(any_term).select(
+        "doc_id",
+        F.size("_tk").cast("long").alias("doc_len"),
         *[
-            F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
-            for i in range(len(qterms))
+            F.size(F.filter("_tk", eq(t))).cast("long").alias(f"_tf{i}")
+            for i, t in enumerate(qterms)
         ],
     )
-    matched = rows.filter(
-        functools.reduce(lambda a, b: a | b, [F.col(f"_tf{i}") > 0 for i in range(len(qterms))])
+    stats_src = docs.select(
+        F.size(tk).cast("long").alias("doc_len"),
+        *[
+            F.array_contains(tk, t).cast("long").alias(f"_in{i}")
+            for i, t in enumerate(qterms)
+        ],
+    )
+    stats = stats_src.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("doc_len").alias("avgdl"),
+        *[F.sum(f"_in{i}").alias(f"_df{i}") for i in range(len(qterms))],
     )
     if exclude_doc_id is not None:
         matched = matched.filter(F.col("doc_id") != exclude_doc_id)
