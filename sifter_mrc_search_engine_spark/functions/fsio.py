@@ -102,11 +102,19 @@ def _is_no_append_error(e: Exception) -> bool:
     messages. Auth/network/lease errors match none of these and
     re-raise."""
     def _marked(name: str, msg: str) -> bool:
+        # class names are the reliable signal; the message heuristic is
+        # restricted to the known Hadoop-2 "Not supported" IOException
+        # shape (an EXACT short message), so a transient error whose
+        # text merely CONTAINS "not supported" somewhere no longer
+        # silently takes the read+rewrite fallback (r5 ADVICE)
         return (
             "UnsupportedOperation" in name
             or "NotImplemented" in name
-            or "not supported" in msg.lower()
-            or "not implemented" in msg.lower()
+            or (
+                name.rsplit(".", 1)[-1] == "IOException"
+                and msg.strip().lower().rstrip(".") in
+                ("not supported", "append is not supported")
+            )
         )
 
     # PySpark CONVERTS known JVM exceptions into its own captured

@@ -21,17 +21,21 @@ the grouping key — the standard Spark stateful-op scale model.
 
 from __future__ import annotations
 
+import time
 from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
 from pyspark.sql.types import (
     DoubleType,
     LongType,
     StructField,
     StructType,
 )
+
+from ..functions import fsio
 
 EVENTS_DDL = "event_id long, ts timestamp, user_id long, value double"
 
@@ -212,6 +216,18 @@ def stream_near_dup(
     def gate(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # refuse to run while a compaction is mid-flight: a gate batch
+        # could otherwise read the store between the compacted slot's
+        # install and the superseded partitions' deletion (harmless
+        # duplicates) or, worse, write a new batch partition the
+        # compaction then deletes without having folded its rows
+        # (those survivors' buckets would vanish from the store)
+        if fsio.exists(fsio.join(output_dir, "_COMPACTING"), spark):
+            raise RuntimeError(
+                f"{output_dir} is being compacted (_COMPACTING sentinel "
+                f"present) — wait for compact_lsh_store to finish, or "
+                f"remove the sentinel if a compaction crashed"
+            )
         from pyspark import StorageLevel
 
         b = lsh_band_buckets(batch_df, perms, bands, k).persist(
@@ -280,7 +296,16 @@ def compact_lsh_store(spark, output_dir: str) -> int:
     and only THEN are the superseded partitions deleted. A crash at any
     point leaves duplicate rows at worst — the gate's store read
     distincts, so duplicates are harmless; rows are never removed
-    before their replacement is fully in place."""
+    before their replacement is fully in place.
+
+    A ``_COMPACTING`` sentinel file guards the no-concurrent-stream
+    convention (r5 ADVICE): it is written before the fold and removed
+    after the superseded partitions are gone, and
+    :func:`stream_near_dup`'s gate REFUSES to process a batch while it
+    exists — a concurrent gate could otherwise write a batch partition
+    this compaction deletes without folding. A crashed compaction
+    leaves the sentinel behind deliberately (the operator must look
+    before removing it)."""
     import re as _re
 
     store_dir = f"{output_dir}/lsh_buckets"
@@ -303,6 +328,10 @@ def compact_lsh_store(spark, output_dir: str) -> int:
             if slots
             else 0
         )
+    # sentinel only once there is an actual fold: it is removed on the
+    # success path below and left behind by a crash ON PURPOSE
+    sentinel = fsio.join(output_dir, "_COMPACTING")
+    fsio.write_text(sentinel, str(int(time.time() * 1000)), spark)
     rows = (
         spark.read.schema("band int, bkey string, doc_id long, batch long")
         .parquet(store_dir)
@@ -323,4 +352,5 @@ def compact_lsh_store(spark, output_dir: str) -> int:
         fs.delete(
             jvm.org.apache.hadoop.fs.Path(f"{store_dir}/batch={s}"), True
         )
+    fsio.delete(sentinel, spark)
     return n

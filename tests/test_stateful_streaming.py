@@ -387,3 +387,46 @@ def test_compact_lsh_store(spark, tmp_path):
     )
     got = {r["doc_id"] for r in spark.read.parquet(f"{out}/docs").collect()}
     assert got == {10, 30, 50, 70}
+
+
+def test_compaction_sentinel_blocks_gate(spark, tmp_path):
+    """The _COMPACTING sentinel (written while compact_lsh_store folds,
+    removed on success) makes the streaming gate REFUSE batches: a gate
+    running concurrently with a compaction could write a batch
+    partition the compaction deletes without folding. Success path
+    leaves no sentinel; a planted sentinel fails the stream loudly."""
+    import pyspark.errors
+
+    from sifter_mrc_search_engine_spark.functions import fsio
+    from sifter_mrc_search_engine_spark.streaming.stateful import (
+        compact_lsh_store,
+        stream_near_dup,
+    )
+
+    in_dir = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    uniq = lambda i: " ".join(f"tok{i}x{j}" for j in range(8))
+    for c in range(2):
+        spark.createDataFrame(
+            [(10 * c + 1, uniq(c))], "doc_id long, text string"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{in_dir}/chunk={c}")
+    stream_near_dup(
+        spark, f"{in_dir}/chunk=*", out, ckpt, max_files_per_trigger=1
+    )
+    compact_lsh_store(spark, out)
+    # success removes the sentinel
+    assert not fsio.exists(fsio.join(out, "_COMPACTING"), spark)
+
+    # a crashed compaction leaves the sentinel -> the gate refuses
+    fsio.write_text(fsio.join(out, "_COMPACTING"), "1", spark)
+    spark.createDataFrame(
+        [(99, uniq(9))], "doc_id long, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{in_dir}/chunk=2")
+    import pytest as _pytest
+
+    with _pytest.raises(pyspark.errors.exceptions.captured.StreamingQueryException):
+        stream_near_dup(
+            spark, f"{in_dir}/chunk=*", out, ckpt, max_files_per_trigger=1
+        )
+    fsio.delete(fsio.join(out, "_COMPACTING"), spark)
