@@ -107,8 +107,11 @@ def _is_no_append_error(e: Exception) -> bool:
         # shape (an EXACT short message), so a transient error whose
         # text merely CONTAINS "not supported" somewhere no longer
         # silently takes the read+rewrite fallback (r5 ADVICE)
+        # "Unsupported" covers java.lang.UnsupportedOperationException
+        # AND HDFS's UnsupportedActionException (dfs.support.append=
+        # false) — class NAMES carry intent, unlike free-text messages
         return (
-            "UnsupportedOperation" in name
+            "Unsupported" in name
             or "NotImplemented" in name
             or (
                 name.rsplit(".", 1)[-1] == "IOException"

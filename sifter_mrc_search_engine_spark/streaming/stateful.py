@@ -128,18 +128,6 @@ def stream_dedup_exact(
     )
 
 
-def _dir_exists(spark, path: str) -> bool:
-    """Deterministic existence check on whatever filesystem ``path``
-    lives on: local via pathlib, remote through the JVM Hadoop
-    FileSystem — classifying first-batch-missing vs corrupt store by
-    CHECKING, not by sniffing exception classes (an ``AnalysisException``
-    catch around the read would also swallow an unreadable store and
-    silently re-admit duplicates)."""
-    from ..functions import fsio
-
-    return fsio.exists(path, spark)
-
-
 def stream_near_dup(
     spark,
     input_dir: str,
@@ -235,7 +223,10 @@ def stream_near_dup(
         )
         try:
             drops = None
-            if _dir_exists(spark, store_dir):
+            # existence is CHECKED (not sniffed from exception classes: an
+            # AnalysisException catch around the read would also swallow
+            # an unreadable store and silently re-admit duplicates)
+            if fsio.exists(store_dir, spark):
                 store = (
                     spark.read.schema(store_schema)
                     .parquet(store_dir)
@@ -314,6 +305,14 @@ def compact_lsh_store(spark, output_dir: str) -> int:
     fs = hstore.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(hstore):
         return 0
+    # sentinel BEFORE the partition listing: a gate batch that starts
+    # after this point is refused, so the fold's snapshot cannot miss a
+    # batch written between listStatus and the delete loop. (A gate
+    # batch that passed its sentinel check before this line can still
+    # race — the documented contract remains "compact between cleanly
+    # drained runs"; the sentinel narrows the window, it is not a lock.)
+    sentinel = fsio.join(output_dir, "_COMPACTING")
+    fsio.write_text(sentinel, str(int(time.time() * 1000)), spark)
     slots = []
     for st in fs.listStatus(hstore):
         m = _re.fullmatch(r"batch=(-?\d+)", st.getPath().getName())
@@ -321,6 +320,7 @@ def compact_lsh_store(spark, output_dir: str) -> int:
             slots.append(int(m.group(1)))
     if len(slots) <= 1:
         # nothing to fold (0 or 1 partition); still report the count
+        fsio.delete(sentinel, spark)
         return (
             spark.read.schema(
                 "band int, bkey string, doc_id long, batch long"
@@ -328,10 +328,6 @@ def compact_lsh_store(spark, output_dir: str) -> int:
             if slots
             else 0
         )
-    # sentinel only once there is an actual fold: it is removed on the
-    # success path below and left behind by a crash ON PURPOSE
-    sentinel = fsio.join(output_dir, "_COMPACTING")
-    fsio.write_text(sentinel, str(int(time.time() * 1000)), spark)
     rows = (
         spark.read.schema("band int, bkey string, doc_id long, batch long")
         .parquet(store_dir)
